@@ -1,0 +1,77 @@
+"""Scalar column builders (reference §2.8: X1-X7).
+
+All builtin Column expressions — no Python UDFs (SURVEY.md §2.10), so every
+function here stays inside Tungsten whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def make_ean(asset_type: str | Column, asset_id: Column) -> Column:
+    """X1: EAN construction ``{type}:{id}``.
+
+    Reference: template literals like ``` `service:${serviceName}` ```
+    (lib/collectServices.ts:94-97, lib/collectPods.ts:76-77,94-96,103-108).
+    """
+    t = F.lit(asset_type) if isinstance(asset_type, str) else asset_type
+    return F.concat_ws(":", t, asset_id)
+
+
+#: X2 cascade order: (signal column, parent asset type), first non-null wins.
+#: Reference ``findParent`` (lib/collectServicesFromSummaries.ts:121-154):
+#: container.id → kubernetes.pod.uid → host.name → host.hostname, with a
+#: terminal ('unknown', '') fallback.
+PARENT_CASCADE: list[tuple[str, str]] = [
+    ("container.id", "container"),
+    ("kubernetes.pod.uid", "k8s.pod"),
+    ("host.name", "host"),
+    ("host.hostname", "host"),
+]
+
+
+def find_parent(col=F.col) -> Column:
+    """X2: priority-coalesce parent derivation as a struct column.
+
+    Returns ``struct(parent_type, parent_id, parent_ean)``; the chained
+    ``when`` evaluates the cascade exactly once per row, JVM-side — the
+    declarative equivalent of the reference's if/else ladder
+    (lib/collectServicesFromSummaries.ts:121-154).
+    """
+    expr = None
+    for field, ptype in PARENT_CASCADE:
+        c = col(f"`{field}`")
+        branch = F.struct(
+            F.lit(ptype).alias("parent_type"),
+            c.alias("parent_id"),
+            make_ean(ptype, c).alias("parent_ean"),
+        )
+        expr = F.when(c.isNotNull(), branch) if expr is None else expr.when(c.isNotNull(), branch)
+    return expr.otherwise(
+        F.struct(
+            F.lit("unknown").alias("parent_type"),
+            F.lit("").alias("parent_id"),
+            F.lit("unknown:").alias("parent_ean"),
+        )
+    )
+
+
+def date_math_lookback(now: datetime, amount: int, unit: str) -> tuple[Column, Column]:
+    """X4: ES date math ``now-10m`` / ``now-1h`` → a [lo, hi] literal pair.
+
+    The reference evaluates date math server-side
+    (lib/collectServicesFromSummaries.ts:36,205).  ``now`` is always an
+    explicit parameter (determinism rule, SURVEY.md §5.5): literal bounds
+    let the Parquet reader do min/max row-group pruning — a filter against
+    ``current_timestamp()`` would too, but could never be oracle-checked.
+    """
+    delta = {
+        "m": timedelta(minutes=amount),
+        "h": timedelta(hours=amount),
+        "d": timedelta(days=amount),
+    }[unit]
+    return F.lit(now - delta), F.lit(now)

@@ -1,0 +1,45 @@
+"""Sinks (reference S7-S9).
+
+  * S7 DDL/index template (lib/assets_index_template.ts) → schema
+    enforcement on write: align to SIMPLE_ASSET_SCHEMA, cap keywords.
+  * S8 bulk sink (lib/es_client.ts:29-31; unused — write step "TBA",
+    run.ts:12-15) → ``df.write.parquet`` (task-parallel batching).
+  * S9 stdout sink (run.ts:18-19 JSON.stringify) → ``toJSON`` lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema import ASSET_COLUMNS, KEYWORD_MAX_LEN, SIMPLE_ASSET_SCHEMA
+
+
+def enforce_asset_schema(df: DataFrame) -> DataFrame:
+    """S7: fixed output schema + the dynamic template's 1024-char keyword
+    cap (lib/assets_index_template.ts:14-24)."""
+    out = []
+    for field in SIMPLE_ASSET_SCHEMA.fields:
+        c = F.col(f"`{field.name}`").cast(field.dataType)
+        if field.dataType.simpleString() == "string":
+            c = F.substring(c, 1, KEYWORD_MAX_LEN)
+        elif field.dataType.simpleString() == "array<string>":
+            c = F.transform(c, lambda x: F.substring(x, 1, KEYWORD_MAX_LEN))
+        out.append(c.alias(field.name))
+    return df.select(*out)
+
+
+def write_assets_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: the bulk-write analog.  At 100 TB scale prefer partitioned
+    output (`partitionBy("asset.type")`) so per-type reads prune files."""
+    enforce_asset_schema(df).write.mode(mode).partitionBy("asset.type").parquet(path)
+
+
+def to_json_lines(df: DataFrame, limit: int | None = None) -> list[str]:
+    """S9: stdout sink (run.ts:18-19).  Driver-side collect — debug only."""
+    if limit:
+        df = df.limit(limit)
+    return df.toJSON().collect()
+
+
+__all__ = ["enforce_asset_schema", "write_assets_parquet", "to_json_lines", "ASSET_COLUMNS"]
