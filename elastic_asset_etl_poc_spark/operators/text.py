@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not in the reference (its only string work is EAN concatenation, SURVEY.md
+§2.8); these are the text-side operators a 100 TB document pipeline needs:
+token counting, quality scoring, language ID, fingerprinting.  All builtin
+column expressions — array/lambda functions run JVM-side inside codegen, so
+there is no Python row tax.
+
+Engine-portability: every function here has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` — same tokenization (single-space split),
+same arithmetic — so the driver's oracle can hash-match results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English function-word list for the language-ID / quality heuristics
+STOPWORDS = ("the", "a")
+
+#: weights for the positional token fingerprint (exact integer arithmetic —
+#: portable across engines, unlike float hashing)
+FP_TOKEN_WEIGHT = 131
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (fixture text is single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(col)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring projection: token count, mean token length,
+    stopword ratio, and a keep/drop flag (simple heuristics in the spirit
+    of C4/Gopher quality rules — length bounds + function-word presence).
+    """
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_stop = stopword_count(c)
+    mean_len = F.round(
+        (F.length(c) - (n_tok - F.lit(1))) / n_tok, 4
+    )  # chars minus separators, per token
+    stop_ratio = F.round(n_stop.cast("double") / n_tok, 4)
+    return df.select(
+        F.col("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_tok >= F.lit(10)) & (n_tok <= F.lit(1000)) & (stop_ratio > F.lit(0))).alias(
+            "quality_keep"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: English function words present → 'en'.
+
+    A real deployment swaps in a fastText/CLD3 pandas UDF; the heuristic
+    keeps the operator shape (per-doc classify → groupable label) while
+    staying JVM-side and oracle-checkable.
+    """
+    pred = F.when(
+        F.array_contains(tokens(text_col), STOPWORDS[0]), F.lit("en")
+    ).otherwise(F.lit("other"))
+    return df.select(F.col("doc_id"), F.col("lang"), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint (rolling-hash analog).
+
+    fp = Σ_i  i · (ascii(token_i[0]) · 131 + len(token_i)) over 1-based
+    positions — exact int64 arithmetic, position-weighted so permuted
+    documents fingerprint differently.  Computed with ``posexplode`` +
+    hash-agg sum: linear, shuffle-once, no Python.
+    """
+    toks = tokens(text_col)
+    exploded = df.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    tokval = F.ascii(F.col("tok")) * F.lit(FP_TOKEN_WEIGHT) + F.length(F.col("tok"))
+    return (
+        exploded.select(
+            "doc_id", ((F.col("pos") + F.lit(1)).cast("long") * tokval.cast("long")).alias("v")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("v").alias("fingerprint"))
+    )

@@ -1,0 +1,774 @@
+"""Driver-contract query suite: every SURVEY.md §2 operator (plus the
+training-data-pipeline extensions) as a named (PySpark query, DuckDB oracle
+SQL) pair.
+
+Conventions keeping Spark and the oracle hash-identical:
+  * pinned ``NOW = 2024-01-31 00:00:00 UTC`` (just past max(events.ts));
+  * every computed column aliased identically on both sides;
+  * float aggregates rounded (2-4 dp) — double summation order differs
+    across engines by ~1e-9 relative, far below the rounding grain;
+  * arrays serialized as sorted comma-joined strings (order-insensitive);
+  * NULL-propagating concat (`||` / F.concat) on both sides;
+  * deterministic tiebreaks on every window/top-k (ties broken by id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.scalar import find_parent, make_ean
+from .operators.dedup import collapse_top1
+from .operators.filters import exists_all, term, time_window
+from .operators.neardup import dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash
+from .operators.project import wildcard_select
+from .operators.similarity import cosine_topk, lsh_topk
+from .operators.text import doc_fingerprint, lang_id, text_quality
+from .plans.assets import collect_pods, collect_services
+from .plans.services import (
+    PINNED_NOW,
+    batch_search_for_service_parents,
+    batch_search_for_services,
+)
+from .sources.registry import load_table, union_scan
+from .sources.signals import SIGNALS_ORACLE_CTE, signals_view
+
+NOW_SQL = "TIMESTAMP '2024-01-31 00:00:00'"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+#: name -> (spark_fn, oracle_sql | None)
+SUITE: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        SUITE[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _sig(extra_ctes: str = "") -> str:
+    return f"WITH {SIGNALS_ORACLE_CTE}{extra_ctes}"
+
+
+def _win(days: int, ts: str = "ts") -> str:
+    return f"{ts} >= {NOW_SQL} - INTERVAL {days} DAY AND {ts} <= {NOW_SQL}"
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: the live two-phase pipeline (§3 entry point 1)
+# ---------------------------------------------------------------------------
+
+@q(
+    "svc_phase1_dedup",
+    _sig()
+    + f"""
+SELECT service_name AS name, service_environment AS environment,
+       max(ts) AS last_seen
+FROM signals
+WHERE metricset_name = 'purchase' AND {_win(15)}
+GROUP BY 1, 2
+""",
+)
+def svc_phase1_dedup(spark, sf_dir):
+    """F1+F2+P3+A1: phase-1 service discovery with last-wins dedup."""
+    return batch_search_for_services(spark, sf_dir)
+
+
+_PHASE2_SQL = _sig(
+    f""",
+phase1 AS (
+  SELECT DISTINCT service_name FROM signals
+  WHERE metricset_name = 'purchase' AND {_win(15)}
+)
+"""
+) + f"""
+SELECT event_id, ts, service_name AS name,
+       container_id, pod_uid, host_name, host_hostname,
+       CASE WHEN container_id IS NOT NULL THEN 'container'
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod'
+            WHEN host_name    IS NOT NULL THEN 'host'
+            WHEN host_hostname IS NOT NULL THEN 'host'
+            ELSE 'unknown' END AS parent_type,
+       CASE WHEN container_id IS NOT NULL THEN container_id
+            WHEN pod_uid      IS NOT NULL THEN pod_uid
+            WHEN host_name    IS NOT NULL THEN host_name
+            WHEN host_hostname IS NOT NULL THEN host_hostname
+            ELSE '' END AS parent_id,
+       CASE WHEN container_id IS NOT NULL THEN 'container:' || container_id
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod:' || pod_uid
+            WHEN host_name    IS NOT NULL THEN 'host:' || host_name
+            WHEN host_hostname IS NOT NULL THEN 'host:' || host_hostname
+            ELSE 'unknown:' END AS parent_ean
+FROM signals
+WHERE {_win(20)}
+  AND service_name IN (SELECT service_name FROM phase1)
+  AND (container_id IS NOT NULL OR pod_uid IS NOT NULL
+       OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
+"""
+
+
+@q("svc_phase2_parents", _PHASE2_SQL)
+def svc_phase2_parents(spark, sf_dir):
+    """J1 semi-join + F5 + X2 cascade; NO dedup (quirk Q3)."""
+    services = batch_search_for_services(spark, sf_dir)
+    return batch_search_for_service_parents(spark, sf_dir, services)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: dormant collectors (asset graphs)
+# ---------------------------------------------------------------------------
+
+_COLLECT_TOP_CTE = _sig(
+    f""",
+filt AS (
+  SELECT * FROM signals
+  WHERE {_win(10)} AND service_name IS NOT NULL
+    AND (container_id IS NOT NULL OR pod_uid IS NOT NULL
+         OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY service_name
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM filt
+  ) WHERE rn = 1
+)
+"""
+)
+
+
+def _flatten_assets(df: DataFrame) -> DataFrame:
+    """SimpleAsset frame → oracle-friendly strings (sorted array joins)."""
+    return df.select(
+        F.col("`asset.ean`").alias("ean"),
+        F.col("`asset.type`").alias("type"),
+        F.col("`asset.id`").alias("id"),
+        F.array_join(F.col("`asset.parents`"), ",").alias("parents_s"),
+        F.array_join(F.col("`asset.children`"), ",").alias("children_s"),
+        F.array_join(F.col("`asset.references`"), ",").alias("references_s"),
+        F.col("`cloud.provider`").alias("cloud_provider"),
+        F.col("`orchestrator.cluster.name`").alias("orch_cluster"),
+        F.col("`service.environment`").alias("environment"),
+    )
+
+
+@q(
+    "assets_services",
+    _COLLECT_TOP_CTE
+    + """
+SELECT 'service:' || service_name AS ean, 'service' AS type,
+       service_name AS id,
+       'container:' || container_id AS parents_s,
+       CAST(NULL AS VARCHAR) AS children_s,
+       coalesce(array_to_string(list_filter(
+         ['k8s.pod:' || pod_uid, 'k8s.node:' || node_name],
+         x -> x IS NOT NULL), ','), '') AS references_s,
+       cloud_provider,
+       CAST(NULL AS VARCHAR) AS orch_cluster,
+       service_environment AS environment
+FROM top
+""",
+)
+def assets_services(spark, sf_dir):
+    """A2 collapse + X1 EANs + conditional fields (lib/collectServices.ts:86-123)."""
+    services, _ = collect_services(spark, sf_dir)
+    return _flatten_assets(services)
+
+
+@q(
+    "assets_containers",
+    _COLLECT_TOP_CTE
+    + """
+SELECT 'container:' || container_id AS ean, 'container' AS type,
+       container_id AS id,
+       array_to_string(list_sort(coalesce(list(DISTINCT 'k8s.pod:' || pod_uid)
+         FILTER (WHERE pod_uid IS NOT NULL), [])), ',') AS parents_s,
+       array_to_string(list_sort(list(DISTINCT 'service:' || service_name)), ',') AS children_s,
+       array_to_string(list_sort(coalesce(list(DISTINCT 'k8s.node:' || node_name)
+         FILTER (WHERE node_name IS NOT NULL), [])), ',') AS references_s,
+       CAST(NULL AS VARCHAR) AS cloud_provider,
+       CAST(NULL AS VARCHAR) AS orch_cluster,
+       CAST(NULL AS VARCHAR) AS environment
+FROM top
+WHERE container_id IS NOT NULL
+GROUP BY container_id
+""",
+)
+def assets_containers(spark, sf_dir):
+    """A3/J2 group-and-collect container graph (lib/collectServices.ts:125-168)."""
+    _, containers = collect_services(spark, sf_dir)
+    return _flatten_assets(containers)
+
+
+_PODS_TOP_CTE = _sig(
+    f""",
+filt AS (
+  SELECT * FROM signals
+  WHERE {_win(10)} AND pod_uid IS NOT NULL AND node_name IS NOT NULL
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY pod_uid
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM filt
+  ) WHERE rn = 1
+)
+"""
+)
+
+
+@q(
+    "assets_pods",
+    _PODS_TOP_CTE
+    + """
+SELECT 'k8s.pod:' || pod_uid AS ean, 'k8s.pod' AS type, pod_uid AS id,
+       'k8s.node:' || node_name AS parents_s,
+       CAST(NULL AS VARCHAR) AS children_s,
+       CAST(NULL AS VARCHAR) AS references_s,
+       cloud_provider,
+       orchestrator_cluster_name AS orch_cluster,
+       CAST(NULL AS VARCHAR) AS environment
+FROM top
+""",
+)
+def assets_pods(spark, sf_dir):
+    """F4 + A2 + J3 pod assets (lib/collectPods.ts:66-88)."""
+    pods, _ = collect_pods(spark, sf_dir)
+    return _flatten_assets(pods)
+
+
+@q(
+    "assets_nodes",
+    _PODS_TOP_CTE
+    + """
+, newest AS (
+  SELECT node_name AS nn, orchestrator_cluster_name AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY node_name
+                                 ORDER BY ts DESC, event_id DESC) AS rn2
+    FROM top
+  ) WHERE rn2 = 1
+)
+SELECT 'k8s.node:' || t.node_name AS ean, 'k8s.node' AS type,
+       t.node_name AS id,
+       'k8s.cluster:' || any_value(n.cluster) AS parents_s,
+       array_to_string(list_sort(list(DISTINCT 'k8s.pod:' || t.pod_uid)), ',') AS children_s,
+       CAST(NULL AS VARCHAR) AS references_s,
+       CAST(NULL AS VARCHAR) AS cloud_provider,
+       CAST(NULL AS VARCHAR) AS orch_cluster,
+       CAST(NULL AS VARCHAR) AS environment
+FROM top t JOIN newest n ON n.nn = t.node_name
+GROUP BY t.node_name
+""",
+)
+def assets_nodes(spark, sf_dir):
+    """J3 node graph; cluster parent from the newest row (find-or-create
+    order dependence, lib/collectPods.ts:98-110)."""
+    _, nodes = collect_pods(spark, sf_dir)
+    return _flatten_assets(nodes)
+
+
+# ---------------------------------------------------------------------------
+# Standalone operator coverage (§2.2-2.8)
+# ---------------------------------------------------------------------------
+
+@q(
+    "collapse_top1_events",
+    f"""
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def collapse_top1_events(spark, sf_dir):
+    """A2/O2 standalone: newest event per entity, deterministic tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    top = collapse_top1(ev, "user_id", "ts", tiebreak="event_id")
+    return top.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@q(
+    "union_scan_sources",
+    """
+SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE event_type IN ('click','view','error')
+UNION ALL
+SELECT event_id, event_type, value
+FROM events WHERE event_type IN ('purchase','signup')
+""",
+)
+def union_scan_sources(spark, sf_dir):
+    """S4: multi-source union with missing columns → NULL backfill."""
+    ev = load_table(spark, sf_dir, "events")
+    logs = ev.filter(F.col("event_type").isin("click", "view", "error")).select(
+        "event_id", "event_type"
+    )
+    apm = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id", "event_type", "value"
+    )
+    return union_scan(logs, apm)
+
+
+@q(
+    "exists_conj_pods",
+    _sig()
+    + """
+SELECT event_id, pod_uid, node_name FROM signals
+WHERE pod_uid IS NOT NULL AND node_name IS NOT NULL
+""",
+)
+def exists_conj_pods(spark, sf_dir):
+    """F4: conjunctive exists (must ×2, lib/collectPods.ts:46-57)."""
+    sig = signals_view(spark, sf_dir)
+    sig = exists_all(sig, "kubernetes.pod.uid", "kubernetes.node.name")
+    return sig.select(
+        F.col("`event.id`").alias("event_id"),
+        F.col("`kubernetes.pod.uid`").alias("pod_uid"),
+        F.col("`kubernetes.node.name`").alias("node_name"),
+    )
+
+
+@q(
+    "terms_static_counts",
+    """
+SELECT event_type AS metricset_name, count(*) AS n
+FROM events WHERE event_type IN ('click','signup')
+GROUP BY 1
+""",
+)
+def terms_static_counts(spark, sf_dir):
+    """F3: static IN-list predicate (ES terms)."""
+    sig = signals_view(spark, sf_dir)
+    return (
+        sig.filter(F.col("`metricset.name`").isin("click", "signup"))
+        .groupBy(F.col("`metricset.name`").alias("metricset_name"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "wildcard_host_projection",
+    _sig()
+    + """
+SELECT event_id, host_name, host_hostname FROM signals
+""",
+)
+def wildcard_host_projection(spark, sf_dir):
+    """P2: wildcard projection host.* (lib/collectServicesFromSummaries.ts:196)."""
+    sig = signals_view(spark, sf_dir)
+    out = wildcard_select(sig, "host.*", extra=["event.id"])
+    return out.select(
+        F.col("`event.id`").alias("event_id"),
+        F.col("`host.name`").alias("host_name"),
+        F.col("`host.hostname`").alias("host_hostname"),
+    )
+
+
+@q(
+    "scalar_ean_cascade",
+    _sig()
+    + """
+SELECT event_id, 'service:' || service_name AS service_ean,
+       CASE WHEN container_id IS NOT NULL THEN 'container'
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod'
+            WHEN host_name    IS NOT NULL THEN 'host'
+            WHEN host_hostname IS NOT NULL THEN 'host'
+            ELSE 'unknown' END AS parent_type,
+       CASE WHEN container_id IS NOT NULL THEN 'container:' || container_id
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod:' || pod_uid
+            WHEN host_name    IS NOT NULL THEN 'host:' || host_name
+            WHEN host_hostname IS NOT NULL THEN 'host:' || host_hostname
+            ELSE 'unknown:' END AS parent_ean
+FROM signals
+""",
+)
+def scalar_ean_cascade(spark, sf_dir):
+    """X1+X2 over all signals, including the ('unknown','') fallback branch."""
+    sig = signals_view(spark, sf_dir)
+    parent = find_parent()
+    return sig.select(
+        F.col("`event.id`").alias("event_id"),
+        make_ean("service", F.col("`service.name`")).alias("service_ean"),
+        parent.getField("parent_type").alias("parent_type"),
+        parent.getField("parent_ean").alias("parent_ean"),
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN gap_min IS NOT NULL AND gap_min > 30 THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) / 60.0 AS gap_min
+  FROM events
+)
+GROUP BY user_id
+""",
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (lag window + conditional count) — the
+    incremental-state pattern §2.9 points at, in batch form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) / 60.0
+    return (
+        ev.withColumn("gap_min", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("gap_min").isNotNull() & (F.col("gap_min") > 30), 1
+                    ).otherwise(0)
+                )
+            ).alias("n_sessions"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic relational breadth over the star schema (joins/aggs/windows —
+# "Spark gives these free"; included so the engine is a complete analytics
+# surface and the bench has shuffle-heavy headliners)
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 3) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan→filter→hash-agg, partial aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "join_topk_orders",
+    """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       any_value(o.o_orderdate) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def join_topk_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → joins → agg → top-k.
+    Customer side broadcasts; ORDER BY ... LIMIT is a TakeOrderedAndProject
+    (no global sort materialization)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.any_value(F.col("o_orderdate")).alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "join_region_revenue",
+    """
+SELECT r.r_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join — all dims broadcast, fact never shuffles
+    until the final (tiny) group-by."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "window_latest_order",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def window_latest_order(spark, sf_dir):
+    """A2 generalized to the star schema: latest order per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    top = collapse_top1(o, "o_custkey", "o_orderdate", tiebreak="o_orderkey")
+    return top.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@q(
+    "semi_join_orders",
+    """
+SELECT o.o_orderstatus, count(*) AS n
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY 1
+""",
+)
+def semi_join_orders(spark, sf_dir):
+    """J1 generalized: broadcast left-semi join, grouped."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_semi",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "anti_join_customers",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_customers(spark, sf_dir):
+    """Left-anti join (absent from the reference; free in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_docs",
+    """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup on content digest (A1 generalized to documents)."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "jaccard_neardup_docs",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+""",
+)
+def jaccard_neardup_docs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup join (inverted-index formulation)."""
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@q("minhash_neardup_docs", None)  # xxhash64 has no DuckDB twin → rows-only check
+def minhash_neardup_docs(spark, sf_dir):
+    """MinHash+LSH candidates, exact-verified — the 100 TB near-dup path.
+    Same output contract as jaccard_neardup_docs (recall ≈ 0.9996 @ J=0.8)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@q("simhash_docs", None)  # xxhash64-based → rows-only check
+def simhash_docs(spark, sf_dir):
+    """SimHash 64-bit fingerprints per document."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_quality_docs",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             * 1.0 / len(string_split(text, ' ')), 4) AS mean_token_len,
+       round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+             * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+       (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+         AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) > 0
+         AS quality_keep
+FROM documents
+""",
+)
+def text_quality_docs(spark, sf_dir):
+    """Quality scoring: token stats + stopword ratio + keep flag."""
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "lang_id_docs",
+    """
+SELECT doc_id, lang,
+       CASE WHEN list_contains(string_split(text, ' '), 'the')
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+""",
+)
+def lang_id_docs(spark, sf_dir):
+    """Heuristic language ID (function-word detector)."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_fingerprint_docs",
+    """
+SELECT doc_id, sum(i * (ascii(t[i]) * 131 + length(t[i]))) AS fingerprint
+FROM (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+GROUP BY doc_id
+""",
+)
+def doc_fingerprint_docs(spark, sf_dir):
+    """Position-weighted integer fingerprint (rolling-hash analog, exact
+    int64 arithmetic on both engines)."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+),
+e AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q.query_id, e.neighbor_id,
+         list_dot_product(e.ev, q.qv)
+           / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e, q WHERE e.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@q("embed_knn_bruteforce", _KNN_SQL)
+def embed_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors vec_id<5 (broadcast brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+@q("embed_knn_lsh", None)  # approximate by design → rows-only check
+def embed_knn_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (scale path; recall < 1 by design)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=10)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in SUITE.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in SUITE.items() if sql is not None}
