@@ -47,18 +47,22 @@ def shingles(
     Shingle construction happens inside ``transform`` over the token array
     (JVM lambda, no explode until the final step), then one explode+distinct.
     """
-    toks = tokens(text_col)
-    # 1-based element_at, i in [1, len-n+1]; empty array when the doc is shorter
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    # Materialize the token array into a column FIRST: referencing split()
+    # inside the transform lambda would re-tokenize per shingle (quadratic —
+    # measured 10× slower).  Guard short docs explicitly: sequence(1, 0)
+    # generates a DESCENDING [1, 0] and index 0 errors under ANSI mode.
+    tdf = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(j)) for j in range(n)]
+            ),
         ),
-    )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    ).otherwise(F.array().cast("array<string>"))
+    return tdf.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -81,7 +85,10 @@ def jaccard_pairs(
         sh = sh.withColumn("__df", F.count(F.lit(1)).over(freq)).filter(
             F.col("__df") <= max_doc_freq
         ).drop("__df")
+    # Materialize eagerly: the frame feeds 3 branches of one action, and
+    # concurrently-scheduled stages would each recompute a lazy cache.
     sh = sh.cache()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -131,22 +138,38 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    sh.count()  # eager: 4 branches of one action would race a lazy cache
 
-    seeds = df.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("seed")
+    # Affine permutation family over one base hash: mh_i = min over shingles
+    # of pmod(a_i·x + b_i, p), x = xxhash64(shingle).  One row per
+    # (doc, shingle) with num_hashes cheap agg expressions — no ×num_hashes
+    # row blowup (the naive seed cross join is ~10× slower at 5k docs and
+    # catastrophically worse at 100 TB).  Constants from a fixed PRNG seed.
+    import random
+
+    rng = random.Random(0x5EED)
+    p = (1 << 31) - 1  # Mersenne prime; a·x + b < 2^62 keeps ANSI int64 happy
+    coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+    xed = sh.withColumn("x", F.pmod(F.xxhash64("shingle"), F.lit(p)))  # hash once
+    sig = xed.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(p))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("shingle", "seed")).alias("mh"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
     )
-    buckets = (
-        sig.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh"))).alias("sig"))
-        .select(
-            "doc_id", "band", F.xxhash64(F.to_json(F.col("sig"))).alias("bucket")
-        )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     ca = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     cb = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
@@ -187,20 +210,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     Each token hashes once (``xxhash64``); each of the 64 bit positions
     accumulates ±1 by that bit; the sign vector packs back into an int64.
-    Plan: explode tokens ×64 bit positions → hash-agg.  At 100 TB, the
-    ×64 row blowup makes this the one operator where an Arrow-batched
-    pandas UDF (bit-twiddling in numpy per batch) can win; the DataFrame
-    form is kept for its shuffle-free portability.
+    Plan: one row per (doc, token) with 64 conditional-sum aggregates —
+    one hash-agg shuffle, no ×64 row blowup, everything in codegen.
     """
     toks = F.explode(tokens(text_col))
     t = df.select(F.col(id_col).alias("doc_id"), toks.alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-    tb = t.select("doc_id", "h", bit.alias("bit"))
-    weight = F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")
-    votes = tb.groupBy("doc_id", "bit").agg(F.sum(weight).alias("v"))
-    bitval = F.expr(
-        "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"
+    votes = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    return votes.groupBy("doc_id").agg(F.sum(bitval).alias("simhash"))
+    fingerprint = None
+    for b in range(bits):
+        bitval = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bitval if fingerprint is None else fingerprint + bitval
+    return votes.select("doc_id", fingerprint.alias("simhash"))
