@@ -40,7 +40,9 @@ def array_head(col: str | Column) -> Column:
     as an array of values (lib/collectServicesFromSummaries.ts:114-119).
 
     Fixture signals are scalar (SURVEY.md §1.4 decision); this exists for
-    array-shaped inputs and is a null-safe ``element_at(col, 1)``.
+    array-shaped inputs and is a null-safe head: ``try_element_at`` — plain
+    ``element_at`` throws on empty arrays under ANSI mode, but the
+    reference's ``x?.[0]`` yields undefined.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.element_at(c, 1)
+    return F.try_element_at(c, F.lit(1))

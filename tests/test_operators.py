@@ -1,0 +1,153 @@
+"""Per-operator unit tests on tiny literal frames (SURVEY.md §5.3),
+covering the §2.4 quirk decisions: null environments, tie-breaking,
+empty inputs."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from elastic_asset_etl_poc_spark.functions.scalar import find_parent, make_ean
+from elastic_asset_etl_poc_spark.operators.dedup import collapse_top1, dedup_latest
+from elastic_asset_etl_poc_spark.operators.filters import (
+    exists_all,
+    exists_any,
+    term,
+    terms,
+    time_window,
+)
+from elastic_asset_etl_poc_spark.operators.graph import group_collect_edges
+from elastic_asset_etl_poc_spark.operators.joins import semi_join_in_list
+from elastic_asset_etl_poc_spark.operators.project import (
+    array_head,
+    project_rename,
+    wildcard_select,
+)
+
+
+def ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_time_window_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, ts(1)), (2, ts(10)), (3, ts(20)), (4, ts(31))], "id long, t timestamp"
+    )
+    out = time_window(df, "t", datetime(2024, 1, 21), 15, "d")
+    assert sorted(r.id for r in out.collect()) == [2, 3]  # 4 is past now, 1 too old
+
+
+def test_term_terms(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, k string")
+    assert term(df, "k", "b").count() == 1
+    assert sorted(r.id for r in terms(df, "k", ["a", "c"]).collect()) == [1, 3]
+
+
+def test_exists_any_all(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, None), (3, "x", "y")],
+        "id long, a string, b string",
+    )
+    assert sorted(r.id for r in exists_any(df, "a", "b").collect()) == [1, 3]
+    assert [r.id for r in exists_all(df, "a", "b").collect()] == [3]
+
+
+def test_dedup_latest_last_wins_and_null_env(spark):
+    # Q2 decision: null environment groups as a value instead of crashing.
+    df = spark.createDataFrame(
+        [
+            ("svc", "prod", ts(1)),
+            ("svc", "prod", ts(5)),
+            ("svc", None, ts(3)),
+            ("svc", None, ts(2)),
+        ],
+        "name string, env string, t timestamp",
+    )
+    out = {(r.name, r.env): r.t for r in dedup_latest(df, ["name", "env"], "t").collect()}
+    assert out[("svc", "prod")] == ts(5)  # max timestamp survives (A1)
+    assert out[("svc", None)] == ts(3)
+    assert len(out) == 2
+
+
+def test_collapse_top1_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", ts(5), 1), ("k", ts(5), 2), ("k", ts(4), 9)],
+        "key string, t timestamp, id long",
+    )
+    row = collapse_top1(df, "key", "t", tiebreak="id").collect()[0]
+    assert row.id == 2  # same ts -> higher id wins deterministically
+
+
+def test_collapse_top1_empty(spark):
+    df = spark.createDataFrame([], "key string, t timestamp, id long")
+    assert collapse_top1(df, "key", "t", tiebreak="id").count() == 0
+
+
+def test_semi_join_keeps_probe_shape(spark):
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "z")], "id long, name string"
+    )
+    build = spark.createDataFrame([("a",), ("b",), ("b",)], "name string")
+    out = semi_join_in_list(probe, build, "name")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+    assert out.columns == ["id", "name"]  # no build-side columns leak
+
+
+def test_group_collect_edges_distinct_sorted(spark):
+    df = spark.createDataFrame(
+        [("c1", "s2"), ("c1", "s1"), ("c1", "s2"), ("c2", "s3")],
+        "owner string, child string",
+    )
+    out = {
+        r.owner: r.children
+        for r in group_collect_edges(df, ["owner"], {"children": "child"}).collect()
+    }
+    assert out == {"c1": ["s1", "s2"], "c2": ["s3"]}
+
+
+def test_find_parent_cascade_priority(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "c", "p", "h", "hh"),
+            (2, None, "p", "h", "hh"),
+            (3, None, None, "h", "hh"),
+            (4, None, None, None, "hh"),
+            (5, None, None, None, None),
+        ],
+        "id long, `container.id` string, `kubernetes.pod.uid` string, "
+        "`host.name` string, `host.hostname` string",
+    )
+    parent = find_parent()
+    rows = {
+        r.id: (r.pt, r.pe)
+        for r in df.select(
+            "id",
+            parent.getField("parent_type").alias("pt"),
+            parent.getField("parent_ean").alias("pe"),
+        ).collect()
+    }
+    assert rows[1] == ("container", "container:c")
+    assert rows[2] == ("k8s.pod", "k8s.pod:p")
+    assert rows[3] == ("host", "host:h")
+    assert rows[4] == ("host", "host:hh")
+    assert rows[5] == ("unknown", "unknown:")
+
+
+def test_make_ean(spark):
+    df = spark.createDataFrame([("x",)], "id string")
+    assert df.select(make_ean("service", F.col("id")).alias("e")).collect()[0].e == "service:x"
+
+
+def test_project_rename_and_wildcard(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "b")], "id long, `host.name` string, `host.hostname` string"
+    )
+    out = project_rename(df, {"host.name": "hn", "id": "i"})
+    assert out.columns == ["hn", "i"]
+    w = wildcard_select(df, "host.*", extra=["id"])
+    assert w.columns == ["id", "host.name", "host.hostname"]
+
+
+def test_array_head_null_safe(spark):
+    df = spark.createDataFrame([([1, 2],), ([],), (None,)], "a array<int>")
+    vals = [r.v for r in df.select(array_head("a").alias("v")).collect()]
+    assert vals == [1, None, None]

@@ -1,0 +1,91 @@
+"""Pipeline-level tests over the sf0.001 fixtures + graph invariants."""
+
+import datetime
+
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.plans.assets import collect_pods, collect_services
+from elastic_asset_etl_poc_spark.plans.services import collect_services_from_summaries
+from elastic_asset_etl_poc_spark.sinks import enforce_asset_schema
+from elastic_asset_etl_poc_spark.schema import ASSET_COLUMNS
+
+
+def test_flagship_pipeline_shape(spark):
+    services, full = collect_services_from_summaries(spark, SF_DIR)
+    assert services.columns == ["name", "environment", "last_seen"]
+    n_services = services.count()
+    assert n_services > 0
+    # phase-1 keys are distinct (A1 dedup)
+    assert services.select("name", "environment").distinct().count() == n_services
+    # phase 2 only contains phase-1 services (J1 semi-join)
+    p2_names = {r.name for r in full.select("name").distinct().collect()}
+    p1_names = {r.name for r in services.select("name").distinct().collect()}
+    assert p2_names <= p1_names
+    # Q3: phase 2 NOT deduplicated — more rows than distinct services
+    assert full.count() > full.select("name").distinct().count()
+    # F5: every row found at least one parent candidate → never 'unknown'
+    assert full.filter("parent_type = 'unknown'").count() == 0
+
+
+def test_empty_window_pipelines(spark):
+    services, full = collect_services_from_summaries(
+        spark, SF_DIR, now=datetime.datetime(2020, 1, 1)
+    )
+    assert services.count() == 0
+    assert full.count() == 0
+
+
+def test_asset_graph_invariants(spark):
+    services, containers = collect_services(spark, SF_DIR)
+    s_rows = services.collect()
+    c_rows = containers.collect()
+    assert services.columns == ASSET_COLUMNS and containers.columns == ASSET_COLUMNS
+
+    container_eans = {r["asset.ean"] for r in c_rows}
+    service_eans = {r["asset.ean"] for r in s_rows}
+    # J2: every service parent is a produced container asset
+    for r in s_rows:
+        for p in r["asset.parents"] or []:
+            assert p in container_eans
+    # and every container child is a produced service asset
+    for r in c_rows:
+        for ch in r["asset.children"] or []:
+            assert ch in service_eans
+        assert r["asset.children"], "container without children impossible (J2)"
+
+    pods, nodes = collect_pods(spark, SF_DIR)
+    p_rows, n_rows = pods.collect(), nodes.collect()
+    node_eans = {r["asset.ean"] for r in n_rows}
+    for r in p_rows:
+        assert len(r["asset.parents"]) == 1  # lib/collectPods.ts:77
+        assert r["asset.parents"][0] in node_eans
+    pod_eans = {r["asset.ean"] for r in p_rows}
+    collected = set()
+    for r in n_rows:
+        collected.update(r["asset.children"] or [])
+    assert collected == pod_eans  # J3 children cover exactly the pods
+
+
+def test_q5_limit_groups(spark):
+    services, _ = collect_services(spark, SF_DIR, limit_groups=5)
+    assert services.count() == 5
+
+
+def test_sink_schema_enforcement(spark, tmp_path):
+    services, containers = collect_services(spark, SF_DIR)
+    out = enforce_asset_schema(services.unionByName(containers))
+    assert out.columns == ASSET_COLUMNS
+    path = str(tmp_path / "assets")
+    out.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == services.count() + containers.count()
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25

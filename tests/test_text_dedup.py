@@ -1,0 +1,87 @@
+"""Dedup + text-analysis operator tests (literal frames + sf0.001)."""
+
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.operators.neardup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+)
+from elastic_asset_etl_poc_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    text_quality,
+)
+from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+            (4, "completely different words entirely here now"),
+            (5, "xy"),  # shorter than one shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact(spark):
+    out = {r.keep_id: r.n_docs for r in dedup_exact(docs_df(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = shingles(docs_df(spark))
+    assert sh.filter("doc_id = 5").count() == 0
+
+
+def test_jaccard_exact_dup_is_one(spark):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(docs_df(spark), 0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1/3 share 4 of 10 distinct shingles -> J = 0.4
+    assert abs(pairs[(1, 3)] - 0.4) < 1e-9
+    assert (1, 4) not in pairs
+
+
+def test_minhash_matches_exact_on_fixture(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert approx == exact  # 64 hashes/16 bands: recall ~1 at J>=0.8
+
+
+def test_simhash_identical_and_near(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    assert fps[1] == fps[2]  # identical docs, identical fingerprint
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_text_quality_fields(spark):
+    out = {r.doc_id: r for r in text_quality(docs_df(spark)).collect()}
+    assert out[1].n_tokens == 9
+    assert abs(out[1].stopword_ratio - 2 / 9) < 1e-3
+    assert not out[5].quality_keep  # too short
+    assert not out[4].quality_keep  # no stopwords
+
+
+def test_lang_id(spark):
+    base = docs_df(spark)
+    df = base.withColumn("lang", base.doc_id.cast("string"))
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[4] == "other"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+    assert fps[1] != fps[2]
