@@ -1,0 +1,7 @@
+from .services_stream import (  # noqa: F401
+    EVENTS_STREAM_SCHEMA,
+    run_to_memory,
+    stream_services_phase1,
+    stream_signals,
+    stream_windowed_counts,
+)

@@ -1,0 +1,131 @@
+"""Structured Streaming phrasing of the reference's incremental pattern.
+
+The reference is a one-shot batch poll whose *implied* incremental model is
+"run repeatedly, look back now-10m, upsert latest state" (SURVEY.md §2.9 —
+the F1 sites plus the TODO at lib/collectServices.ts:20 describing ASC +
+search_after checkpointing).  That is exactly a micro-batch stream:
+
+  * keyset pagination / search_after  →  file-source offsets + checkpoint
+  * per-run lookback window           →  event-time watermark
+  * A1 last-wins dedup                →  stateful groupBy max(ts)
+  * page-size batching                →  maxFilesPerTrigger
+
+This module is an *extension*, not reference behavior (late-data policy has
+no reference ground truth), so it ships alongside the batch plans and is
+excluded from the oracle (SURVEY.md §7 phase 6).
+
+Scale posture: state lives in the state store keyed by (name, environment)
+— cardinality = number of services, tiny; the watermark bounds state for
+the windowed variants.  ``availableNow`` triggers give batch-like runs over
+whatever files exist, which is also how the tests drive it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.signals import SERVICE_SUMMARY_EVENT
+
+#: events.parquet layout with ts as raw ns-epoch long (see registry.load_table)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_signals(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of signal documents (S1 as readStream).
+
+    ``maxFilesPerTrigger`` is the page-size analog (O3): each micro-batch
+    consumes a bounded file set, with offsets checkpointed like search_after.
+    """
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    uid = F.col("user_id")
+    tag = lambda p, c, m: F.concat(F.lit(p + "-"), (c % m).cast("string"))  # noqa: E731
+    return ev.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("@timestamp"),
+        F.col("event_id").alias("event.id"),
+        F.col("event_type").alias("metricset.name"),
+        tag("svc", uid, 20).alias("service.name"),
+        tag("env", k, 3).alias("service.environment"),
+    )
+
+
+def stream_services_phase1(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming phase 1: continuous service discovery with A1 dedup.
+
+    ``groupBy(name, environment).agg(max(ts))`` is the stateful last-wins
+    dedup; the watermark bounds how late a signal may arrive and still
+    update its service.  Run in ``update``/``complete`` output mode.
+    """
+    sig = stream_signals(spark, source_dir)
+    return (
+        sig.filter(F.col("`metricset.name`") == SERVICE_SUMMARY_EVENT)
+        .withWatermark("`@timestamp`", watermark)
+        .groupBy(
+            F.col("`service.name`").alias("name"),
+            F.col("`service.environment`").alias("environment"),
+        )
+        .agg(F.max(F.col("`@timestamp`")).alias("last_seen"))
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window signal counts per metricset — the canonical
+    watermark + windowed aggregation (append-mode capable; late data
+    beyond the watermark is dropped)."""
+    sig = stream_signals(spark, source_dir)
+    return (
+        sig.withWatermark("`@timestamp`", watermark)
+        .groupBy(
+            F.window(F.col("`@timestamp`"), window).alias("w"),
+            F.col("`metricset.name`").alias("metricset_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("metricset_name"),
+            F.col("n"),
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete", timeout: int = 120
+):
+    """Drive a streaming frame to a memory sink with an availableNow
+    trigger and block until done — batch-equivalent execution for tests."""
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout)
+    return query

@@ -1,0 +1,92 @@
+"""Streaming tests: availableNow micro-batch runs over a staged copy of
+the events fixture, checked against the equivalent batch plan."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.sources.signals import (
+    SERVICE_SUMMARY_EVENT,
+    signals_view,
+)
+from elastic_asset_etl_poc_spark.streaming import (
+    run_to_memory,
+    stream_services_phase1,
+    stream_windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_phase1_matches_batch(spark, events_dir):
+    q = run_to_memory(
+        stream_services_phase1(spark, events_dir), "svc_stream", "complete"
+    )
+    try:
+        got = {
+            (r.name, r.environment): r.last_seen
+            for r in spark.sql("SELECT * FROM svc_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        signals_view(spark, SF_DIR)
+        .filter(F.col("`metricset.name`") == SERVICE_SUMMARY_EVENT)
+        .groupBy(
+            F.col("`service.name`").alias("name"),
+            F.col("`service.environment`").alias("environment"),
+        )
+        .agg(F.max("`@timestamp`").alias("last_seen"))
+    )
+    want = {(r.name, r.environment): r.last_seen for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_windowed_counts_total(spark, events_dir):
+    q = run_to_memory(
+        stream_windowed_counts(spark, events_dir), "win_stream", "complete"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM win_stream").collect()
+    finally:
+        q.stop()
+    assert sum(r.n for r in rows) == 1000  # every event lands in one window
+    assert {r.metricset_name for r in rows} == {
+        "click", "view", "error", "purchase", "signup",
+    }
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir):
+    from pyspark.sql import types as T
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_sessionize
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+    import __spark_entry__ as e
+
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(events_dir)
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+    )
+    q = run_to_memory(stream_sessionize(ev), "sess_stream", "update")
+    try:
+        # update mode: keep the last emitted row per user
+        rows = spark.sql(
+            "SELECT user_id, last(n_events) AS n_events, last(n_sessions) AS n_sessions"
+            " FROM sess_stream GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    got = {r.user_id: (r.n_events, r.n_sessions) for r in rows}
+    batch = e.queries()["sessionize_events"](spark, SF_DIR).collect()
+    want = {r.user_id: (r.n_events, r.n_sessions) for r in batch}
+    assert got == want
