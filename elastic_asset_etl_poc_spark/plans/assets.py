@@ -24,7 +24,7 @@ Deviations (documented, deliberate):
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,7 +80,8 @@ def collect_services(
 
     Returns ``(services, containers)`` in SimpleAsset column layout.
     """
-    sig = signals_view(spark, sf_dir)
+    window = (now - timedelta(days=lookback_days), now)
+    sig = signals_view(spark, sf_dir, ts_range=window)  # scan-level pruning
     sig = time_window(sig, "@timestamp", now, lookback_days, "d")
     sig = sig.filter(F.col("`service.name`").isNotNull())  # must: exists (F4)
     sig = exists_any(  # should, minimum_should_match: 1 (F5)
@@ -150,7 +151,8 @@ def collect_pods(
     lib/collectPods.ts:13) — modeled as two logical signal streams split by
     signal kind, unioned by name.
     """
-    sig = signals_view(spark, sf_dir)
+    window = (now - timedelta(days=lookback_days), now)
+    sig = signals_view(spark, sf_dir, ts_range=window)  # scan-level pruning
     logs = sig.filter(F.col("`metricset.name`").isin("click", "view", "error"))
     apm = sig.filter(F.col("`metricset.name`").isin("purchase", "signup"))
     both = union_scan(logs, apm)

@@ -26,7 +26,7 @@ always explicit (determinism rule, SURVEY.md §5.5).
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,7 +57,8 @@ def batch_search_for_services(
     Scan→filter→project→hash-agg; single shuffle (the dedup groupBy).
     Catalyst pushes the time range + term filter into the parquet scan.
     """
-    sig = signals_view(spark, sf_dir)
+    window = (now - timedelta(days=lookback_days), now)
+    sig = signals_view(spark, sf_dir, ts_range=window)  # scan-level pruning
     sig = time_window(sig, "@timestamp", now, lookback_days, "d")
     sig = term(sig, "metricset.name", SERVICE_SUMMARY_EVENT)
     rows = project_rename(
@@ -78,7 +79,8 @@ def batch_search_for_service_parents(
 ) -> DataFrame:
     """Phase 2 → one row per signal doc for a known service, with its
     parent derived by the X2 cascade.  No dedup (Q3)."""
-    sig = signals_view(spark, sf_dir)
+    window = (now - timedelta(days=lookback_days), now)
+    sig = signals_view(spark, sf_dir, ts_range=window)  # scan-level pruning
     sig = time_window(sig, "@timestamp", now, lookback_days, "d")
     sig = semi_join_in_list(sig, services, "service.name", "name")
     sig = exists_any(

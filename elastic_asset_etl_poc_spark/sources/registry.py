@@ -14,6 +14,8 @@ every downstream operator sees proper TimestampType.
 
 from __future__ import annotations
 
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,16 +33,40 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _ns_epoch(dt: datetime) -> int:
+    return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000) * 1000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    ts_range: tuple[datetime, datetime] | None = None,
+) -> DataFrame:
     """Load one named table, normalizing nanosecond timestamps.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a ns-epoch long
     and is truncated to microseconds here (integer floor-division, the same
     ns→µs conversion DuckDB applies), so Spark and the oracle agree.
+
+    ``ts_range=(lo, hi)`` (UTC, inclusive) additionally filters the *raw*
+    ns column before conversion.  This is the pushdown path for time
+    windows: Catalyst cannot invert ``timestamp_micros(ts div 1000)``, so a
+    post-conversion range never reaches the scan — the raw-long comparison
+    does (``PushedFilters: GreaterThanOrEqual(ts, ...)``), which at 100 TB
+    is row-group/partition pruning instead of a full scan.
     """
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        if ts_range is not None:
+            # conservative bounds vs the post-conversion µs filter: a row at
+            # hi + 999ns truncates to hi µs and must survive the prefilter
+            lo, hi = ts_range
+            df = df.filter(
+                (F.col("ts") >= F.lit(_ns_epoch(lo)))
+                & (F.col("ts") <= F.lit(_ns_epoch(hi) + 999))
+            )
         # integer division — double division loses precision at ns-epoch scale
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

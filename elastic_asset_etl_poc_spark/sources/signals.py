@@ -63,9 +63,13 @@ def _tag(prefix: str, col, mod: int):
     return F.concat(F.lit(prefix + "-"), (col % mod).cast("string"))
 
 
-def signals_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → signal documents with the reference's dotted field names."""
-    ev = load_table(spark, sf_dir, "events")
+def signals_view(spark: SparkSession, sf_dir: str, ts_range=None) -> DataFrame:
+    """events → signal documents with the reference's dotted field names.
+
+    ``ts_range`` forwards to :func:`load_table` so time windows prune at
+    the parquet scan (see registry.load_table pushdown note).
+    """
+    ev = load_table(spark, sf_dir, "events", ts_range=ts_range)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     uid = F.col("user_id")
     return ev.select(

@@ -1,0 +1,61 @@
+"""Physical-plan audits: the properties that make these plans scale are
+asserted, not hoped for (SURVEY.md §4: 'trust Catalyst + verify pushdown
+with explain()')."""
+
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.plans.services import (
+    batch_search_for_service_parents,
+    batch_search_for_services,
+)
+
+
+def fmt_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_phase1_filters_reach_scan(spark):
+    plan = fmt_plan(batch_search_for_services(spark, SF_DIR))
+    assert "GreaterThanOrEqual(ts," in plan  # raw-ns time range pushed (F1)
+    assert "EqualTo(event_type,purchase)" in plan  # term pushed (F2)
+    # column pruning: props needed for env derivation, value/event_id not
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read_schema
+
+
+def test_phase2_semi_join_broadcasts(spark):
+    services = batch_search_for_services(spark, SF_DIR)
+    plan = fmt_plan(batch_search_for_service_parents(spark, SF_DIR, services))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan  # probe side must not shuffle
+
+
+def test_star_join_broadcasts_dims(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["join_region_revenue"](spark, SF_DIR)
+    plan = fmt_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, dims
+    assert "SortMergeJoin" not in plan or "l_orderkey" in plan  # fact join may SMJ
+
+
+def test_pricing_summary_partial_agg(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["agg_pricing_summary"](spark, SF_DIR)
+    plan = fmt_plan(df)
+    assert "LessThanOrEqual(l_shipdate," in plan  # date filter pushed
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    df = batch_search_for_services(spark, SF_DIR)
+    df.collect()  # AQE only finalizes (and codegens) stages on execution
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "*(" in plan  # WholeStageCodegen stage markers — stays in Tungsten
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
