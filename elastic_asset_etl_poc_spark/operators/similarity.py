@@ -132,3 +132,32 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos).
+
+    Exact all-pairs baseline: block-nested-loop over pre-normalized
+    vectors (norms computed once, map-side).  At corpus scale the same
+    contract runs with LSH bucketing (:func:`lsh_topk`'s signature stage)
+    to bound candidates; this exact form is the oracle-checkable baseline
+    and the verifier for the approximate path.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_a"), _as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    f = embeddings.select(
+        F.col(id_col).alias("vec_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
+    joined = e.join(f, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cos"))
+    )

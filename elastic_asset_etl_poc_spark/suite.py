@@ -772,3 +772,50 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (fn, sql) in SUITE.items() if sql is not None}
+
+
+@q(
+    "embed_neardup_cosine",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+""",
+)
+def embed_neardup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; LSH is the scale
+    path — see operators.similarity.cosine_pairs docstring)."""
+    from .operators.similarity import cosine_pairs
+
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@q(
+    "token_regex_docs",
+    r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe_pieces
+FROM documents
+""",
+)
+def token_regex_docs(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex piece counts (greedy
+    fixed-width chunks as a stand-in for a merge-table tokenizer —
+    deterministic and engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), F.lit(0))
+        ).alias("n_bpe_pieces"),
+    )
