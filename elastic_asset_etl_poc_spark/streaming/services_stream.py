@@ -55,7 +55,7 @@ def stream_signals(spark: SparkSession, source_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(source_dir)
     )
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
     uid = F.col("user_id")
     tag = lambda p, c, m: F.concat(F.lit(p + "-"), (c % m).cast("string"))  # noqa: E731
     return ev.select(
