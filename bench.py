@@ -31,7 +31,16 @@ def main() -> None:
     from elastic_asset_etl_poc_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    # warmup: JVM/codegen plus one cold read per table so the first timed
+    # query doesn't absorb file-footer and page-cache costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from elastic_asset_etl_poc_spark.sources.registry import TABLES, load_table
+
+    for t in TABLES:
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     qs = e.queries()
     timings: dict[str, float] = {}

@@ -232,3 +232,56 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bitval if fingerprint is None else fingerprint + bitval
     return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs → (doc_a, doc_b, hamming).
+
+    Banded exact-match candidate generation: split the 64-bit fingerprint
+    into ``max_hamming + 1`` chunks — any pair within ``max_hamming`` bits
+    must agree exactly on at least one chunk (pigeonhole), so candidates
+    come from equality joins on chunks (shuffle on 16-bit keys, never
+    all-pairs), then verify with ``bit_count(a XOR b)``.  This is the
+    standard scalable simhash dedup layout (Manku et al., WWW'07 —
+    public-literature algorithm).
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    fp = simhash(df, text_col=text_col, id_col=id_col)
+    # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
+    # the single band is the fingerprint itself
+    chunk_exprs = [
+        "simhash" if width >= 64 else f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+        for b in range(bands)
+    ]
+    chunks = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.expr(chunk_exprs[b]).alias("chunk"))
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        F.col("doc_id"), F.col("simhash"), F.explode(chunks).alias("bc")
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -819,3 +819,22 @@ def token_regex_docs(spark, sf_dir):
             F.regexp_extract_all(F.col("text"), F.lit("[a-z]{1,4}"), F.lit(0))
         ).alias("n_bpe_pieces"),
     )
+
+
+@q("simhash_neardup_docs", None)  # xxhash64-based → rows-only check
+def simhash_neardup_docs(spark, sf_dir):
+    """SimHash banded near-dup pairs (Manku-style chunk pigeonhole +
+    bit_count verify) — the hamming-space member of the dedup ladder."""
+    from .operators.neardup import simhash_neardup
+
+    return simhash_neardup(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@q("multimodal_image_features", None)  # synthetic media, rows-only check
+def multimodal_image_features(spark, sf_dir):
+    """Arrow-batched media decode plumbing over a deterministic synthetic
+    binary table (codec stubbed — container has no image libs; schema,
+    batching and partitioning are the real contract)."""
+    from .operators.multimodal import extract_image_features, synthetic_media
+
+    return extract_image_features(synthetic_media(spark, n=256))
