@@ -838,3 +838,103 @@ def multimodal_image_features(spark, sf_dir):
     from .operators.multimodal import extract_image_features, synthetic_media
 
     return extract_image_features(synthetic_media(spark, n=256))
+
+
+@q(
+    "rollup_region_revenue",
+    """
+SELECT r_name, n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def rollup_region_revenue(spark, sf_dir):
+    """Hierarchical grouping-sets aggregation (region → nation → grand
+    total) — one Expand + hash-agg, no per-level rescans."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@q(
+    "having_brand_prices",
+    """
+SELECT p_brand, round(avg(p_retailprice), 2) AS avg_price, count(*) AS n_parts
+FROM part
+GROUP BY p_brand
+HAVING avg(p_retailprice) > 950
+""",
+)
+def having_brand_prices(spark, sf_dir):
+    """Post-aggregation predicate (HAVING)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .filter(F.avg("p_retailprice") > 950)
+    )
+
+
+@q(
+    "percentile_prices",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use linear
+    interpolation; approx_percentile is the sketch alternative at scale)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+@q(
+    "distinct_parts_counts",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def distinct_parts_counts(spark, sf_dir):
+    """Multi distinct-aggregate (Expand-based); approx_count_distinct is
+    the HLL sketch alternative at scale (not oracle-comparable)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
