@@ -125,19 +125,35 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
-    signatures: min over shingles of ``xxhash64(shingle, seed)`` per seed
-    (one explode × num_hashes via a seed cross join — map-side, then a
-    single hash-agg).  Bands of ``num_hashes/bands`` rows hash to buckets;
-    docs sharing any bucket become candidates; candidates are verified with
-    the exact Jaccard of their shingle sets, so output precision is exact —
-    LSH only bounds recall (≥ 1−(1−t^r)^b).
+    Signatures come from an affine permutation family over one base hash
+    per shingle (num_hashes min-aggregates in a single hash-agg — no
+    ×num_hashes row blowup).  Bands of ``num_hashes/bands`` signature rows
+    hash to buckets; docs sharing any bucket become candidates; candidates
+    are verified with the exact Jaccard of their shingle sets, so output
+    precision is exact — LSH only bounds recall (≥ 1−(1−t^r)^b).
 
     With 64 hashes / 16 bands (r=4), P[candidate] at J=0.8 is ≈ 0.9996.
     At 100 TB this is the scale path: cost O(docs·hashes), no all-pairs
-    shingle join.
+    shingle join.  Known local-mode hotspot: the 64-wide min-agg exceeds
+    Spark's generated-method limits so it runs interpreted (~3s at 5k
+    docs); a cluster parallelizes it away, and an applyInPandas numpy
+    signature stage is the drop-in alternative if the constant matters.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).cache()
+    # int64 shingles: xxhash64 over the n token columns directly — no
+    # string concat, 8-byte join/shuffle keys instead of ~50-byte strings.
+    # Collision probability ~n²/2⁶⁴ (≈1e-9 at 1M shingles) is the standard
+    # accepted trade for near-dup candidate generation.
+    tdf = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    hashed = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(t, i + F.lit(j)) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = tdf.select("doc_id", F.explode(hashed).alias("shingle")).distinct().cache()
     sh.count()  # eager: 4 branches of one action would race a lazy cache
 
     # Affine permutation family over one base hash: mh_i = min over shingles
@@ -284,4 +300,62 @@ def simhash_neardup(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters and pick survivors →
+    (doc_id, cluster, is_survivor).
+
+    Connected components by iterative min-label propagation: each round,
+    every node takes the min of its own label and its neighbors' labels;
+    converged when no label changes (checked with a cheap count per round,
+    lineage cut with localCheckpoint so plans don't snowball).  Dup groups
+    in practice are tiny (pairs/triples), so this converges in 2-3 rounds;
+    ``max_iter`` bounds adversarial chains.  The cluster representative
+    (and survivor) is the minimum doc id — the same keep-smallest rule as
+    :func:`dedup_exact`.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.cache()
+
+    labels = df.select(F.col(id_col).alias("node")).withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster"),
+        (F.col("node") == F.col("label")).alias("is_survivor"),
     )

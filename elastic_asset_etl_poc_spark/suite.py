@@ -938,3 +938,14 @@ def distinct_parts_counts(spark, sf_dir):
         F.count_distinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@q("dedup_survivors_docs", None)  # iterative algorithm → rows-only check
+def dedup_survivors_docs(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
+    components → survivor per cluster (keep-min-id policy)."""
+    from .operators.neardup import dedup_survivors, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup_survivors(docs, pairs)

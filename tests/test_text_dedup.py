@@ -85,3 +85,38 @@ def test_fingerprint_order_sensitive(spark):
     )
     fps = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
     assert fps[1] != fps[2]
+
+
+def test_dedup_survivors_clusters(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # chain 1-2-3, pair 5-6; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.cluster, r.is_survivor) for r in dedup_survivors(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[4] == (4, True) and out[7] == (7, True)
+
+
+def test_dedup_survivors_fixture_invariant(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+    )
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    out = dedup_survivors(docs, pairs)
+    n_docs = docs.count()
+    n_in_pairs = pairs.selectExpr("doc_a AS d").union(pairs.selectExpr("doc_b")).distinct().count()
+    survivors = out.filter("is_survivor").count()
+    # every doc appears exactly once; survivors = docs - (dup members - clusters)
+    assert out.count() == n_docs
+    n_clusters = out.filter("NOT is_survivor").select("cluster").distinct().count()
+    assert survivors == n_docs - (n_in_pairs - n_clusters)
