@@ -308,6 +308,7 @@ def dedup_survivors(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 10,
+    driver_limit: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters and pick survivors →
     (doc_id, cluster, is_survivor).
@@ -320,7 +321,39 @@ def dedup_survivors(
     ``max_iter`` bounds adversarial chains.  The cluster representative
     (and survivor) is the minimum doc id — the same keep-smallest rule as
     :func:`dedup_exact`.
+
+    Fast path: when the pair set fits on the driver (``driver_limit``,
+    the broadcast-build-side discipline — near-dup pairs are a tiny
+    fraction of any real corpus), components resolve with a driver-side
+    union-find and ship back as one broadcast join instead of ~3×3 jobs.
     """
+    head = pairs.limit(driver_limit + 1).collect()
+    if len(head) <= driver_limit:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in head:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(n, find(n)) for n in list(parent)]
+        spark = df.sparkSession
+        lbl = spark.createDataFrame(mapping, f"{id_col} bigint, cluster bigint")
+        out = df.select(F.col(id_col)).join(F.broadcast(lbl), id_col, "left")
+        return out.select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster"), F.col(id_col)).alias("cluster"),
+            (F.coalesce(F.col("cluster"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_survivor"
+            ),
+        )
+
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -1,0 +1,66 @@
+"""Skew mitigation: salted two-phase aggregation and salted joins.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; these explicit forms cover the cases AQE can't see — aggregation
+hot keys (one reducer owning a celebrity key) and broadcast-ineligible
+joins against a skewed build side.
+
+All salting is deterministic (hash of stable row attributes, not rand()),
+so plans stay replayable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a salt on the hot key.
+
+    ``aggs`` maps output name → (function, input column) for decomposable
+    aggregates (sum/count/min/max).  Phase 1 aggregates on
+    (keys + salt) — the hot key's rows spread over ``buckets`` reducers —
+    phase 2 merges the partials on the true keys.  The salt derives from
+    ``xxhash64(salt_col)``: deterministic, no rand().
+    """
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    firsts = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)).alias("__salt")
+    partial = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        *[firsts[fn](col).alias(f"__p_{out}") for out, (fn, col) in aggs.items()]
+    )
+    return partial.groupBy(*[F.col(k) for k in keys]).agg(
+        *[mergers[fn](f"__p_{out}").alias(out) for out, (fn, col) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side, replicate
+    the right side across the salt range.
+
+    The hot key's rows land in ``buckets`` different shuffle partitions;
+    the right side is duplicated ×buckets (explode over a literal range),
+    which is the standard trade — only do this when the right side is
+    modest and broadcast is off the table.  Columns keep their original
+    names; join key must be equal-named on both sides.
+    """
+    lsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -43,3 +43,24 @@ def to_json_lines(df: DataFrame, limit: int | None = None) -> list[str]:
 
 
 __all__ = ["enforce_asset_schema", "write_assets_parquet", "to_json_lines", "ASSET_COLUMNS"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink for co-located joins.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT an Exchange on either side — at 100 TB the difference between
+    shuffling both fact tables per query and shuffling never.  (Bucketing
+    requires ``saveAsTable``; plain path writes can't record bucket specs.)
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -1,0 +1,67 @@
+"""Scale-technique tests: salting and bucketing actually change the plan
+the way the 100 TB design claims."""
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.operators.skew import salted_agg, salted_join
+from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+
+def test_salted_agg_matches_direct(spark):
+    l = load_table(spark, SF_DIR, "lineitem")
+    direct = {
+        r.l_returnflag: (r.n, r.s)
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, r.s)
+        for r in salted_agg(
+            l,
+            ["l_returnflag"],
+            {"n": ("count", "l_quantity"), "s": ("sum", "l_quantity")},
+            salt_col="l_orderkey",
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_matches_direct(spark):
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    c = c.withColumnRenamed("c_custkey", "o_custkey")
+    direct = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, "o_custkey").count()
+    assert salted == direct
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from elastic_asset_etl_poc_spark.sinks import write_bucketed
+
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    try:
+        write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+        write_bucketed(
+            l.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 8
+        )
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        # disable broadcast so the join strategy decision is about shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            n = joined.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert n == l.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

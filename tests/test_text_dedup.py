@@ -120,3 +120,18 @@ def test_dedup_survivors_fixture_invariant(spark):
     assert out.count() == n_docs
     n_clusters = out.filter("NOT is_survivor").select("cluster").distinct().count()
     assert survivors == n_docs - (n_in_pairs - n_clusters)
+
+
+def test_dedup_survivors_distributed_path(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    # driver_limit=0 forces the iterative min-label propagation path
+    out = {
+        r.doc_id: (r.cluster, r.is_survivor)
+        for r in dedup_survivors(docs, pairs, driver_limit=0).collect()
+    }
+    assert out[1] == (1, True) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (5, False)
+    assert out[4] == (4, True)
