@@ -64,3 +64,41 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
+    """Batch upsert: latest asset document wins per EAN.
+
+    The reference's write step is stubbed ("TBA", run.ts:12-15) but its
+    intended semantics are an ES bulk index keyed by document — each run
+    overwrites the asset with fresh state.  Batch phrasing: union the
+    existing store with the new batch, keep the newest row per
+    ``asset.ean`` (deterministic tiebreak on asset.type), rewrite.  On a
+    real deployment this maps 1:1 onto a MERGE INTO against an
+    Iceberg/Delta table keyed on asset.ean — the plan (hash-partition by
+    key, keep latest) is identical.
+    """
+    from pyspark.sql.window import Window
+
+    new_assets = enforce_asset_schema(new_assets)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: nothing to merge
+        new_assets.write.mode("overwrite").partitionBy("asset.type").parquet(path)
+        return
+    merged = existing.unionByName(new_assets)
+    w = Window.partitionBy(F.col("`asset.ean`")).orderBy(
+        F.col("`@timestamp`").desc(), F.col("`asset.type`").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # rewrite via a temp path: the plan reads the files being replaced
+    tmp = path.rstrip("/") + "__tmp"
+    latest.write.mode("overwrite").partitionBy("asset.type").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(tmp, path)

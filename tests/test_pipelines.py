@@ -89,3 +89,25 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_upsert_assets_latest_wins(spark, tmp_path):
+    import datetime
+
+    from elastic_asset_etl_poc_spark.sinks import upsert_assets
+    from elastic_asset_etl_poc_spark.plans.assets import collect_services
+
+    path = str(tmp_path / "assets_store")
+    services, containers = collect_services(spark, SF_DIR)
+    first = services.unionByName(containers)
+    upsert_assets(spark, path, first)
+    n_first = spark.read.parquet(path).count()
+    assert n_first == first.count()
+
+    # second run with a later pinned now: same EANs, newer timestamps
+    s2, c2 = collect_services(spark, SF_DIR, now=datetime.datetime(2024, 2, 1))
+    upsert_assets(spark, path, s2.unionByName(c2))
+    back = spark.read.parquet(path)
+    assert back.count() == n_first  # same key set -> no duplicates
+    stamps = {r[0] for r in back.select("`@timestamp`").distinct().collect()}
+    assert stamps == {datetime.datetime(2024, 2, 1)}  # latest state won
