@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: formatted physical plans of the headline queries."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as e  # noqa: E402
+from elastic_asset_etl_poc_spark.session import get_spark  # noqa: E402
+
+PICKS = [
+    ("svc_phase1_dedup", "Phase 1: scan->filter->project->hash-agg; range+term pushed to scan"),
+    ("svc_phase2_parents", "Phase 2: broadcast left-semi IN-list join; probe side never shuffles"),
+    ("join_region_revenue", "Star join: all dims broadcast; fact flows map-side into partial agg"),
+    ("agg_pricing_summary", "TPC-H Q1 shape: partial+final hash aggregation, date filter pushed"),
+]
+
+
+def main() -> None:
+    spark = get_spark(master="local[8]")
+    qs = e.queries()
+    sf = "/root/testdata/sf0.01"
+    out = [
+        "# Physical plans — headline queries (sf0.01, AQE final plans)\n",
+        "Captured with `explain(formatted)` after execution; regenerate with",
+        "`python3 tools/gen_plans.py`.  The properties asserted in",
+        "`tests/test_plans_physical.py` are visible here: `PushedFilters` carrying",
+        "the raw-ns time range and term equality, pruned `ReadSchema`,",
+        "`BroadcastHashJoin ... LeftSemi`, and partial/final `HashAggregate` pairs.\n",
+    ]
+    for name, why in PICKS:
+        df = qs[name](spark, sf)
+        df.collect()  # AQE finalizes stages on execution
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        out.append(f"## {name}\n\n{why}\n\n```\n{plan}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
