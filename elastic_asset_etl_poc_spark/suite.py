@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from .functions.scalar import find_parent, make_ean
 from .operators.dedup import collapse_top1
-from .operators.filters import exists_all, term, time_window
+from .operators.filters import exists_all
 from .operators.neardup import dedup_exact, jaccard_pairs, minhash_lsh_pairs, simhash
 from .operators.project import wildcard_select
 from .operators.similarity import cosine_topk, lsh_topk
@@ -949,3 +949,63 @@ def dedup_survivors_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8)
     return dedup_survivors(docs, pairs)
+
+
+@q(
+    "correlated_max_balance",
+    """
+SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal = (
+  SELECT max(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+)
+def correlated_max_balance(spark, sf_dir):
+    """Correlated scalar subquery through the engine's SQL surface —
+    Catalyst rewrites it into an aggregate + join (no per-row re-scan)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c_acctbal = (
+          SELECT max(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+@q(
+    "set_ops_customers",
+    """
+SELECT 'only_1996' AS bucket, count(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+UNION ALL
+SELECT 'both_years' AS bucket, count(*) AS n FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+""",
+)
+def set_ops_customers(spark, sf_dir):
+    """EXCEPT / INTERSECT (absent from the reference; §2.7 notes union
+    only — Spark provides the rest)."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    only96 = y96.exceptAll(y97).distinct()
+    both = y96.intersect(y97)
+    return (
+        only96.agg(F.count(F.lit(1)).alias("n")).select(F.lit("only_1996").alias("bucket"), "n")
+        .unionByName(
+            both.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit("both_years").alias("bucket"), "n"
+            )
+        )
+    )
