@@ -1009,3 +1009,16 @@ def set_ops_customers(spark, sf_dir):
             )
         )
     )
+
+
+@q("cardinality_sketches", None)  # HLL/KLL sketches are engine-specific → rows-only
+def cardinality_sketches(spark, sf_dir):
+    """Sketch path for 100 TB cardinality/quantiles: approx_count_distinct
+    (HyperLogLog++) and approx_percentile — bounded-memory, one-pass,
+    mergeable across partitions (the exact variants are the oracle-checked
+    distinct_parts_counts / percentile_prices)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    )

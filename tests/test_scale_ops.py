@@ -65,3 +65,24 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sketches_near_exact(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_p50)
+        for r in qs["cardinality_sketches"](spark, SF_DIR).collect()
+    }
+    exact_cnt = {
+        r.l_returnflag: r.n_parts
+        for r in qs["distinct_parts_counts"](spark, SF_DIR).collect()
+    }
+    exact_p50 = {
+        r.l_returnflag: r.p50_price
+        for r in qs["percentile_prices"](spark, SF_DIR).collect()
+    }
+    for k in exact_cnt:
+        assert abs(approx[k][0] - exact_cnt[k]) / exact_cnt[k] < 0.05
+        assert abs(approx[k][1] - exact_p50[k]) / exact_p50[k] < 0.05
