@@ -1022,3 +1022,64 @@ def cardinality_sketches(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
     )
+
+
+@q(
+    "window_frame_running",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""",
+)
+def window_frame_running(spark, sf_dir):
+    """Window frames: running total + 3-row moving average per customer
+    (ROWS frames; deterministic order with orderkey tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        # 4dp: a 2-row mean of cent-valued prices lands exactly on .xx5 at 2dp
+        # and the engines round opposite ways; /2 and /3 can never sit on a 4dp boundary
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg3"),
+    )
+
+
+@q(
+    "conditional_agg_events",
+    """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 2) AS purchase_value
+FROM events GROUP BY user_id
+""",
+)
+def conditional_agg_events(spark, sf_dir):
+    """Pivot-style conditional aggregation (count/sum FILTER) — the
+    shuffle-once alternative to a wide pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+    return ev.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("error").alias("n_error"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("purchase_value"),
+    )
