@@ -1083,3 +1083,67 @@ def conditional_agg_events(spark, sf_dir):
             2,
         ).alias("purchase_value"),
     )
+
+
+@q(
+    "fields_api_unwrap",
+    _sig()
+    + """
+SELECT event_id,
+       ([service_name])[1] AS name_unwrapped,
+       ([container_id])[1] AS container_unwrapped
+FROM signals
+""",
+)
+def fields_api_unwrap(spark, sf_dir):
+    """Quirk Q1 / P4: the ES fields API returns every field as an array of
+    values; model the array shape explicitly and unwrap with the null-safe
+    head (singleItem analog, lib/collectServicesFromSummaries.ts:114-119)."""
+    from .operators.project import array_head
+
+    sig = signals_view(spark, sf_dir)
+    arrays = sig.select(
+        F.col("`event.id`").alias("event_id"),
+        F.array(F.col("`service.name`")).alias("name_arr"),
+        # array(NULL) stays [NULL]; head returns NULL — same as fields-API
+        # absent-field handling
+        F.array(F.col("`container.id`")).alias("cont_arr"),
+    )
+    return arrays.select(
+        "event_id",
+        array_head("name_arr").alias("name_unwrapped"),
+        array_head("cont_arr").alias("container_unwrapped"),
+    )
+
+
+@q(
+    "profile_lineitem",
+    """
+SELECT
+  count(*) AS n_rows,
+  count(*) - count(l_orderkey) AS null_orderkey,
+  count(DISTINCT l_orderkey) AS d_orderkey,
+  count(DISTINCT l_returnflag) AS d_returnflag,
+  round(min(l_extendedprice), 2) AS min_price,
+  round(max(l_extendedprice), 2) AS max_price,
+  round(min(l_discount), 4) AS min_disc,
+  round(max(l_discount), 4) AS max_disc
+FROM lineitem
+""",
+)
+def profile_lineitem(spark, sf_dir):
+    """Data-profiling pass: null counts, distinct cardinalities, ranges —
+    the pre-flight check a training-data pipeline runs per ingest batch.
+    One scan, one aggregate; min/max answerable from parquet footers
+    (aggregate pushdown is on in session.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("null_orderkey"),
+        F.count_distinct("l_orderkey").alias("d_orderkey"),
+        F.count_distinct("l_returnflag").alias("d_returnflag"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_discount"), 4).alias("max_disc"),
+    )
