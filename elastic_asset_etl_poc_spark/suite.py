@@ -411,7 +411,7 @@ def scalar_ean_cascade(spark, sf_dir):
     "sessionize_events",
     """
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN gap_min IS NOT NULL AND gap_min > 30 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN gap_min IS NOT NULL AND gap_min > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
          date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) / 60.0 AS gap_min
@@ -717,7 +717,7 @@ def lang_id_docs(spark, sf_dir):
 @q(
     "doc_fingerprint_docs",
     """
-SELECT doc_id, sum(i * (ascii(t[i]) * 131 + length(t[i]))) AS fingerprint
+SELECT doc_id, CAST(sum(i * (ascii(t[i]) * 131 + length(t[i]))) AS BIGINT) AS fingerprint
 FROM (
   SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
