@@ -35,3 +35,33 @@ def test_plan_echo_passthrough(spark):
     df = spark.range(3)
     out = run_and_print_plan_on_error(df)
     assert len(out) == 3
+
+
+def test_cli_runs_end_to_end(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "elastic_asset_etl_poc_spark",
+            "--read", "local", "--sf-dir", "/root/testdata/sf0.001",
+            "--limit", "3", "--assets-out", str(tmp_path / "assets"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Finished running ETL" in out.stdout
+    assert '"name"' in out.stdout  # JSON lines printed
+    assert (tmp_path / "assets").exists()
+
+
+def test_cli_rejects_unknown_cluster():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "elastic_asset_etl_poc_spark", "--read", "nope"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 2
+    assert "unknown cluster name" in out.stderr
