@@ -80,21 +80,25 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
     """
     from pyspark.sql.window import Window
 
+    def latest_per_ean(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.col("`asset.ean`")).orderBy(
+            F.col("`@timestamp`").desc(), F.col("`asset.type`").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
     new_assets = enforce_asset_schema(new_assets)
     try:
         existing = spark.read.parquet(path)
-    except Exception:  # first write: nothing to merge
-        new_assets.write.mode("overwrite").partitionBy("asset.type").parquet(path)
+    except Exception:  # first write: still dedup within the batch
+        latest_per_ean(new_assets).write.mode("overwrite").partitionBy(
+            "asset.type"
+        ).parquet(path)
         return
-    merged = existing.unionByName(new_assets)
-    w = Window.partitionBy(F.col("`asset.ean`")).orderBy(
-        F.col("`@timestamp`").desc(), F.col("`asset.type`").desc()
-    )
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = latest_per_ean(existing.unionByName(new_assets))
     # rewrite via a temp path: the plan reads the files being replaced
     tmp = path.rstrip("/") + "__tmp"
     latest.write.mode("overwrite").partitionBy("asset.type").parquet(tmp)

@@ -127,3 +127,82 @@ def run_to_memory(
     )
     query.awaitTermination(timeout)
     return query
+
+
+def stream_service_parents(
+    spark: SparkSession,
+    source_dir: str,
+    services: DataFrame,
+) -> DataFrame:
+    """Streaming phase 2: enrich the signal stream with the X2 parent
+    cascade, semi-joined against a *static* phase-1 service list
+    (stream-static join — the build side broadcasts into every
+    micro-batch, so the stream never shuffles; the J1 pattern, live).
+    """
+    from ..functions.scalar import find_parent
+    from ..operators.joins import semi_join_in_list
+
+    sig = stream_signals_full(spark, source_dir)
+    sig = semi_join_in_list(sig, services, "service.name", "name")
+    sig = sig.filter(
+        F.col("`container.id`").isNotNull()
+        | F.col("`kubernetes.pod.uid`").isNotNull()
+        | F.col("`host.name`").isNotNull()
+        | F.col("`host.hostname`").isNotNull()
+    )
+    parent = find_parent()
+    return sig.select(
+        F.col("`event.id`").alias("event_id"),
+        F.col("`@timestamp`").alias("ts"),
+        F.col("`service.name`").alias("name"),
+        parent.getField("parent_type").alias("parent_type"),
+        parent.getField("parent_ean").alias("parent_ean"),
+    )
+
+
+def stream_signals_full(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming signal view with the full parent-candidate field set
+    (matches sources.signals.signals_view's derivation)."""
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    uid = F.col("user_id")
+    tag = lambda p, c, m: F.concat(F.lit(p + "-"), (c % m).cast("string"))  # noqa: E731
+    return ev.select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("@timestamp"),
+        F.col("event_id").alias("event.id"),
+        F.col("event_type").alias("metricset.name"),
+        tag("svc", uid, 20).alias("service.name"),
+        F.when(k % 5 == 0, tag("cont", uid, 50)).alias("container.id"),
+        F.when((k % 5).isin(0, 1), tag("pod", uid, 40)).alias("kubernetes.pod.uid"),
+        F.when(k % 3 == 0, tag("host", uid, 25)).alias("host.name"),
+        F.when(k % 7 != 0, tag("hh", uid, 25)).alias("host.hostname"),
+    )
+
+
+def run_foreach_batch_upsert(
+    stream_assets: DataFrame, store_path: str, timeout: int = 120
+):
+    """Streaming → asset-store upsert via foreachBatch: each micro-batch
+    merges latest-per-EAN into the parquet store (sinks.upsert_assets),
+    giving the reference's poll-and-upsert loop with exactly-once batches.
+    """
+    from ..sinks import upsert_assets
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_assets(batch_df.sparkSession, store_path, batch_df)
+
+    query = (
+        stream_assets.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_path + "__ckpt")
+        .start()
+    )
+    query.awaitTermination(timeout)
+    return query

@@ -90,3 +90,74 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
     batch = e.queries()["sessionize_events"](spark, SF_DIR).collect()
     want = {r.user_id: (r.n_events, r.n_sessions) for r in batch}
     assert got == want
+
+
+def test_stream_phase2_matches_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.plans.services import (
+        batch_search_for_services,
+    )
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        stream_service_parents,
+    )
+
+    services = batch_search_for_services(spark, SF_DIR)
+    q = run_to_memory(
+        stream_service_parents(spark, events_dir, services), "p2_stream", "append"
+    )
+    try:
+        got = spark.sql("SELECT count(*) c FROM p2_stream").collect()[0].c
+        unknowns = spark.sql(
+            "SELECT count(*) c FROM p2_stream WHERE parent_type = 'unknown'"
+        ).collect()[0].c
+    finally:
+        q.stop()
+    # batch phase 2 without the time window = stream over full history
+    from elastic_asset_etl_poc_spark.sources.signals import signals_view
+    from elastic_asset_etl_poc_spark.operators.joins import semi_join_in_list
+
+    sig = signals_view(spark, SF_DIR)
+    sig = semi_join_in_list(sig, services, "service.name", "name")
+    want = sig.filter(
+        F.col("`container.id`").isNotNull()
+        | F.col("`kubernetes.pod.uid`").isNotNull()
+        | F.col("`host.name`").isNotNull()
+        | F.col("`host.hostname`").isNotNull()
+    ).count()
+    assert got == want
+    assert unknowns == 0
+
+
+def test_foreach_batch_upsert(spark, events_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.schema import ASSET_COLUMNS
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        run_foreach_batch_upsert,
+        stream_signals_full,
+    )
+
+    sig = stream_signals_full(spark, events_dir)
+    assets = sig.select(
+        F.col("`@timestamp`").alias("@timestamp"),
+        F.concat(F.lit("service:"), F.col("`service.name`")).alias("asset.ean"),
+        F.lit("service").alias("asset.type"),
+        F.col("`service.name`").alias("asset.id"),
+        F.col("`service.name`").alias("asset.name"),
+        F.lit(None).cast("array<string>").alias("asset.parents"),
+        F.lit(None).cast("array<string>").alias("asset.children"),
+        F.lit(None).cast("array<string>").alias("asset.references"),
+        F.lit(None).cast("string").alias("cloud.provider"),
+        F.lit(None).cast("string").alias("orchestrator.cluster.name"),
+        F.lit(None).cast("string").alias("service.environment"),
+    )
+    store = str(tmp_path / "stream_assets")
+    q = run_foreach_batch_upsert(assets, store)
+    q.stop()
+    back = spark.read.parquet(store)
+    from elastic_asset_etl_poc_spark.sources.signals import signals_view
+
+    n_services = (
+        signals_view(spark, SF_DIR).select("`service.name`").distinct().count()
+    )
+    assert back.count() == n_services  # one latest row per service EAN
+    assert back.columns != [] and set(ASSET_COLUMNS) == set(back.columns)
