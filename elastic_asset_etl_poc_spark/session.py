@@ -53,6 +53,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # MIN/MAX/COUNT can be answered from parquet footers.
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource filter pushdown (mock-ES source, sources/es_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
