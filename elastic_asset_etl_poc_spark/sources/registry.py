@@ -15,6 +15,7 @@ every downstream operator sees proper TimestampType.
 from __future__ import annotations
 
 from datetime import datetime, timezone
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,7 +58,19 @@ def load_table(
     does (``PushedFilters: GreaterThanOrEqual(ts, ...)``), which at 100 TB
     is row-group/partition pruning instead of a full scan.
     """
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    fmt = "parquet"
+    path = f"{sf_dir}/{table}.parquet"
+    if not os.path.exists(path):  # alternate source formats (S2: same table,
+        for cand, f in ((f"{sf_dir}/{table}.csv", "csv"), (f"{sf_dir}/{table}.json", "json")):
+            if os.path.exists(cand):  # different physical encoding)
+                path, fmt = cand, f
+                break
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else:
+        df = spark.read.json(path)
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         if ts_range is not None:
             # conservative bounds vs the post-conversion µs filter: a row at

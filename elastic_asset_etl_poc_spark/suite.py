@@ -1147,3 +1147,16 @@ def profile_lineitem(spark, sf_dir):
         F.round(F.min("l_discount"), 4).alias("min_disc"),
         F.round(F.max("l_discount"), 4).alias("max_disc"),
     )
+
+
+@q("heavy_hitters_sources", None)  # freqItems is approximate → rows-only
+def heavy_hitters_sources(spark, sf_dir):
+    """Heavy-hitter detection over documents.source (frequent-items
+    sketch) — the spam-domain / dominant-source check a training-data
+    pipeline runs before sampling; exact verification via the grouped
+    count is one more line when needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.stat.freqItems(["source"], support=0.05)
+    return hits.select(
+        F.explode(F.col("source_freqItems")).alias("frequent_source")
+    )

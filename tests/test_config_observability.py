@@ -65,3 +65,17 @@ def test_cli_rejects_unknown_cluster():
     )
     assert out.returncode == 2
     assert "unknown cluster name" in out.stderr
+
+
+def test_load_table_alternate_formats(spark, tmp_path):
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "region")
+    src.write.option("header", "true").mode("overwrite").csv(str(tmp_path / "region.csv"))
+    back = load_table(spark, str(tmp_path), "region")
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    src.write.mode("overwrite").json(str(tmp_path / "nation.json"))
+    # json fallback picked up for a table with no parquet present
+    spark.read.json(str(tmp_path / "nation.json"))  # sanity: readable
+    assert load_table(spark, str(tmp_path), "nation").count() == src.count()
