@@ -86,3 +86,43 @@ def test_sketches_near_exact(spark):
     for k in exact_cnt:
         assert abs(approx[k][0] - exact_cnt[k]) / exact_cnt[k] < 0.05
         assert abs(approx[k][1] - exact_p50[k]) / exact_p50[k] < 0.05
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-15")
+    back.collect()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must become a PartitionFilter (file pruning),
+    # not a data filter over all files
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in seg
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    assert back.count() == ev.filter(F.to_date("ts") == "2024-01-15").count()
+    assert n_days >= 25  # the store really is split into daily partitions
+
+
+def test_large_large_join_smj_without_broadcast(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_totalprice"
+        )
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert n == l.count()
+    # with broadcast off, the fact-fact join must take the shuffle path
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
