@@ -206,3 +206,28 @@ def run_foreach_batch_upsert(
     )
     query.awaitTermination(timeout)
     return query
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "doc_id long, text string, ingest_ts timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-ingested documents within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keyed on the
+    content digest) — the continuous-ingest form of
+    operators.neardup.dedup_exact.  State per distinct digest is evicted
+    once the watermark passes, so state stays bounded by the dedup
+    horizon rather than corpus size.
+    """
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(source_dir)
+    )
+    return (
+        docs.withColumn("text_md5", F.md5("text"))
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
+    )

@@ -1160,3 +1160,29 @@ def heavy_hitters_sources(spark, sf_dir):
     return hits.select(
         F.explode(F.col("source_freqItems")).alias("frequent_source")
     )
+
+
+@q(
+    "repetition_docs",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round(1.0 - len(list_distinct(string_split(text, ' ')))
+             * 1.0 / len(string_split(text, ' ')), 4) AS repetition_ratio
+FROM documents
+""",
+)
+def repetition_docs(spark, sf_dir):
+    """Repetition detection (Gopher-style quality rule): fraction of
+    repeated tokens per document — high ratios flag boilerplate/spam."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("repetition_ratio"),
+    )

@@ -161,3 +161,25 @@ def test_foreach_batch_upsert(spark, events_dir, tmp_path):
     )
     assert back.count() == n_services  # one latest row per service EAN
     assert back.columns != [] and set(ASSET_COLUMNS) == set(back.columns)
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        stream_dedup_documents,
+    )
+
+    src = str(tmp_path / "docs_stream")
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    ).withColumn("ingest_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    base.write.mode("overwrite").parquet(src)
+    q = run_to_memory(stream_dedup_documents(spark, src), "docs_dedup", "append")
+    try:
+        rows = spark.sql("SELECT doc_id FROM docs_dedup").collect()
+    finally:
+        q.stop()
+    kept = sorted(r.doc_id for r in rows)
+    assert len(kept) == 2  # the duplicated content survives exactly once
+    assert 2 in kept and (1 in kept or 3 in kept)
