@@ -1186,3 +1186,39 @@ def repetition_docs(spark, sf_dir):
             F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks), 4
         ).alias("repetition_ratio"),
     )
+
+
+@q(
+    "asof_enrich_clicks",
+    """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts_asof,
+       p.value AS purchase_value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def asof_enrich_clicks(spark, sf_dir):
+    """As-of join: every click enriched with the user's most recent prior
+    purchase (operators/temporal.py — union+window composition, one
+    shuffle; DuckDB's native ASOF JOIN is the oracle)."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_asof"),
+        F.col("value_x").alias("purchase_value_asof"),
+    )

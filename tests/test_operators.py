@@ -151,3 +151,25 @@ def test_array_head_null_safe(spark):
     df = spark.createDataFrame([([1, 2],), ([],), (None,)], "a array<int>")
     vals = [r.v for r in df.select(array_head("a").alias("v")).collect()]
     assert vals == [1, None, None]
+
+
+def test_asof_join_semantics(spark):
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(10)), (2, "k", ts(20)), (3, "q", ts(5))],
+        "id long, k string, t timestamp",
+    ).withColumnRenamed("k", "key")
+    right = spark.createDataFrame(
+        [("k", ts(10), 1.0), ("k", ts(15), 2.0), ("z", ts(1), 9.0)],
+        "key string, t timestamp, v double",
+    )
+    out = {
+        r.id: (r.v_asof, r.t_asof)
+        for r in asof_join(
+            left, right, on="key", left_ts="t", right_ts="t", payload=["v", "t"]
+        ).collect()
+    }
+    assert out[1] == (1.0, ts(10))  # tie: at-or-before includes same instant
+    assert out[2] == (2.0, ts(15))  # latest prior wins
+    assert out[3] == (None, None)  # no matching key/time -> NULL payload
