@@ -78,3 +78,41 @@ def asof_join(
         .filter(F.col("__is_left") == 1)
         .drop("__is_left")
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    band_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Band (range) join: pairs with ``|left.ts − right.ts| ≤ band``
+    sharing a key.
+
+    Scale-safe formulation: bucket both sides to band-width epochs and
+    equi-join on (key, bucket) with each left row probing its bucket and
+    both neighbors — any qualifying pair shares one of those three
+    buckets, so the exact band predicate only filters a bounded candidate
+    set.  A naive theta-join ``ON |l−r| ≤ band`` degenerates to a per-key
+    cross product; this stays an equi-join shuffle.
+
+    Returns all left+right columns (right's key/ts suffixed ``_r``).
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / band_seconds)
+    l = left.withColumn(
+        "__b", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = (
+        right.withColumnRenamed(right_ts, f"{right_ts}_r")
+        .withColumn("__b", F.floor(F.unix_timestamp(F.col(f"{right_ts}_r")) / band_seconds))
+        .withColumnRenamed(on, f"{on}_r")
+    )
+    joined = l.join(
+        r, (l["__b"] == r["__b"]) & (l[on] == r[f"{on}_r"]), "inner"
+    ).drop("__b")
+    band = F.abs(
+        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(f"{right_ts}_r"))
+    ) <= band_seconds
+    return joined.filter(band).drop(f"{on}_r")

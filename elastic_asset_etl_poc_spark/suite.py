@@ -1222,3 +1222,27 @@ def asof_enrich_clicks(spark, sf_dir):
         F.col("ts_x").alias("purchase_ts_asof"),
         F.col("value_x").alias("purchase_value_asof"),
     )
+
+
+@q(
+    "band_join_click_purchase",
+    """
+SELECT c.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND abs(date_diff('second', p.ts, c.ts)) <= 86400
+GROUP BY c.user_id
+""",
+)
+def band_join_click_purchase(spark, sf_dir):
+    """Band/range join: click-purchase pairs of the same user within one
+    day (operators/temporal.band_join — bucketed equi-join, no per-key
+    cross product; oracle is the plain inequality join)."""
+    from .operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    pairs = band_join(clicks, purchases, on="user_id", band_seconds=86400)
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
