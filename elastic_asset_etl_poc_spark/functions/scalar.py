@@ -17,9 +17,14 @@ def make_ean(asset_type: str | Column, asset_id: Column) -> Column:
 
     Reference: template literals like ``` `service:${serviceName}` ```
     (lib/collectServices.ts:94-97, lib/collectPods.ts:76-77,94-96,103-108).
+
+    ``F.concat`` (not ``concat_ws``) so a NULL id yields NULL — matching
+    SQL ``||`` semantics and the repo's null-propagating concat convention
+    (sources/signals.py); ``concat_ws`` would silently skip the NULL and
+    emit a bare ``"service"``.
     """
     t = F.lit(asset_type) if isinstance(asset_type, str) else asset_type
-    return F.concat_ws(":", t, asset_id)
+    return F.concat(t, F.lit(":"), asset_id)
 
 
 #: X2 cascade order: (signal column, parent asset type), first non-null wins.

@@ -344,7 +344,15 @@ def dedup_survivors(
                 parent[hi] = lo
         mapping = [(n, find(n)) for n in list(parent)]
         spark = df.sparkSession
-        lbl = spark.createDataFrame(mapping, f"{id_col} bigint, cluster bigint")
+        # id-type-agnostic: derive the label schema from the input column
+        # (string/UUID doc ids work, not just bigint)
+        from pyspark.sql import types as T
+
+        idtype = df.schema[id_col].dataType
+        lbl_schema = T.StructType(
+            [T.StructField(id_col, idtype), T.StructField("cluster", idtype)]
+        )
+        lbl = spark.createDataFrame(mapping, lbl_schema)
         out = df.select(F.col(id_col)).join(F.broadcast(lbl), id_col, "left")
         return out.select(
             F.col(id_col),

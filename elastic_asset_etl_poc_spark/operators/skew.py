@@ -56,8 +56,20 @@ def salted_join(
     which is the standard trade — only do this when the right side is
     modest and broadcast is off the table.  Columns keep their original
     names; join key must be equal-named on both sides.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated ×buckets, so a right/outer join would emit every unmatched
+    right row once per salt bucket.  The salt hashes ALL left columns —
+    stable row content, per the module's determinism contract — so routing
+    is identical across retries and repartitionings (unlike
+    ``monotonically_increasing_id``, which depends on partition layout).
     """
-    lsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}): the "
+            "replicated right side would duplicate unmatched right rows"
+        )
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -99,20 +99,26 @@ def band_join(
     cross product; this stays an equi-join shuffle.
 
     Returns all left+right columns (right's key/ts suffixed ``_r``).
+
+    The band predicate evaluates on microsecond-precision epochs
+    (``unix_micros``), so sub-second timestamps compare exactly —
+    ``unix_timestamp`` would truncate to whole seconds and admit pairs up
+    to ~1s outside the band.  Buckets are sized in the same unit.
     """
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / band_seconds)
+    band_us = band_seconds * 1_000_000
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / band_us)
     l = left.withColumn(
         "__b", F.explode(F.array(lb - 1, lb, lb + 1))
     )
     r = (
         right.withColumnRenamed(right_ts, f"{right_ts}_r")
-        .withColumn("__b", F.floor(F.unix_timestamp(F.col(f"{right_ts}_r")) / band_seconds))
+        .withColumn("__b", F.floor(F.unix_micros(F.col(f"{right_ts}_r")) / band_us))
         .withColumnRenamed(on, f"{on}_r")
     )
     joined = l.join(
         r, (l["__b"] == r["__b"]) & (l[on] == r[f"{on}_r"]), "inner"
     ).drop("__b")
     band = F.abs(
-        F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(f"{right_ts}_r"))
-    ) <= band_seconds
+        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"{right_ts}_r"))
+    ) <= band_us
     return joined.filter(band).drop(f"{on}_r")

@@ -1231,7 +1231,7 @@ SELECT c.user_id, count(*) AS n_pairs
 FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id
- AND abs(date_diff('second', p.ts, c.ts)) <= 86400
+ AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= CAST(86400 AS BIGINT) * 1000000
 GROUP BY c.user_id
 """,
 )

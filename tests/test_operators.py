@@ -137,6 +137,12 @@ def test_make_ean(spark):
     assert df.select(make_ean("service", F.col("id")).alias("e")).collect()[0].e == "service:x"
 
 
+def test_make_ean_null_propagates(spark):
+    # SQL || semantics: NULL id -> NULL ean, never a bare "service"
+    df = spark.createDataFrame([(None,)], "id string")
+    assert df.select(make_ean("service", F.col("id")).alias("e")).collect()[0].e is None
+
+
 def test_project_rename_and_wildcard(spark):
     df = spark.createDataFrame(
         [(1, "a", "b")], "id long, `host.name` string, `host.hostname` string"
@@ -173,3 +179,27 @@ def test_asof_join_semantics(spark):
     assert out[1] == (1.0, ts(10))  # tie: at-or-before includes same instant
     assert out[2] == (2.0, ts(15))  # latest prior wins
     assert out[3] == (None, None)  # no matching key/time -> NULL payload
+
+
+def test_band_join_subsecond_precision(spark):
+    """The band predicate is exact at microsecond precision: a pair 0.4s
+    outside a 2s band is excluded even though whole-second truncation
+    would round it in (and vice versa)."""
+    from elastic_asset_etl_poc_spark.operators.temporal import band_join
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def us(sec, micro):
+        return datetime(2024, 1, 1, 12, 0, sec, micro)
+
+    left = spark.createDataFrame([("k", base)], "key string, t timestamp")
+    right = spark.createDataFrame(
+        [
+            ("k", us(2, 0), 1),       # delta exactly 2.0s -> in
+            ("k", us(2, 400000), 2),  # delta 2.4s -> out (floor-sec diff = 2 would wrongly admit)
+            ("k", us(1, 999999), 3),  # delta 1.999999s -> in
+        ],
+        "key string, t timestamp, id int",
+    )
+    out = band_join(left, right, on="key", band_seconds=2, left_ts="t", right_ts="t")
+    assert sorted(r.id for r in out.collect()) == [1, 3]

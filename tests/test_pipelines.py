@@ -111,3 +111,68 @@ def test_upsert_assets_latest_wins(spark, tmp_path):
     assert back.count() == n_first  # same key set -> no duplicates
     stamps = {r[0] for r in back.select("`@timestamp`").distinct().collect()}
     assert stamps == {datetime.datetime(2024, 2, 1)}  # latest state won
+
+
+def test_upsert_assets_partition_scoped(spark, tmp_path):
+    """A batch touching only asset.type=service must not rewrite the
+    container partition's files (dynamic partition overwrite)."""
+    import datetime
+    import os
+
+    from elastic_asset_etl_poc_spark.plans.assets import collect_services
+    from elastic_asset_etl_poc_spark.sinks import upsert_assets
+
+    path = str(tmp_path / "assets_store")
+    services, containers = collect_services(spark, SF_DIR)
+    upsert_assets(spark, path, services.unionByName(containers))
+
+    cdir = os.path.join(path, "asset.type=container")
+
+    def snapshot(d):
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    before = snapshot(cdir)
+    n_containers = spark.read.parquet(path).filter(
+        "`asset.type` = 'container'"
+    ).count()
+
+    s2, _ = collect_services(spark, SF_DIR, now=datetime.datetime(2024, 2, 1))
+    upsert_assets(spark, path, s2)  # services only
+
+    assert snapshot(cdir) == before  # untouched partition: same files, same mtimes
+    back = spark.read.parquet(path)
+    assert back.filter("`asset.type` = 'container'").count() == n_containers
+    svc_stamps = {
+        r[0]
+        for r in back.filter("`asset.type` = 'service'")
+        .select("`@timestamp`")
+        .distinct()
+        .collect()
+    }
+    assert svc_stamps == {datetime.datetime(2024, 2, 1)}
+
+
+def test_upsert_assets_propagates_store_read_errors(spark, tmp_path):
+    """A corrupt (but existing) store must raise, never be silently
+    replaced by the new batch."""
+    import os
+
+    import pytest
+
+    from elastic_asset_etl_poc_spark.plans.assets import collect_services
+    from elastic_asset_etl_poc_spark.sinks import upsert_assets
+
+    path = str(tmp_path / "assets_store")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "w") as f:
+        f.write("not a parquet file")
+    services, _ = collect_services(spark, SF_DIR)
+    with pytest.raises(Exception):
+        upsert_assets(spark, path, services)
+    # the corrupt marker survived — nothing was overwritten
+    with open(os.path.join(path, "part-00000.parquet")) as f:
+        assert f.read() == "not a parquet file"

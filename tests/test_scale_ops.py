@@ -38,6 +38,29 @@ def test_salted_join_matches_direct(spark):
     assert salted == direct
 
 
+def test_salted_join_deterministic_routing(spark):
+    """Salt derives from row content only: repartitioning the input must
+    not change the joined result (monotonically_increasing_id would)."""
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    c = c.withColumnRenamed("c_custkey", "o_custkey")
+    base = sorted(map(tuple, salted_join(o, c, "o_custkey").collect()))
+    repart = sorted(map(tuple, salted_join(o.repartition(13), c, "o_custkey").collect()))
+    assert base == repart
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey")
+    c = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    for how in ("right", "outer", "full"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, "o_custkey", how=how)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     from elastic_asset_etl_poc_spark.sinks import write_bucketed
 
