@@ -1,16 +1,22 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Brute-force cosine top-k as the exact baseline, and a random-hyperplane
-LSH-bucketed variant as the scale path.  Dot products run JVM-side via
-``zip_with``/``aggregate`` higher-order functions — vectorized enough at
-64 dims; a deployment chasing the last 2-3× on 1024-dim vectors would swap
-the kernel for an Arrow pandas UDF (numpy matmul per batch) without
-touching the surrounding plan.
+Brute-force cosine top-k as the exact baseline, a banded random-hyperplane
+LSH variant as the scale path, and all-pairs near-dup kernels (exact
+blocked + LSH-bucketed).  Dot products in the top-k operators run
+JVM-side via ``zip_with``/``aggregate`` higher-order functions; the
+all-pairs kernels use Arrow-batched numpy matmul (BLAS) — measured 10×+
+faster than interpreted folds for O(N²·d) work.
 
-Scale posture: the query side is always the small side — broadcast it.
-Brute force is O(N·Q) dot products with zero shuffle (map-side only,
-then a top-k window per query).  LSH cuts the candidate set per query to
-its probe buckets: O(N) bucketing once + O(candidates) per query.
+Scale posture:
+  * top-k: the query side is always the small side — broadcast it.
+    Brute force is O(N·Q) dot products with zero shuffle; LSH cuts the
+    candidate set per query to its probe buckets.
+  * all-pairs: :func:`cosine_pairs` is exact — O(N²·d) compute spread
+    over block-pair tasks, with per-task memory O(N/blocks · d) and NO
+    driver materialization (the round-1 collect()-based form was a
+    driver OOM at scale).  :func:`cosine_pairs_lsh` is the true 100 TB
+    path: banded sign-LSH buckets bound the candidate set, the same
+    numpy kernel runs per bucket, recall is tunable via (planes, bands).
 """
 
 from __future__ import annotations
@@ -70,57 +76,106 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int):
-    """Deterministic pseudo-random hyperplane component: a fixed integer
-    hash of (plane, dim-index) mapped to [-0.5, 0.5).  JVM-side, seedless,
-    reproducible across runs and cluster sizes."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(F.lit(plane) * F.lit(100003) + d), F.lit(100000)) / 100000.0
-            - 0.5
-        ),
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    bands: int,
+    seed: int,
+):
+    """Banded sign-LSH signature stage → (__id, __v double[], band, bucket).
+
+    One Arrow ``mapInPandas`` pass: every worker draws the identical
+    Gaussian hyperplane matrix from the fixed ``seed`` (no driver job, no
+    broadcast), signs come from one BLAS matmul per batch, and each
+    vector emits ``bands`` rows — band *b*'s bucket packs the sign bits
+    of planes ``[b·planes, (b+1)·planes)``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    idtype = df.schema[id_col].dataType
+    sig_schema = T.StructType(
+        [
+            T.StructField("__id", idtype),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.IntegerType()),
+        ]
     )
+    total_planes = planes * bands
+
+    def signatures(it):
+        rng = np.random.default_rng(seed)
+        H = None  # lazily sized from the first batch's vector width
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if H is None:
+                H = rng.standard_normal((total_planes, vecs.shape[1]))
+            bits = (vecs @ H.T >= 0).astype(np.int64)  # (n, total_planes)
+            ids = pdf[id_col].to_numpy()
+            n = len(ids)
+            buckets = np.concatenate(
+                [
+                    (bits[:, b * planes : (b + 1) * planes] << np.arange(planes))
+                    .sum(axis=1)
+                    for b in range(bands)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "__id": np.tile(ids, bands),
+                    "__v": list(vecs) * bands,
+                    "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+                    "bucket": buckets.astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
 
 
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = 8,
+    planes: int = 4,
+    bands: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0xC051,
 ) -> DataFrame:
-    """Random-hyperplane (sign) LSH ANN → (query_id, neighbor_id, rank).
+    """Multi-probe (banded) sign-LSH ANN → (query_id, neighbor_id, rank).
 
-    Each vector gets a ``planes``-bit signature (sign of dot with fixed
-    pseudo-random hyperplanes); candidates share the exact bucket; exact
-    cosine re-ranks candidates.  Approximate: recall < 1 by design — pair
-    with :func:`cosine_topk` when auditing recall.  For multi-probe, raise
-    ``planes`` and hash bands of signs instead (same plan shape).
+    Each vector gets ``bands`` independent ``planes``-bit signatures from
+    :func:`_banded_signatures`.  A pair is a candidate when ANY band's
+    signature matches — recall ≈ 1 − (1 − p^planes)^bands for per-plane
+    agreement p = 1 − θ/π — so recall is tunable by adding bands without
+    touching bucket width.  Exact cosine re-ranks the deduplicated
+    candidates.  Still approximate (recall < 1 by design); pair with
+    :func:`cosine_topk` when auditing recall — the (4, 32) defaults
+    measure recall@10 = 1.0 on the sf0.01 fixtures.
+
+    No driver actions: the hyperplane matrix regenerates per worker from
+    the seed, and the vector width comes from the data itself.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    e = _banded_signatures(embeddings, id_col, vec_col, planes, bands, seed).select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("ev"), "band", "bucket"
+    )
+    q = _banded_signatures(queries, id_col, vec_col, planes, bands, seed).select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("qv"), "band", "bucket"
+    )
 
-    def signature(vec):
-        bits = [
-            F.when(_dot(vec, _hyperplane(dim, p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-            * F.lit(2**p)
-            for p in range(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    e = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ev")
-    ).withColumn("bucket", signature(F.col("ev")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", signature(F.col("qv")))
-
-    cand = e.join(F.broadcast(q), "bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        e.join(F.broadcast(q), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "ev", "qv")
+        .distinct()  # a pair found by several bands scores once
     )
     cos = (_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv")))).alias(
         "cos"
@@ -139,49 +194,141 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos).
+    """Exact embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos),
+    with ``vec_a < vec_b``.
 
-    All-pairs kernel as an Arrow-batched numpy matmul: one side is
-    broadcast as a normalized matrix (the build side, same size discipline
-    as a broadcast join); each partition's batch multiplies against it —
-    O(N²·d) in BLAS instead of an interpreted per-element fold (measured
-    10×+ faster than the zip_with/aggregate form at 2k×64).  At corpus
-    scale the same kernel runs over LSH-bucketed blocks (lsh_topk's
-    signature stage) instead of the full matrix.
+    Distributed block-pair formulation — no driver materialization:
+
+    1. every vector hashes to one of ``blocks`` blocks (deterministic
+       ``xxhash64`` of its id);
+    2. each row replicates to the ``blocks`` block-pairs it participates
+       in (an explode — replication factor = ``blocks``);
+    3. one Arrow ``applyInPandas`` task per unordered block-pair runs the
+       numpy matmul (BLAS) for its (N/blocks)² cell of the similarity
+       matrix and emits pairs ≥ threshold.
+
+    Total compute is the same O(N²·d) as the exact problem demands, but
+    it is spread over blocks·(blocks+1)/2 independent tasks and per-task
+    memory is O(N/blocks · d) — size ``blocks`` so a block fits an
+    executor.  For corpora where exact all-pairs is no longer affordable,
+    :func:`cosine_pairs_lsh` bounds the candidate set instead.
+
+    Id-type-agnostic: output pair columns inherit ``id_col``'s type.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = embeddings.select(id_col, vec_col).collect()  # build side (broadcast-sized)
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    m = np.array([r[1] for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, m))
-
+    idtype = embeddings.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("vec_a", T.LongType()),
-            T.StructField("vec_b", T.LongType()),
+            T.StructField("vec_a", idtype),
+            T.StructField("vec_b", idtype),
             T.StructField("cos", T.DoubleType()),
         ]
     )
 
-    def batches(it):
-        b_ids, b_m = bc.value
-        for pdf in it:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ b_m.T
-            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cos": np.round(sims[ai, bi], 4),
-                }
-            )
+    e = embeddings.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(blocks)).alias("__blk"),
+    )
+    # row in block b participates in pairs {min(b,x), max(b,x)} for every
+    # block x — each pair struct is distinct, so exactly `blocks` copies
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(blocks - 1)),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("bi"),
+            F.greatest(F.col("__blk"), x).alias("bj"),
+        ),
+    )
+    replicated = e.select(
+        "__id", "__v", "__blk", F.explode(pair_structs).alias("__pair")
+    ).select("__id", "__v", "__blk", F.col("__pair.bi").alias("__bi"), F.col("__pair.bj").alias("__bj"))
 
-    return embeddings.select(id_col, vec_col).mapInPandas(batches, out_schema)
+    def block_pair(key, pdf):
+        bi, bj = key
+        ids = pdf["__id"].to_numpy()
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        if bi == bj:
+            sims = m @ m.T
+            # all-pairs within the block: upper triangle by id
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bz = np.nonzero(mask)
+            va, vb, cs = ids[ai], ids[bz], sims[ai, bz]
+        else:
+            a_idx = np.nonzero(pdf["__blk"].to_numpy() == bi)[0]
+            b_idx = np.nonzero(pdf["__blk"].to_numpy() == bj)[0]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+            sims = m[a_idx] @ m[b_idx].T
+            ai, bz = np.nonzero(sims >= threshold)
+            xa, xb = ids[a_idx][ai], ids[b_idx][bz]
+            # ids are unique across blocks, so min/max orders each pair
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            cs = sims[ai, bz]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": np.round(cs, 4)})
+
+    return replicated.groupBy("__bi", "__bj").applyInPandas(block_pair, out_schema)
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    bands: int = 32,
+    seed: int = 0xC051,
+) -> DataFrame:
+    """LSH-bucketed embedding-cosine near-dup pairs → (vec_a, vec_b, cos).
+
+    The 100 TB all-pairs path: instead of the full N×N matrix, vectors
+    are bucketed by ``bands`` independent ``planes``-bit sign signatures
+    (Gaussian hyperplanes from a fixed seed — deterministic across
+    workers and runs); the exact numpy kernel runs only within each
+    (band, bucket); pairs found by several bands dedup on their identical
+    rounded cosine.  Output precision is exact (every emitted pair's
+    cosine is computed, not estimated); recall ≈ 1 − (1 − p^planes)^bands
+    with p = 1 − θ/π — tune ``planes`` up to shrink buckets (compute) and
+    ``bands`` up to recover recall.
+
+    Defaults (4, 32) give recall ≈ 0.998 at cos 0.45 and ≈ 1 at ≥ 0.8.
+    Compute per band is Σ_bucket |bucket|² ≈ N²/2^planes — at real corpus
+    scale raise ``planes`` so the hot bucket fits a task.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    idtype = embeddings.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", idtype),
+            T.StructField("vec_b", idtype),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    banded = _banded_signatures(embeddings, id_col, vec_col, planes, bands, seed)
+
+    def bucket_pairs(key, pdf):
+        ids = pdf["__id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bz = np.nonzero(mask)
+        return pd.DataFrame(
+            {"vec_a": ids[ai], "vec_b": ids[bz], "cos": np.round(sims[ai, bz], 4)}
+        )
+
+    return (
+        banded.groupBy("band", "bucket")
+        .applyInPandas(bucket_pairs, out_schema)
+        .distinct()  # same pair from several bands → identical rounded cos
+    )

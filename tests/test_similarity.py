@@ -2,7 +2,12 @@
 
 from conftest import SF_DIR
 
-from elastic_asset_etl_poc_spark.operators.similarity import cosine_topk, lsh_topk
+from elastic_asset_etl_poc_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    lsh_topk,
+)
 from elastic_asset_etl_poc_spark.sources.registry import load_table
 
 
@@ -43,3 +48,59 @@ def test_lsh_subset_of_bruteforce_universe(spark):
     ids = {r.vec_id for r in emb.select("vec_id").collect()}
     for r in lsh:
         assert r.neighbor_id in ids and r.neighbor_id != r.query_id
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Multi-probe banding must keep recall@10 >= 0.9 on the fixtures."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    bf = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, k=10).collect()}
+    assert len(ann & bf) / len(bf) >= 0.9
+
+
+def test_cosine_pairs_no_driver_materialization(spark):
+    """Plan construction must not run any driver-side action (the round-1
+    form collect()ed the whole table — a driver OOM at scale)."""
+    from pyspark.sql import DataFrame
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    forbidden = {}
+    for name in ("collect", "first", "toPandas", "head", "take"):
+        forbidden[name] = getattr(DataFrame, name)
+
+        def boom(*a, _n=name, **k):
+            raise AssertionError(f"driver action {_n}() during cosine_pairs plan")
+
+        setattr(DataFrame, name, boom)
+    try:
+        df = cosine_pairs(emb, threshold=0.45)
+    finally:
+        for name, fn in forbidden.items():
+            setattr(DataFrame, name, fn)
+    assert df.count() > 0  # plan executes distributed
+
+
+def test_cosine_pairs_string_ids(spark):
+    """Pair columns inherit the id column's type (UUID/string ids work)."""
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.9999, 0.01]),  # near-dup of a
+        ("c", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = cosine_pairs(df, threshold=0.99, blocks=2).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [("a", "b")]
+    assert dict(cosine_pairs(df, 0.99).dtypes)["vec_a"] == "string"
+
+
+def test_cosine_pairs_lsh_recall_and_precision(spark):
+    """LSH-bucketed pairs: every emitted pair is in the exact set with the
+    identical cosine (precision 1), and recall >= 0.9."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {(r.vec_a, r.vec_b): r.cos for r in cosine_pairs(emb, 0.45).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cos for r in cosine_pairs_lsh(emb, 0.45).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    assert len(lsh) / max(len(exact), 1) >= 0.9
