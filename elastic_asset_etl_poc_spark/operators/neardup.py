@@ -71,20 +71,37 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join → (doc_a, doc_b, jaccard).
 
     |A∩B| from the inverted-index self-join, |A|,|B| from per-doc shingle
     counts, J = i / (na + nb − i).  Every step is a hash join/agg on
     shingle or (doc_a, doc_b) keys — no cross product is ever materialized.
+
+    ``max_doc_freq`` caps shingle document frequency and is ON by default:
+    a single stop-phrase shingle shared by d documents contributes d²/2
+    candidate pairs to the inverted-index join — the classic quadratic
+    blowup at corpus scale.  Shingles above the cap carry ~zero Jaccard
+    signal for high thresholds (they shift J by ≤ 1/|A∪B| per dropped
+    shingle) and are dropped on BOTH the intersection and the size side,
+    so J stays a true Jaccard over the capped shingle universe.  The
+    oracle SQL mirrors the cap, keeping the operator hash-checkable.
+    Pass ``None`` to disable (exact small-corpus audits only).
+
+    The cap itself is an aggregate + broadcast anti-join against the
+    (tiny) hot-shingle set — a map-side filter, not a per-shingle window
+    sort over the full posting list.
     """
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_doc_freq is not None:
-        freq = Window.partitionBy("shingle")
-        sh = sh.withColumn("__df", F.count(F.lit(1)).over(freq)).filter(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Materialize eagerly: the frame feeds 3 branches of one action, and
     # concurrently-scheduled stages would each recompute a lazy cache.
     sh = sh.cache()
@@ -122,6 +139,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, exact-Jaccard verified.
 
@@ -134,10 +152,17 @@ def minhash_lsh_pairs(
 
     With 64 hashes / 16 bands (r=4), P[candidate] at J=0.8 is ≈ 0.9996.
     At 100 TB this is the scale path: cost O(docs·hashes), no all-pairs
-    shingle join.  Known local-mode hotspot: the 64-wide min-agg exceeds
-    Spark's generated-method limits so it runs interpreted (~3s at 5k
-    docs); a cluster parallelizes it away, and an applyInPandas numpy
-    signature stage is the drop-in alternative if the constant matters.
+    shingle join.
+
+    Signature kernels (bit-identical integer math, switch freely):
+      * JVM: ``num_hashes`` min-aggregates in one hash-agg.  Above ~32
+        aggregates the generated method exceeds JIT limits and runs
+        interpreted (~3s/260k rows local) — fine on a cluster, slow on
+        one box.
+      * numpy (default when ``num_hashes ≥ 32``): ``collect_list`` the
+        base hashes per doc (same single shuffle), then one Arrow
+        ``mapInPandas`` computes all ``(a·x + b) mod p`` minima
+        vectorized.  ``vectorized=`` forces either path.
     """
     rows_per_band = num_hashes // bands
     # int64 shingles: xxhash64 over the n token columns directly — no
@@ -167,12 +192,47 @@ def minhash_lsh_pairs(
     p = (1 << 31) - 1  # Mersenne prime; a·x + b < 2^62 keeps ANSI int64 happy
     coeffs = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
     xed = sh.withColumn("x", F.pmod(F.xxhash64("shingle"), F.lit(p)))  # hash once
-    sig = xed.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(p))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
+    use_numpy = vectorized if vectorized is not None else num_hashes >= 32
+    if use_numpy:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)
+        B = np.array([b for _, b in coeffs], dtype=np.int64)
+        idtype = df.schema[id_col].dataType
+        sig_schema = T.StructType(
+            [T.StructField("doc_id", idtype)]
+            + [T.StructField(f"mh{i}", T.LongType()) for i in range(num_hashes)]
+        )
+
+        def signatures(it):
+            for pdf in it:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                mh = np.empty((m, num_hashes), dtype=np.int64)
+                for i, xs in enumerate(pdf["xs"]):
+                    x = np.asarray(xs, dtype=np.int64)
+                    # a < p < 2^31 and x < p keep a·x + b < 2^62: no overflow
+                    mh[i] = ((A[:, None] * x[None, :] + B[:, None]) % p).min(axis=1)
+                out = {"doc_id": pdf["doc_id"]}
+                for j in range(num_hashes):
+                    out[f"mh{j}"] = mh[:, j]
+                yield pd.DataFrame(out)
+
+        sig = (
+            xed.groupBy("doc_id")
+            .agg(F.collect_list("x").alias("xs"))
+            .mapInPandas(signatures, sig_schema)
+        )
+    else:
+        sig = xed.groupBy("doc_id").agg(
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(p))).alias(f"mh{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
     band_structs = F.array(
         *[
             F.struct(

@@ -49,6 +49,36 @@ def test_jaccard_exact_dup_is_one(spark):
     assert (1, 4) not in pairs
 
 
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """Skewed corpus: one stop-phrase in every doc.  With the doc-freq cap
+    the quadratic candidate blowup disappears; without it every pair of
+    docs becomes a candidate."""
+    stop = "as an ai language model i cannot"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} token{i} word{i} extra{i} item{i} {stop}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    # uncapped: the shared suffix makes every pair similar -> ~N²/2 pairs
+    uncapped = jaccard_pairs(docs, 0.2, max_doc_freq=None).count()
+    assert uncapped == 200 * 199 // 2
+    # capped at 50: stop-phrase shingles (doc freq 200) are dropped from
+    # both intersection and sizes -> no candidate survives
+    assert jaccard_pairs(docs, 0.2, max_doc_freq=50).count() == 0
+
+
+def test_jaccard_cap_noop_below_threshold(spark):
+    """The cap must not perturb results when no shingle is hot."""
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs_df(spark), 0.3, max_doc_freq=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs_df(spark), 0.3, max_doc_freq=50).collect()
+    }
+    assert base == capped
+
+
 def test_minhash_matches_exact_on_fixture(spark):
     docs = load_table(spark, SF_DIR, "documents")
     exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
