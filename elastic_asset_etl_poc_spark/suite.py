@@ -641,10 +641,11 @@ def dedup_exact_docs(spark, sf_dir):
     return dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
-@q(
-    "jaccard_neardup_docs",
-    """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: shared 3-gram Jaccard CTE chain (with the hot-shingle doc-freq cap the
+#: operator applies by default) — used by jaccard_neardup_docs and the
+#: dedup_survivors_docs connected-components oracle.
+_JACCARD_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
 sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
 hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10000),
@@ -654,14 +655,20 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
-""",
+),
+jp AS (
+  SELECT doc_a, doc_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+)"""
+
+
+@q(
+    "jaccard_neardup_docs",
+    f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp",
 )
 def jaccard_neardup_docs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup join (inverted-index formulation)."""
@@ -954,10 +961,42 @@ def distinct_parts_counts(spark, sf_dir):
     )
 
 
-@q("dedup_survivors_docs", None)  # iterative algorithm → rows-only check
+@q(
+    "dedup_survivors_docs",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, c.label FROM edges e JOIN cc c ON c.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS cluster,
+       min(label) = node AS is_survivor
+FROM cc GROUP BY node
+""",
+)
 def dedup_survivors_docs(spark, sf_dir):
-    """End-to-end near-dup dedup: MinHash-LSH pairs → connected
-    components → survivor per cluster (keep-min-id policy)."""
+    """End-to-end near-dup dedup: exact Jaccard pairs → connected
+    components → survivor per cluster (keep-min-id policy).  The DuckDB
+    oracle resolves components with a recursive min-label CTE, so cluster
+    ids AND survivor flags are hash-checked end to end."""
+    from .operators.neardup import dedup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8)
+    return dedup_survivors(docs, pairs)
+
+
+@q("dedup_survivors_minhash", None)  # xxhash64 signatures → rows-only check
+def dedup_survivors_minhash(spark, sf_dir):
+    """Same end-to-end dedup on the MinHash-LSH candidate path — the
+    100 TB configuration (banded candidates, no all-pairs shingle join).
+    Pair recall ≈ 0.9996 at J=0.8, so rows-only by design; the jaccard
+    twin above is the hash-checked oracle of the same cluster logic."""
     from .operators.neardup import dedup_survivors, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
