@@ -3,7 +3,8 @@
 ``asof_join(left, right)`` enriches every left row with the most recent
 right row at-or-before its timestamp, per key — the canonical "attach the
 latest known state" operator (market data, feature stores, signal
-enrichment).
+enrichment).  ``direction='forward'|'nearest'`` and ``tolerance_seconds``
+round out the pandas ``merge_asof`` surface.
 
 Spark-first formulation (composition of built-ins, no custom physical
 operator): tag and union both sides, then one window pass per key ordered
@@ -35,18 +36,42 @@ def asof_join(
     right_ts: str = "ts",
     payload: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``right.ts <= left.ts``.
+    """Left as-of join with the pandas ``merge_asof`` surface.
 
-    Returns all left columns plus ``{payload}{suffix}`` columns (NULL when
-    no right row precedes the left row).
+    ``direction``:
+      * ``backward`` (default) — latest right row with ``rts <= lts``;
+      * ``forward`` — earliest right row with ``rts >= lts``;
+      * ``nearest`` — whichever of the two is closer in time (ties and
+        equal distances prefer backward).
+    ``tolerance_seconds`` — a match farther than this from the left
+    timestamp is nulled out (applies after direction selection, exactly
+    like pandas).
+
+    Returns all left columns plus ``{payload}{suffix}`` columns (NULL
+    when nothing matches).  The matched right row is carried as ONE
+    struct (timestamp + payloads), so a right row whose payload value is
+    itself NULL yields NULL — it never falls through to an older row,
+    and all payload columns always come from the same matched row.
+
+    Plan shape: one shuffle on the key (the window exchange); ``nearest``
+    adds a second window sort over the same exchange, never a second
+    shuffle.  Time math runs on microsecond epochs (``unix_micros``).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward'|'forward'|'nearest', got {direction!r}"
+        )
     payload = payload or [c for c in right.columns if c not in (on, right_ts)]
 
     lcols = left.columns
+    ldt = dict(left.dtypes)
+    rdt = dict(right.dtypes)
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
     for p in payload:
-        l = l.withColumn(f"__p_{p}", F.lit(None).cast(dict(right.dtypes)[p]))
+        l = l.withColumn(f"__p_{p}", F.lit(None).cast(rdt[p]))
     r = (
         right.select(
             F.col(on),
@@ -57,26 +82,64 @@ def asof_join(
     )
     for c in lcols:
         if c not in r.columns:
-            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
-    u = l.select(*lcols, "__ts", "__is_left", *[f"__p_{p}" for p in payload]).unionByName(
-        r.select(*lcols, "__ts", "__is_left", *[f"__p_{p}" for p in payload])
-    )
+            r = r.withColumn(c, F.lit(None).cast(ldt[c]))
+    cols = [*lcols, "__ts", "__is_left", *[f"__p_{p}" for p in payload]]
+    u = l.select(*cols).unionByName(r.select(*cols))
 
-    # right rows sort before left rows on timestamp ties so "at-or-before"
-    # includes same-instant state
-    w = (
+    # the matched right row travels as one atomic packet
+    pkt = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__ts").alias("__mts"),
+            *[F.col(f"__p_{p}").alias(p) for p in payload],
+        ),
+    )
+    # backward: right rows sort BEFORE left on timestamp ties, so
+    # "at-or-before" includes same-instant state; forward mirrors that.
+    wb = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"__p_{p}"), ignorenulls=True).over(w).alias(f"{p}{suffix}")
-        for p in payload
-    ]
-    return (
-        u.select(*lcols, "__is_left", *carried)
-        .filter(F.col("__is_left") == 1)
-        .drop("__is_left")
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sel: list = [*lcols, "__ts", "__is_left"]
+    if direction in ("backward", "nearest"):
+        sel.append(F.last(pkt, ignorenulls=True).over(wb).alias("__pb"))
+    if direction in ("forward", "nearest"):
+        sel.append(F.first(pkt, ignorenulls=True).over(wf).alias("__pf"))
+    u = u.select(*sel).filter(F.col("__is_left") == 1)
+
+    if direction == "backward":
+        m = F.col("__pb")
+    elif direction == "forward":
+        m = F.col("__pf")
+    else:
+        db = F.unix_micros(F.col("__ts")) - F.unix_micros(
+            F.col("__pb").getField("__mts")
+        )
+        df_ = F.unix_micros(F.col("__pf").getField("__mts")) - F.unix_micros(
+            F.col("__ts")
+        )
+        m = (
+            F.when(F.col("__pb").isNull(), F.col("__pf"))
+            .when(F.col("__pf").isNull(), F.col("__pb"))
+            .when(db <= df_, F.col("__pb"))
+            .otherwise(F.col("__pf"))
+        )
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        delta = F.abs(
+            F.unix_micros(F.col("__ts")) - F.unix_micros(m.getField("__mts"))
+        )
+        m = F.when(m.isNotNull() & (delta <= tol_us), m)
+    u = u.withColumn("__m", m)
+    return u.select(
+        *lcols,
+        *[F.col("__m").getField(p).alias(f"{p}{suffix}") for p in payload],
     )
 
 

@@ -1278,6 +1278,132 @@ def asof_enrich_clicks(spark, sf_dir):
 
 
 @q(
+    "asof_forward_clicks",
+    """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts_next,
+       p.value AS purchase_value_next
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+""",
+)
+def asof_forward_clicks(spark, sf_dir):
+    """Forward as-of join: every click enriched with the user's NEXT
+    purchase at-or-after it (direction='forward')."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_next"),
+        F.col("value_x").alias("purchase_value_next"),
+    )
+
+
+@q(
+    "asof_nearest_clicks",
+    """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+),
+f AS (
+  SELECT c.event_id, p.ts AS fts, p.value AS fval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN bts IS NULL THEN fts
+            WHEN fts IS NULL THEN bts
+            WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bts ELSE fts END AS purchase_ts_near,
+       CASE WHEN bts IS NULL THEN fval
+            WHEN fts IS NULL THEN bval
+            WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bval ELSE fval END AS purchase_value_near
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_nearest_clicks(spark, sf_dir):
+    """Nearest as-of join: closest purchase either side of each click,
+    equal distances preferring backward (direction='nearest')."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_near"),
+        F.col("value_x").alias("purchase_value_near"),
+    )
+
+
+@q(
+    "asof_tolerance_clicks",
+    """
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.ts IS NOT NULL
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= CAST(3600 AS BIGINT) * 1000000
+            THEN p.ts END AS purchase_ts_tol,
+       CASE WHEN p.ts IS NOT NULL
+             AND epoch_us(c.ts) - epoch_us(p.ts) <= CAST(3600 AS BIGINT) * 1000000
+            THEN p.value END AS purchase_value_tol
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def asof_tolerance_clicks(spark, sf_dir):
+    """Backward as-of join with a 1-hour tolerance: stale matches null
+    out (tolerance_seconds=3600, pandas semantics)."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x",
+        tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_tol"),
+        F.col("value_x").alias("purchase_value_tol"),
+    )
+
+
+@q(
     "band_join_click_purchase",
     """
 SELECT c.user_id, count(*) AS n_pairs

@@ -181,6 +181,64 @@ def test_asof_join_semantics(spark):
     assert out[3] == (None, None)  # no matching key/time -> NULL payload
 
 
+def test_asof_join_directions_and_tolerance(spark):
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(10))], "id long, key string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", ts(8), 1.0), ("k", ts(11), 2.0)],
+        "key string, t timestamp, v double",
+    )
+
+    def run(**kw):
+        rows = asof_join(
+            left, right, on="key", left_ts="t", right_ts="t", payload=["v"], **kw
+        ).collect()
+        return rows[0].v_asof
+
+    assert run() == 1.0  # backward: latest at-or-before (day 8)
+    assert run(direction="forward") == 2.0  # earliest at-or-after (day 11)
+    # nearest: day 11 is 1 day away, day 8 is 2 -> forward wins
+    assert run(direction="nearest") == 2.0
+    # tolerance 1 day: backward match (2 days stale) nulls out
+    assert run(tolerance_seconds=86400) is None
+    assert run(direction="forward", tolerance_seconds=86400) == 2.0
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", ts(10))], "id long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [("k", ts(8), 1.0), ("k", ts(12), 2.0)],  # both 2 days away
+        "key string, t timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="t", right_ts="t", payload=["v"],
+        direction="nearest",
+    ).collect()
+    assert out[0].v_asof == 1.0
+
+
+def test_asof_join_null_payload_does_not_fall_through(spark):
+    """A matched right row with a NULL payload must yield NULL — not an
+    older row's value (the matched row travels as one struct)."""
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", ts(10))], "id long, key string, t timestamp")
+    right = spark.createDataFrame(
+        [("k", ts(5), 7.0), ("k", ts(9), None)],
+        "key string, t timestamp, v double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="t", right_ts="t", payload=["v", "t"]
+    ).collect()
+    assert out[0].v_asof is None  # the day-9 row matched; its v IS null
+    assert out[0].t_asof == ts(9)
+
+
 def test_band_join_subsecond_precision(spark):
     """The band predicate is exact at microsecond precision: a pair 0.4s
     outside a 2s band is excluded even though whole-second truncation
