@@ -3,17 +3,24 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "cold": {name: sec, ...},
+     "runs": 3, "sf": 0.1}
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect cost).  A tiny warmup query absorbs JVM/codegen start-up
 so per-query numbers reflect steady-state plan execution.
+
+Per-query numbers are the MEDIAN of ``$SPARK_GRAFT_BENCH_RUNS`` (default
+3) executions, so round-over-round regressions are attributable to plan
+changes rather than first-run JVM/codegen/page-cache noise; the first
+(cold) run is reported separately under "cold".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -43,26 +51,38 @@ def main() -> None:
             pass
 
     qs = e.queries()
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # noqa: BLE001 — record, keep benching
-            timings[name] = -1.0
-            print(f"bench error in {name}: {ex}", file=sys.stderr)
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for i in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as ex:  # noqa: BLE001 — record, keep benching
+                samples = []
+                print(f"bench error in {name}: {ex}", file=sys.stderr)
+                break
+            finally:
+                spark.catalog.clearCache()
+        if samples:
+            cold[name] = round(samples[0], 3)
+            medians[name] = round(statistics.median(samples), 3)
+        else:
+            cold[name] = medians[name] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in medians.values() if t >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "cold": cold,
+                "runs": runs,
                 "sf": sf,
             }
         )
