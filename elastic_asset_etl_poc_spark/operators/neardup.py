@@ -281,18 +281,65 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    vectorized: bool = True,
+) -> DataFrame:
     """SimHash fingerprint per document → (doc_id, simhash).
 
-    Each token hashes once (``xxhash64``); each of the 64 bit positions
-    accumulates ±1 by that bit; the sign vector packs back into an int64.
-    Plan: one row per (doc, token) with 64 conditional-sum aggregates —
-    one hash-agg shuffle, no ×64 row blowup, everything in codegen.
+    Each token occurrence hashes once (``xxhash64``); each of the 64 bit
+    positions accumulates ±1 by that bit; the sign vector packs back into
+    an int64.
+
+    Kernels (bit-identical integer math):
+      * numpy (default): ``collect_list`` the token hashes per doc (one
+        hash-agg shuffle, no ×bits row blowup), then an Arrow
+        ``mapInPandas`` computes the vote matrix and packs the sign bits.
+      * JVM (``vectorized=False``): ``bits`` conditional-sum aggregates —
+        the same shuffle, but 64 wide aggregates exceed codegen method
+        limits and run interpreted locally (same hotspot as the MinHash
+        JVM path).
     """
     toks = F.explode(tokens(text_col))
     t = df.select(F.col(id_col).alias("doc_id"), toks.alias("tok")).withColumn(
         "h", F.xxhash64("tok")
     )
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        idtype = df.schema[id_col].dataType
+        schema = T.StructType(
+            [T.StructField("doc_id", idtype), T.StructField("simhash", T.LongType())]
+        )
+        # bit weights mirror the JVM packing: 1<<b, with bit 63 as -2^63
+        weights = np.array(
+            [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)], dtype=np.int64
+        )
+        shifts = np.arange(bits, dtype=np.int64)
+
+        def fingerprints(it):
+            for pdf in it:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                fps = np.empty(m, dtype=np.int64)
+                for i, hs in enumerate(pdf["hs"]):
+                    h = np.asarray(hs, dtype=np.int64)
+                    bvals = (h[:, None] >> shifts) & 1  # (n_tokens, bits)
+                    votes = (2 * bvals - 1).sum(axis=0)
+                    fps[i] = np.where(votes > 0, weights, 0).sum(dtype=np.int64)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+        return (
+            t.groupBy("doc_id")
+            .agg(F.collect_list("h").alias("hs"))
+            .mapInPandas(fingerprints, schema)
+        )
     votes = t.groupBy("doc_id").agg(
         *[
             F.sum(

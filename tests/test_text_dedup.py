@@ -86,6 +86,13 @@ def test_minhash_matches_exact_on_fixture(spark):
     assert approx == exact  # 64 hashes/16 bands: recall ~1 at J>=0.8
 
 
+def test_simhash_vectorized_matches_jvm(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    np_fps = sorted(map(tuple, simhash(docs, vectorized=True).collect()))
+    jvm_fps = sorted(map(tuple, simhash(docs, vectorized=False).collect()))
+    assert np_fps == jvm_fps
+
+
 def test_simhash_identical_and_near(spark):
     fps = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
     assert fps[1] == fps[2]  # identical docs, identical fingerprint
