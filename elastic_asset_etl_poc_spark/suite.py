@@ -804,6 +804,17 @@ def embed_neardup_cosine(spark, sf_dir):
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q("embed_knn_ivf", None)  # approximate by design → rows-only check
+def embed_knn_ivf(spark, sf_dir):
+    """IVF-Flat ANN (coarse-quantizer scale path; data-adaptive twin of
+    the LSH variant — see similarity.ivf_topk)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10)
+
+
 @q("embed_neardup_cosine_lsh", None)  # approximate recall → rows-only check
 def embed_neardup_cosine_lsh(spark, sf_dir):
     """LSH-bucketed cosine near-dup pairs — the 100 TB all-pairs path:

@@ -59,6 +59,28 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert len(ann & bf) / len(bf) >= 0.9
 
 
+def test_ivf_topk_recall_floor_and_nprobe_monotonic(spark):
+    """IVF on the structureless random fixtures: recall floor at the
+    default nprobe, and more probes never hurt recall."""
+    from elastic_asset_etl_poc_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 5")
+    bf = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=10).collect()}
+
+    def recall(nprobe):
+        ann = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=10, nprobe=nprobe).collect()
+        }
+        return len(ann & bf) / len(bf)
+
+    r4, r8, r16 = recall(4), recall(8), recall(16)
+    assert r8 >= 0.8  # default config floor (deterministic seed)
+    assert r4 <= r8 <= r16
+    assert r16 == 1.0  # probing every list IS brute force
+
+
 def test_cosine_pairs_no_driver_materialization(spark):
     """Plan construction must not run any driver-side action (the round-1
     form collect()ed the whole table — a driver OOM at scale)."""
