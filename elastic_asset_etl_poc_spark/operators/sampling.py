@@ -1,0 +1,108 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+The split/sample decision for a row is a pure function of its id and a
+salt — NOT ``rand()`` — so results are reproducible across runs, cluster
+sizes, retries, and engines.  The hash is ``md5`` (identical output in
+Spark and DuckDB, unlike ``xxhash64``), compared as an 8-hex-digit prefix
+against literal thresholds: all engines agree on lowercase-hex string
+ordering, so every operator here is exactly oracle-checkable.
+
+Scale posture: each operator is a stateless projection/filter — map-side
+only, no shuffle, no driver state; splits never need a global sort or
+count.  Changing ``salt`` re-draws every assignment (new epoch); keeping
+it fixed makes train/val/test membership stable as the corpus grows —
+rows keep their split when new data arrives, the property that matters
+for contamination control in LLM training sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16**8
+
+
+def _hex_threshold(cum: float) -> str:
+    """Cumulative fraction → 8-digit lowercase-hex threshold literal."""
+    return format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def _hash8(id_col: str, salt: str) -> Column:
+    """First 8 hex digits of md5(id ':' salt) — uniform in [0, 16^8)."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hashed id → adds ``out_col``.
+
+    ``weights`` maps label → relative weight (normalized internally);
+    default 90/5/5 train/val/test.  Assignment is per-row independent
+    (expected proportions, not exact counts — no global shuffle), stable
+    under corpus growth, and identical on any engine with md5.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if not weights:
+        raise ValueError("weights must not be empty")
+    total = float(sum(weights.values()))
+    h8 = _hash8(id_col, salt)
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = h8 < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by hashed id (map-side filter).
+
+    Unlike ``DataFrame.sample`` this is replayable and composable:
+    the same (id, salt) always lands on the same side, and samples with
+    the same salt are NESTED (a 0.05 sample ⊆ a 0.10 sample) — handy for
+    scaling-law subset ladders.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash8(id_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate
+    domains, keep all rare-language docs).  Strata absent from
+    ``fractions`` are dropped — an explicit keep-list, matching
+    ``DataFrame.sampleBy`` semantics but replayable.
+    """
+    h8 = _hash8(id_col, salt)
+    thr = None
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1], got {frac}")
+        cond = F.col(strata_col) == F.lit(value)
+        lit = F.lit(_hex_threshold(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    if thr is None:
+        raise ValueError("fractions must not be empty")
+    return df.filter(h8 < thr)  # NULL threshold (unlisted stratum) drops the row

@@ -804,6 +804,77 @@ def embed_neardup_cosine(spark, sf_dir):
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def _split_case_sql(id_expr: str, salt: str, weights: dict[str, float]) -> str:
+    """DuckDB twin of sampling.deterministic_split's when-chain."""
+    from .operators.sampling import _hex_threshold
+
+    total = sum(weights.values())
+    names = list(weights)
+    h8 = f"substr(md5({id_expr} || ':{salt}'), 1, 8)"
+    branches, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branches.append(f"WHEN {h8} < '{_hex_threshold(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+@q(
+    "split_docs",
+    f"""
+SELECT doc_id,
+       {_split_case_sql("doc_id::VARCHAR", "split",
+                        {"train": 0.90, "val": 0.05, "test": 0.05})} AS split
+FROM documents
+""",
+)
+def split_docs(spark, sf_dir):
+    """Deterministic train/val/test split by hashed doc id — reproducible
+    across runs/engines and stable under corpus growth (md5-prefix
+    thresholds; operators/sampling.py)."""
+    from .operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+@q(
+    "hash_sample_docs",
+    """
+SELECT doc_id FROM documents
+WHERE substr(md5(doc_id::VARCHAR || ':sample'), 1, 8) < '19999999'
+""",
+)
+def hash_sample_docs(spark, sf_dir):
+    """Deterministic ~10% sample by hashed id (map-side filter, nested
+    across fractions — scaling-law subset ladders)."""
+    from .operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1).select("doc_id")
+
+
+@q(
+    "stratified_sample_events",
+    """
+SELECT event_type, count(*) AS n FROM events
+WHERE substr(md5(event_id::VARCHAR || ':sample'), 1, 8) <
+      CASE WHEN event_type = 'click' THEN '80000000'
+           WHEN event_type = 'purchase' THEN 'ffffffff' END
+GROUP BY event_type
+""",
+)
+def stratified_sample_events(spark, sf_dir):
+    """Per-stratum deterministic sampling: half the clicks, every
+    purchase, drop other event types (replayable sampleBy)."""
+    from .operators.sampling import stratified_hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        ev, "event_type", {"click": 0.5, "purchase": 1.0}, id_col="event_id"
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 @q("embed_knn_ivf", None)  # approximate by design → rows-only check
 def embed_knn_ivf(spark, sf_dir):
     """IVF-Flat ANN (coarse-quantizer scale path; data-adaptive twin of

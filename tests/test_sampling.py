@@ -1,0 +1,59 @@
+"""Deterministic sampling/splitting operator tests."""
+
+import pytest
+from conftest import SF_DIR
+
+from elastic_asset_etl_poc_spark.operators.sampling import (
+    deterministic_split,
+    hash_sample,
+    stratified_hash_sample,
+)
+from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+
+def test_split_covers_all_rows_and_is_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = deterministic_split(docs).select("doc_id", "split")
+    n = docs.count()
+    assert out.count() == n
+    again = {r.doc_id: r.split for r in deterministic_split(docs).collect()}
+    for r in out.collect():
+        assert again[r.doc_id] == r.split  # pure function of (id, salt)
+    counts = {r.split: r[1] for r in out.groupBy("split").count().collect()}
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """Rows keep their split when new data arrives (contamination
+    control): the assignment on a subset equals the assignment on the
+    full corpus."""
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {r.doc_id: r.split for r in deterministic_split(docs).collect()}
+    sub = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs.filter("doc_id % 2 = 0")).collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_hash_sample_nested_and_sized(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    s10 = {r.doc_id for r in hash_sample(docs, 0.10).select("doc_id").collect()}
+    s05 = {r.doc_id for r in hash_sample(docs, 0.05).select("doc_id").collect()}
+    assert s05 <= s10  # nested: smaller fraction is a subset
+    assert abs(len(s10) / n - 0.10) < 0.08  # expected proportion, small corpus
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_sample_keep_list(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = stratified_hash_sample(
+        ev, "event_type", {"purchase": 1.0}, id_col="event_id"
+    )
+    kept = {r.event_type for r in out.select("event_type").distinct().collect()}
+    assert kept == {"purchase"}  # unlisted strata dropped
+    n_purch = ev.filter("event_type = 'purchase'").count()
+    assert out.count() in (n_purch, n_purch - 1)  # 1.0 keeps all but h8=ffffffff
