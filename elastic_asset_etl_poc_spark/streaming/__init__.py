@@ -5,3 +5,4 @@ from .services_stream import (  # noqa: F401
     stream_signals,
     stream_windowed_counts,
 )
+from .joins import stream_band_join, stream_events_typed  # noqa: F401

@@ -183,3 +183,38 @@ def test_stream_dedup_documents(spark, tmp_path):
     kept = sorted(r.doc_id for r in rows)
     assert len(kept) == 2  # the duplicated content survives exactly once
     assert 2 in kept and (1 in kept or 3 in kept)
+
+
+def test_stream_band_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join == batch band_join on the same data."""
+    from elastic_asset_etl_poc_spark.operators.temporal import band_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+    from elastic_asset_etl_poc_spark.streaming.joins import stream_band_join
+    from elastic_asset_etl_poc_spark.streaming.services_stream import run_to_memory
+
+    q = run_to_memory(
+        stream_band_join(spark, events_dir, band_seconds=86400),
+        "band_stream",
+        "append",
+    )
+    try:
+        got = {
+            r.user_id: r.n
+            for r in spark.sql(
+                "SELECT user_id, count(*) AS n FROM band_stream GROUP BY user_id"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    batch = {
+        r.user_id: r.n
+        for r in band_join(clicks, purchases, on="user_id", band_seconds=86400)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch
