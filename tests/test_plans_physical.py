@@ -59,3 +59,57 @@ def test_whole_stage_codegen_everywhere(spark):
     )
     assert "*(" in plan  # WholeStageCodegen stage markers — stays in Tungsten
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_cosine_pairs_single_exchange_no_collect(spark):
+    """The blocked all-pairs kernel: ONE shuffle (on the block-pair key)
+    into one Arrow groups-kernel — and nothing driver-side."""
+    from elastic_asset_etl_poc_spark.operators.similarity import cosine_pairs
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    df = cosine_pairs(load_table(spark, SF_DIR, "embeddings"), threshold=0.45)
+    plan = fmt_plan(df)
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    ]
+    assert len(exchanges) == 1  # block-pair repartition only
+    assert "FlatMapGroupsInPandas" in plan  # the numpy matmul kernel
+    assert "CollectLimit" not in plan and "BroadcastExchange" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """direction='nearest' needs two window sorts but must reuse ONE
+    exchange on the key — never a second shuffle."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    df = asof_join(clicks, purchases, on="user_id", payload=["value"], direction="nearest")
+    plan = fmt_plan(df)
+
+    def nodes(name):
+        return [
+            l for l in plan.splitlines()
+            if l.strip().startswith("(") and f") {name}" in l
+        ]
+
+    assert len(nodes("Exchange")) == 1
+    assert len(nodes("Window")) == 2  # backward + forward passes
+
+
+def test_jaccard_cap_is_broadcast_anti_join(spark):
+    """The hot-shingle cap must be a broadcast anti-join against the tiny
+    hot set — not a window sort over the full posting list."""
+    from elastic_asset_etl_poc_spark.operators.neardup import jaccard_pairs
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    df = jaccard_pairs(load_table(spark, SF_DIR, "documents"), threshold=0.8)
+    plan = fmt_plan(df)
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # no Window operator anywhere in the jaccard plan
+    assert "\nWindow" not in plan and "Window [" not in plan
