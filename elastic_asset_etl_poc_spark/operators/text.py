@@ -77,6 +77,21 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(F.col("doc_id"), F.col("lang"), pred.alias("pred_lang"))
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization (the step before any dedup/fingerprint
+    pass): lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim.  Pure ``regexp_replace`` chain — JVM-side, codegen,
+    and portable (the patterns avoid engine-specific regex syntax so the
+    DuckDB oracle applies the identical chain).
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return df.withColumn(out_col, F.trim(c))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint (rolling-hash analog).
 

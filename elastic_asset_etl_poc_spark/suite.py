@@ -804,6 +804,24 @@ def embed_neardup_cosine(spark, sf_dir):
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@q(
+    "text_normalize_docs",
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS norm_text
+FROM documents
+""",
+)
+def text_normalize_docs(spark, sf_dir):
+    """Canonical normalization (lowercase / strip punctuation / collapse
+    whitespace) — the pre-dedup cleanup pass (operators/text.py)."""
+    from .operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalize_text(docs).select("doc_id", "norm_text")
+
+
 def _split_case_sql(id_expr: str, salt: str, weights: dict[str, float]) -> str:
     """DuckDB twin of sampling.deterministic_split's when-chain."""
     from .operators.sampling import _hex_threshold

@@ -172,3 +172,16 @@ def test_dedup_survivors_distributed_path(spark):
     assert out[1] == (1, True) and out[3] == (1, False)
     assert out[5] == (5, True) and out[6] == (5, False)
     assert out[4] == (4, True)
+
+
+def test_normalize_text(spark):
+    from elastic_asset_etl_poc_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  World! (x2)"), (2, "  already clean  "), (3, "---")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+    assert out[1] == "hello world x2"
+    assert out[2] == "already clean"
+    assert out[3] == ""
