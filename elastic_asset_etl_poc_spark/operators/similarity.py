@@ -195,7 +195,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 8,
-    sample_mod: int = 1,
+    max_train_sample: int = 4096,
     kmeans_iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -205,10 +205,11 @@ def ivf_topk(
 
     The classic coarse-quantizer layout (FAISS-style IVF-Flat):
 
-    1. **train** — spherical k-means on a BOUNDED deterministic sample
-       (rows where ``xxhash64(id) % sample_mod == 0``; size it ≲ 10⁴ —
-       the broadcast-build-side discipline, the only driver-side step and
-       O(sample), never O(N));
+    1. **train** — spherical k-means on a BOUNDED deterministic sample:
+       a cheap ``count()`` sizes ``mod = ceil(N / max_train_sample)`` and
+       rows with ``xxhash64(id) % mod == 0`` are collected — O(sample) on
+       the driver (the broadcast-build-side discipline), NEVER O(N),
+       regardless of corpus size;
     2. **assign** — every vector maps to its nearest centroid via one
        Arrow numpy matmul against the broadcast centroids (map-side, no
        shuffle);
@@ -229,11 +230,13 @@ def ivf_topk(
 
     idtype = embeddings.schema[id_col].dataType
     sample = embeddings.select(id_col, vec_col)
-    if sample_mod > 1:
+    n_total = sample.count()  # distributed aggregate — cheap at any scale
+    mod = -(-n_total // max_train_sample)  # ceil div
+    if mod > 1:
         sample = sample.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(sample_mod)) == 0
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
         )
-    rows = sample.collect()  # bounded by sample_mod sizing — documented
+    rows = sample.collect()  # ≈ max_train_sample rows — bounded, never O(N)
     S = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     S /= np.linalg.norm(S, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

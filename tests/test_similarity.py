@@ -126,3 +126,19 @@ def test_cosine_pairs_lsh_recall_and_precision(spark):
     for pair, cos in lsh.items():
         assert cos == exact[pair]
     assert len(lsh) / max(len(exact), 1) >= 0.9
+
+
+def test_ivf_train_sample_bounded(spark):
+    """The k-means train sample must stay ~max_train_sample regardless of
+    corpus size (never an O(N) driver collect)."""
+    from elastic_asset_etl_poc_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 2")
+    # tiny cap: still trains (centroids capped at sample size) and answers
+    out = ivf_topk(emb, q, k=5, max_train_sample=8, nprobe=16).collect()
+    assert len(out) > 0
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) <= 5 for v in per_q.values())
