@@ -66,6 +66,49 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet store into ~target-sized
+    files.  Returns the output file count.
+
+    Streaming ingests (foreachBatch upserts, availableNow micro-batches)
+    accrete thousands of KB-scale files; at 100 TB the file-listing and
+    per-file open costs dominate scans long before data volume does.
+    Sizing: one ``repartition(ceil(bytes / target))`` — a single shuffle
+    whose width is the output file count.  With ``partition_by`` the
+    repartition hashes on the partition columns too, so each partition
+    directory compacts to few files and dynamic-overwrite semantics are
+    preserved.
+
+    The swap is write-to-temp + rename (local-FS semantics, mirroring
+    upsert_assets' caveat): per-directory atomic, not transactional — a
+    table format (Iceberg/Delta rewrite-data-files) is the deployment
+    answer where readers race compaction.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    local_files = [f.replace("file:", "") for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in local_files if os.path.exists(f))
+    n = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + "__compact"
+    if partition_by:
+        w = df.repartition(n, *[F.col(f"`{c}`") for c in partition_by]).write
+        w = w.partitionBy(*partition_by)
+    else:
+        w = df.repartition(n).write
+    w.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(tmp, path)
+    out = spark.read.parquet(path)
+    return len(out.inputFiles())
+
+
 def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
     """Batch upsert: latest asset document wins per EAN, touching only the
     ``asset.type`` partitions present in the new batch.
