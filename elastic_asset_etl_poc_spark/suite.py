@@ -1024,19 +1024,51 @@ def having_brand_prices(spark, sf_dir):
 @q(
     "percentile_prices",
     """
+WITH s AS (
+  SELECT l_returnflag,
+         list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS v,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+),
+q AS (
+  SELECT l_returnflag, v, n,
+         CAST(0.5 * (n - 1) AS DOUBLE) AS pos50,
+         CAST(0.9 * (n - 1) AS DOUBLE) AS pos90
+  FROM s
+)
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
-FROM lineitem GROUP BY l_returnflag
+       floor((v[CAST(floor(pos50) AS BIGINT) + 1]
+              + (v[CAST(ceil(pos50) AS BIGINT) + 1]
+                 - v[CAST(floor(pos50) AS BIGINT) + 1])
+                * (pos50 - floor(pos50))) * 100 + 0.5) / 100 AS p50_price,
+       floor((v[CAST(floor(pos90) AS BIGINT) + 1]
+              + (v[CAST(ceil(pos90) AS BIGINT) + 1]
+                 - v[CAST(floor(pos90) AS BIGINT) + 1])
+                * (pos90 - floor(pos90))) * 100 + 0.5) / 100 AS p90_price
+FROM q
 """,
 )
 def percentile_prices(spark, sf_dir):
     """Exact interpolated percentiles per group (both engines use linear
-    interpolation; approx_percentile is the sketch alternative at scale)."""
+    interpolation; approx_percentile is the sketch alternative at scale).
+
+    Parity pitfall (hit at sf0.001): even-count medians interpolate onto
+    .xx5 rounding boundaries, where (a) DuckDB's ``quantile_cont`` float
+    formula differs from Spark's percentile by 1 ulp, and (b) Spark's
+    ``round`` (Java BigDecimal HALF_UP on the decimal expansion) differs
+    from DuckDB's ``round`` AND from float ``floor(x·100+0.5)/100`` on
+    exactly such values.  Fix: the oracle replicates Spark's
+    interpolation formula term by term, and BOTH sides round with the
+    same explicit floor-form expression — identical doubles in, identical
+    doubles out."""
     l = load_table(spark, sf_dir, "lineitem")
+
+    def r2(expr):  # floor-form rounding: bit-identical on both engines
+        return F.floor(F.expr(expr) * 100 + F.lit(0.5)) / 100
+
     return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        r2("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        r2("percentile(l_extendedprice, 0.9)").alias("p90_price"),
     )
 
 
