@@ -805,6 +805,66 @@ def embed_neardup_cosine(spark, sf_dir):
 
 
 @q(
+    "top_terms_docs",
+    """
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id, term, tf, rnk FROM (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rnk
+  FROM tf
+) WHERE rnk <= 3
+""",
+)
+def top_terms_docs(spark, sf_dir):
+    """Top-3 terms per document by frequency (deterministic tie-break on
+    the term) — the keyword-extraction shape: explode → hash-agg →
+    per-doc window top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "rnk")
+    )
+
+
+@q(
+    "pivot_daily_event_counts",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1
+""",
+)
+def pivot_daily_event_counts(spark, sf_dir):
+    """Pivot (long → wide): daily counts per event type.  Spark's
+    ``pivot`` with an EXPLICIT value list — never the implicit form,
+    which runs a hidden distinct job and makes the output schema
+    data-dependent (a breaking change when a new type appears at 100 TB).
+    The oracle is the equivalent conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@q(
     "text_normalize_docs",
     """
 SELECT doc_id,
