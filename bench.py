@@ -62,8 +62,9 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             except Exception as ex:  # noqa: BLE001 — record, keep benching
-                samples = []
-                print(f"bench error in {name}: {ex}", file=sys.stderr)
+                # keep any successful earlier samples: a cold-works/
+                # warm-fails query is a different signal from never-ran
+                print(f"bench error in {name} (run {i}): {ex}", file=sys.stderr)
                 break
             finally:
                 spark.catalog.clearCache()

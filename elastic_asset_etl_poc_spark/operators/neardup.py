@@ -163,6 +163,12 @@ def minhash_lsh_pairs(
         base hashes per doc (same single shuffle), then one Arrow
         ``mapInPandas`` computes all ``(a·x + b) mod p`` minima
         vectorized.  ``vectorized=`` forces either path.
+
+    Memory note: the numpy path materializes one row per doc holding all
+    its distinct shingle hashes — typical documents are 10³-10⁴ shingles
+    (KBs); a pathological machine-generated doc with ≥10⁷ shingles should
+    be length-truncated upstream (quality filters do this anyway) or run
+    with ``vectorized=False``, which streams the aggregation.
     """
     rows_per_band = num_hashes // bands
     # int64 shingles: xxhash64 over the n token columns directly — no
@@ -301,7 +307,9 @@ def simhash(
       * JVM (``vectorized=False``): ``bits`` conditional-sum aggregates —
         the same shuffle, but 64 wide aggregates exceed codegen method
         limits and run interpreted locally (same hotspot as the MinHash
-        JVM path).
+        JVM path).  The numpy path holds one row per doc of token hashes
+        (see the memory note on :func:`minhash_lsh_pairs`); the JVM path
+        streams.
     """
     toks = F.explode(tokens(text_col))
     t = df.select(F.col(id_col).alias("doc_id"), toks.alias("tok")).withColumn(

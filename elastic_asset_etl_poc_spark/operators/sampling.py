@@ -29,9 +29,21 @@ def _hex_threshold(cum: float) -> str:
 
 
 def _hash8(id_col: str, salt: str) -> Column:
-    """First 8 hex digits of md5(id ':' salt) — uniform in [0, 16^8)."""
+    """First 8 hex digits of md5(id ':' salt) — uniform in [0, 16^8).
+
+    NULL ids hash as the empty string (coalesce), so every operator here
+    treats a NULL-id row identically — it neither silently vanishes from
+    samples nor falls through a split when-chain into the last label.
+    """
     return F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+        F.md5(
+            F.concat(
+                F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+                F.lit(":" + salt),
+            )
+        ),
+        1,
+        8,
     )
 
 
@@ -80,6 +92,8 @@ def hash_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df  # exact identity — never drop the h8 == 'ffffffff' row
     return df.filter(_hash8(id_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
@@ -101,7 +115,9 @@ def stratified_hash_sample(
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {value!r} must be in [0, 1], got {frac}")
         cond = F.col(strata_col) == F.lit(value)
-        lit = F.lit(_hex_threshold(frac))
+        # 'g' sorts after every hex digit → fraction 1.0 keeps ALL rows
+        # (a clamped 'ffffffff' threshold would drop h8 == 'ffffffff')
+        lit = F.lit("g" if frac >= 1.0 else _hex_threshold(frac))
         thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
     if thr is None:
         raise ValueError("fractions must not be empty")

@@ -237,8 +237,23 @@ def ivf_topk(
             F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
         )
     rows = sample.collect()  # ≈ max_train_sample rows — bounded, never O(N)
-    S = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
-    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    if not rows:  # empty corpus → empty result, like the other operators
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", idtype),
+                    T.StructField("neighbor_id", idtype),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+
+    def _unit(m):  # zero vectors stay zero instead of dividing to NaN
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    S = _unit(np.array([np.asarray(r[1], dtype=np.float64) for r in rows]))
     rng = np.random.default_rng(seed)
     kc = min(n_centroids, len(S))
     C = S[rng.choice(len(S), size=kc, replace=False)]
@@ -248,7 +263,9 @@ def ivf_topk(
             members = S[assign == c]
             if len(members):
                 mean = members.sum(axis=0)
-                C[c] = mean / np.linalg.norm(mean)
+                nm = np.linalg.norm(mean)
+                if nm > 0:
+                    C[c] = mean / nm
     bc = embeddings.sparkSession.sparkContext.broadcast(C)
 
     def assigned_schema(extra_id: str):
@@ -266,7 +283,8 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.where(n == 0, 1.0, n)
             cid = np.argmax(vn @ Cm.T, axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {"centroid": cid, "neighbor_id": pdf[id_col], "__v": list(vecs)}
@@ -278,7 +296,8 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.where(n == 0, 1.0, n)
             order = np.argsort(-(vn @ Cm.T), axis=1)[:, : min(nprobe, len(Cm))]
             n, probes = order.shape
             yield pd.DataFrame(
@@ -449,8 +468,14 @@ def cosine_pairs_lsh(
             {"vec_a": ids[ai], "vec_b": ids[bz], "cos": np.round(sims[ai, bz], 4)}
         )
 
+    # Dedup on the PAIR KEY, not the (pair, cos) tuple: the same pair's
+    # dot product in two different-shaped bucket matmuls may differ by an
+    # ulp (BLAS accumulation order), which round(4) can amplify into two
+    # "distinct" rows at a .xxxx5 boundary.  min() is a deterministic
+    # pick among the (at most ulp-apart) duplicates.
     return (
         banded.groupBy("band", "bucket")
         .applyInPandas(bucket_pairs, out_schema)
-        .distinct()  # same pair from several bands → identical rounded cos
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cos").alias("cos"))
     )

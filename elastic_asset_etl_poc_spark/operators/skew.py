@@ -47,6 +47,7 @@ def salted_join(
     key: str,
     buckets: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the (large, skewed) left side, replicate
     the right side across the salt range.
@@ -59,17 +60,24 @@ def salted_join(
 
     Only ``inner`` and ``left`` are supported: the right side is
     replicated ×buckets, so a right/outer join would emit every unmatched
-    right row once per salt bucket.  The salt hashes ALL left columns —
-    stable row content, per the module's determinism contract — so routing
-    is identical across retries and repartitionings (unlike
-    ``monotonically_increasing_id``, which depends on partition layout).
+    right row once per salt bucket.  The salt hashes stable row content
+    (``salt_cols``, default all left columns) — per the module's
+    determinism contract, routing is identical across retries and
+    repartitionings (unlike ``monotonically_increasing_id``, which
+    depends on partition layout).
+
+    Determinism's trade: rows that are fully identical on ``salt_cols``
+    share a salt bucket.  If the hot key's rows are EXACT duplicates
+    (duplicated log lines), either aggregate them to (row, count) first
+    or pass ``salt_cols`` including a distinguishing column (an event id).
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (got {how!r}): the "
             "replicated right side would duplicate unmatched right rows"
         )
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    scols = salt_cols or left.columns
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in scols]), F.lit(buckets))
     l = left.withColumn("__salt", lsalt)
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -103,7 +103,9 @@ def compact_parquet(
     else:
         w = df.repartition(n).write
     w.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path)  # raise on failure — a half-removed store must
+    if os.path.exists(path):  # never let move() nest tmp INSIDE it
+        raise IOError(f"failed to clear {path} before compaction swap")
     shutil.move(tmp, path)
     out = spark.read.parquet(path)
     return len(out.inputFiles())
@@ -127,8 +129,6 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
     commit protocol) but not multi-partition transactional — a table
     format is the deployment answer for that.
     """
-    import os
-
     from pyspark.sql.window import Window
 
     def latest_per_ean(df: DataFrame) -> DataFrame:
@@ -144,9 +144,13 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
     new_assets = enforce_asset_schema(new_assets)
     # Explicit existence probe — a bare try/except around the read would
     # treat any transient read failure as "first write" and destroy the
-    # store.  os.path covers the local/NFS case this sandbox runs; object
-    # stores would probe with the Hadoop FileSystem API instead.
-    store_exists = os.path.exists(path)
+    # store.  The Hadoop FileSystem API resolves the path's own scheme
+    # (local, file:/, hdfs://, s3a://), so a store Spark can read is never
+    # mistaken for absent; real probe errors propagate.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    store_exists = fs.exists(hpath)
     if not store_exists:
         latest_per_ean(new_assets).write.mode("overwrite").partitionBy(
             "asset.type"

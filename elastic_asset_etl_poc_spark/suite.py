@@ -937,7 +937,7 @@ def hash_sample_docs(spark, sf_dir):
 SELECT event_type, count(*) AS n FROM events
 WHERE substr(md5(event_id::VARCHAR || ':sample'), 1, 8) <
       CASE WHEN event_type = 'click' THEN '80000000'
-           WHEN event_type = 'purchase' THEN 'ffffffff' END
+           WHEN event_type = 'purchase' THEN 'g' END
 GROUP BY event_type
 """,
 )

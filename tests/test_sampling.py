@@ -56,4 +56,19 @@ def test_stratified_sample_keep_list(spark):
     kept = {r.event_type for r in out.select("event_type").distinct().collect()}
     assert kept == {"purchase"}  # unlisted strata dropped
     n_purch = ev.filter("event_type = 'purchase'").count()
-    assert out.count() in (n_purch, n_purch - 1)  # 1.0 keeps all but h8=ffffffff
+    assert out.count() == n_purch  # fraction 1.0 is the exact identity
+
+
+def test_hash_sample_full_fraction_identity(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    assert hash_sample(docs, 1.0).count() == docs.count()
+
+
+def test_split_and_sample_agree_on_null_ids(spark):
+    """NULL ids hash as '' in BOTH operators: they get a deterministic
+    split label and appear in samples — never silently inconsistent."""
+    df = spark.createDataFrame([(None,), (1,), (2,)], "doc_id long")
+    splits = {r.doc_id: r.split for r in deterministic_split(df).collect()}
+    assert splits[None] in ("train", "val", "test")
+    full = hash_sample(df, 1.0)
+    assert full.count() == 3  # NULL-id row not dropped
