@@ -93,19 +93,26 @@ def jaccard_pairs(
     (tiny) hot-shingle set — a map-side filter, not a per-shingle window
     sort over the full posting list.
     """
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_doc_freq is not None:
+        # cache the pre-cap shingles: they feed BOTH the hot-set aggregate
+        # and the anti-join probe — uncached, the explode runs twice
+        sh0 = sh0.cache()
         hot = (
-            sh.groupBy("shingle")
+            sh0.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        sh = sh0
     # Materialize eagerly: the frame feeds 3 branches of one action, and
     # concurrently-scheduled stages would each recompute a lazy cache.
     sh = sh.cache()
     sh.count()
+    if max_doc_freq is not None:
+        sh0.unpersist()  # capped frame is materialized; drop the staging copy
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
