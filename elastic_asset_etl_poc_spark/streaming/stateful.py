@@ -86,3 +86,118 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ASOF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("right_ts_asof", T.TimestampType()),
+        T.StructField("right_value_asof", T.DoubleType()),
+    ]
+)
+
+#: latest right-side row per key: (ts_us, value, value_is_null)
+ASOF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_rts_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("has_value", T.BooleanType()),
+    ]
+)
+
+
+def _asof_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        last_rts_us, last_value, has_value = state.get
+    else:
+        last_rts_us, last_value, has_value = None, None, False
+
+    out: list = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        work = pd.DataFrame(
+            {
+                "ts_us": ts_us,
+                "is_left": pdf["is_left"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+            }
+        ).sort_values(["ts_us", "is_left"], kind="stable")  # right (0) first on ties
+        for r in work.itertuples(index=False):
+            if r.is_left == 0:  # right side: advance the carried state
+                last_rts_us = int(r.ts_us)
+                last_value = None if pd.isna(r.value) else float(r.value)
+                has_value = last_value is not None
+            else:  # left side: emit enriched with latest at-or-before state
+                out.append(
+                    (
+                        int(r.event_id),
+                        user_id,
+                        int(r.ts_us),
+                        last_rts_us,
+                        last_value if has_value else None,
+                    )
+                )
+
+    state.update((last_rts_us, last_value, has_value))
+    if out:
+        odf = pd.DataFrame(
+            out, columns=["event_id", "user_id", "ts_us", "rts_us", "right_value_asof"]
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": odf["event_id"],
+                "user_id": odf["user_id"],
+                "ts": pd.to_datetime(odf["ts_us"], unit="us"),
+                "right_ts_asof": pd.to_datetime(odf["rts_us"], unit="us"),
+                "right_value_asof": odf["right_value_asof"],
+            }
+        )
+
+
+def stream_asof_enrich(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Continuous backward as-of: enrich each left event with the key's
+    latest right event at-or-before it — the streaming twin of
+    ``operators.temporal.asof_join(direction='backward')``.
+
+    State per key is ONE carried packet (latest right ts + payload), so
+    the state store is O(keys) regardless of stream length.  Within a
+    micro-batch rows process in (ts, right-before-left) order, matching
+    the batch operator's tie semantics exactly; ACROSS micro-batches a
+    right row that arrives after a left row has been emitted cannot
+    retroactively re-enrich it — the standard streaming-enrichment
+    trade, and the reason the batch operator remains the oracle-checked
+    ground truth (tested equal on single-batch availableNow runs).
+
+    Input: a typed events stream (``streaming.joins.stream_events_typed``
+    shape).  Output: one row per left event.
+    """
+    from pyspark.sql import functions as F
+
+    tagged = events.filter(
+        F.col("event_type").isin([left_type, right_type])
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == left_type, 1).otherwise(0).alias("is_left"),
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_group,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -218,3 +218,37 @@ def test_stream_band_join_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_asof_enrich_matches_batch(spark, events_dir):
+    """Continuous as-of == batch asof_join when everything fits one
+    availableNow run (the retroactivity caveat can't bite)."""
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+    from elastic_asset_etl_poc_spark.streaming.joins import stream_events_typed
+    from elastic_asset_etl_poc_spark.streaming.services_stream import run_to_memory
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_asof_enrich
+
+    q = run_to_memory(
+        stream_asof_enrich(stream_events_typed(spark, events_dir)),
+        "asof_stream",
+        "update",
+    )
+    try:
+        got = {
+            r.event_id: (r.right_ts_asof, r.right_value_asof)
+            for r in spark.sql("SELECT * FROM asof_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    batch = {
+        r.event_id: (r.ts_x, r.value_x)
+        for r in asof_join(
+            clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x"
+        ).collect()
+    }
+    assert got == batch
