@@ -15,5 +15,10 @@ from .neardup import (  # noqa: F401
 from .text import doc_fingerprint, lang_id, normalize_text, text_quality, token_count  # noqa: F401
 from .similarity import cosine_pairs, cosine_pairs_lsh, cosine_topk, ivf_topk, lsh_topk  # noqa: F401
 from .skew import salted_agg, salted_join  # noqa: F401
-from .sampling import deterministic_split, hash_sample, stratified_hash_sample  # noqa: F401
+from .sampling import (  # noqa: F401
+    deterministic_split,
+    hash_sample,
+    stratified_hash_sample,
+    temperature_fractions,
+)
 from .temporal import asof_join, band_join  # noqa: F401

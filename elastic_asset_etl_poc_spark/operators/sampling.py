@@ -97,6 +97,33 @@ def hash_sample(
     return df.filter(_hash8(id_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
+def temperature_fractions(
+    counts: dict[str, int],
+    temperature: float = 1.0,
+    target_max: float = 1.0,
+) -> dict[str, float]:
+    """Per-stratum keep-fractions for temperature-based mixture sampling.
+
+    The standard multilingual/multi-domain reweighting (temperature
+    sampling à la XLM: sample stratum *i* with probability ∝ pᵢ^(1/T)
+    normalized): converting target probabilities into per-row keep
+    fractions gives keepᵢ ∝ nᵢ^(1/T − 1), scaled so the most up-weighted
+    stratum keeps ``target_max`` of its rows.  T=1 keeps everything
+    (natural mixture); T→∞ equalizes expected counts per stratum; in
+    between, rare domains are up-weighted smoothly.  Feed the result to
+    :func:`stratified_hash_sample` — all driver-side arithmetic on a
+    dict of counts, nothing distributed here.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not counts:
+        return {}
+    expo = 1.0 / temperature - 1.0
+    raw = {k: float(n) ** expo for k, n in counts.items() if n > 0}
+    peak = max(raw.values())
+    return {k: min(1.0, target_max * v / peak) for k, v in raw.items()}
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

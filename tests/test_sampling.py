@@ -72,3 +72,36 @@ def test_split_and_sample_agree_on_null_ids(spark):
     assert splits[None] in ("train", "val", "test")
     full = hash_sample(df, 1.0)
     assert full.count() == 3  # NULL-id row not dropped
+
+
+def test_temperature_fractions_limits(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import temperature_fractions
+
+    counts = {"en": 1_000_000, "fr": 10_000, "sw": 100}
+    # T=1: natural mixture -> keep everything
+    assert temperature_fractions(counts, 1.0) == {"en": 1.0, "fr": 1.0, "sw": 1.0}
+    # T -> inf: expected kept counts equalize (n_i * keep_i equal)
+    f = temperature_fractions(counts, 1e9)
+    kept = {k: counts[k] * v for k, v in f.items()}
+    assert abs(kept["en"] - kept["sw"]) / kept["sw"] < 0.01
+    # intermediate T: rare strata keep more than common ones
+    f2 = temperature_fractions(counts, 2.0)
+    assert f2["sw"] == 1.0 and f2["sw"] > f2["fr"] > f2["en"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_fractions(counts, 0)
+
+
+def test_temperature_mix_end_to_end(spark):
+    """counts -> temperature fractions -> stratified sample composes."""
+    from elastic_asset_etl_poc_spark.operators.sampling import temperature_fractions
+
+    ev = load_table(spark, SF_DIR, "events")
+    counts = {r.event_type: r[1] for r in ev.groupBy("event_type").count().collect()}
+    f = temperature_fractions(counts, temperature=3.0)
+    out = stratified_hash_sample(ev, "event_type", f, id_col="event_id")
+    got = {r.event_type: r[1] for r in out.groupBy("event_type").count().collect()}
+    assert set(got) == set(counts)
+    for k in counts:  # every stratum survives, none grows
+        assert 0 < got[k] <= counts[k]
