@@ -2,11 +2,13 @@
 
 Media are opaque ``binary`` columns plus typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The container has no codec libraries, so the
-decode kernels are stubbed (deterministic fake or ``NotImplementedError``)
-— but the Spark-side contract (schemas, batch shapes, partitioning,
-UDF signatures) is real and tested, which is the part that matters for
-the 100 TB plan: a codec swap never changes the plan.
+``mapInPandas`` stages.  Audio WAV/PCM decodes for REAL (stdlib
+``wave`` — no codec libs needed); image/video kernels are stubbed
+deterministically because the container lacks PIL/ffmpeg — the
+Spark-side contract (schemas, batch shapes, partitioning, UDF
+signatures, fail-soft rows) is real and tested either way, which is the
+part that matters for the 100 TB plan: a codec swap never changes the
+plan.
 
 Scale posture: media rows are fat (MBs) — keep
 ``spark.sql.files.maxPartitionBytes`` low for balanced tasks, never
@@ -108,12 +110,112 @@ def sample_frames(
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
-def decode_audio(df: DataFrame, **_) -> DataFrame:
-    """Audio decode requires codec libraries not present in this container."""
-    raise NotImplementedError(
-        "audio decode needs soundfile/ffmpeg — not available here; "
-        "wire a mapInPandas stage like extract_image_features when present"
-    )
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode for WAV/PCM — pure stdlib (``wave``), no codec
+    libraries needed — via the same Arrow ``mapInPandas`` shape as the
+    image stage.  Emits (sample_rate, channels, samples, duration, rms)
+    per row.
+
+    Fail-soft: compressed formats (mp3/ogg — which DO need external
+    codecs) or corrupt payloads yield ``decode_ok=false`` with NULL
+    features instead of failing the task — at corpus scale one bad file
+    must never kill a 10⁶-row partition.  A deployment adding soundfile/
+    ffmpeg extends only the per-payload branch; the plan is unchanged.
+    """
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        sw = w.getsampwidth()
+                        raw = w.readframes(nf)
+                    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+                    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                    if sw == 1:
+                        x = x - 128.0  # 8-bit WAV is unsigned
+                    scale = float(1 << (8 * sw - 1)) if sw > 1 else 128.0
+                    rms = float(np.sqrt(np.mean((x / scale) ** 2))) if x.size else 0.0
+                    rows.append(
+                        (mid, sr, nch, nf, nf / sr if sr else 0.0, round(rms, 6), True)
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_sec",
+                    "rms",
+                    "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_audio(spark, n: int = 32) -> DataFrame:
+    """Deterministic WAV fixtures: (media_id, payload binary) — 16-bit
+    mono sine bursts of varying pitch/length, built with the stdlib
+    writer so :func:`extract_audio_features` exercises a REAL decode.
+    Every 8th payload is garbage bytes to exercise the fail-soft path.
+    """
+    import io
+    import math
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        if i % 8 == 7:
+            rows.append((i, b"not a wav" * 3))
+            continue
+        sr = 8000
+        n_samp = 400 + 50 * (i % 5)
+        freq = 220.0 * (1 + i % 4)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h", int(12000 * math.sin(2 * math.pi * freq * t / sr))
+                    )
+                    for t in range(n_samp)
+                )
+            )
+        rows.append((i, buf.getvalue()))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -953,6 +953,15 @@ def stratified_sample_events(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("multimodal_audio_features", None)  # synthetic binary input → rows-only
+def multimodal_audio_features(spark, sf_dir):
+    """REAL WAV/PCM decode (stdlib wave) over an Arrow mapInPandas stage,
+    fail-soft on non-WAV payloads (operators/multimodal.py)."""
+    from .operators.multimodal import extract_audio_features, synthetic_audio
+
+    return extract_audio_features(synthetic_audio(spark, n=64))
+
+
 @q("embed_knn_ivf", None)  # approximate by design → rows-only check
 def embed_knn_ivf(spark, sf_dir):
     """IVF-Flat ANN (coarse-quantizer scale path; data-adaptive twin of

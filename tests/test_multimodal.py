@@ -6,7 +6,6 @@ import pytest
 from elastic_asset_etl_poc_spark.operators.multimodal import (
     FRAME_SAMPLE_SCHEMA,
     IMAGE_FEATURES_SCHEMA,
-    decode_audio,
     extract_image_features,
     sample_frames,
     synthetic_media,
@@ -39,6 +38,22 @@ def test_frame_sampling_fanout(spark):
     assert all(len(r.frame_bytes) <= 1024 for r in rows)
 
 
-def test_audio_decode_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        decode_audio(synthetic_media(spark, n=1))
+def test_audio_features_real_wav_decode(spark):
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        extract_audio_features,
+        synthetic_audio,
+    )
+
+    out = {r.media_id: r for r in extract_audio_features(synthetic_audio(spark, 16)).collect()}
+    assert len(out) == 16
+    ok = [r for r in out.values() if r.decode_ok]
+    bad = [r for r in out.values() if not r.decode_ok]
+    assert len(bad) == 2  # every 8th payload is garbage (ids 7, 15)
+    assert {r.media_id for r in bad} == {7, 15}
+    for r in ok:
+        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert r.n_samples in range(400, 651, 50)
+        assert abs(r.duration_sec - r.n_samples / 8000) < 1e-9
+        assert abs(r.rms - 12000 / 32768 / 2**0.5) < 0.01  # sine rms = A/sqrt(2)
+    for r in bad:
+        assert r.sample_rate is None and r.rms is None
