@@ -33,6 +33,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("format", T.StringType()),
     ]
 )
 
@@ -45,13 +46,108 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB — no codec libs in this container.
+def _decode_bmp(b: bytes) -> tuple[int, int, float]:
+    """Uncompressed 24-bpp BMP decode — pure ``struct``/numpy.
 
-    Deterministic fake: derives (width, height, mean_luma) from the byte
-    content so tests are stable.  A real deployment replaces this one
-    function with PIL/libvips; everything around it is unchanged.
+    BITMAPINFOHEADER: width int32@18, height int32@22 (negative =
+    top-down), bpp uint16@28, pixel offset uint32@10; rows are padded to
+    4-byte multiples, pixels are BGR.
     """
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    off = struct.unpack_from("<I", b, 10)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bpp BMP supported, got {bpp}")
+    h_abs = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.frombuffer(b, dtype=np.uint8, count=stride * h_abs, offset=off)
+    px = px.reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3).astype(np.float64)
+    # BGR → ITU-R 601 luma
+    luma = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]
+    return w, h_abs, float(luma.mean())
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Undo PNG per-scanline filtering (types 0-4) → (height, width*ch)."""
+    import numpy as np
+
+    bpp = channels  # bytes per pixel at bit depth 8
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.int64)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int64
+        )
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth need left-to-right recurrence
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + bb) // 2
+                else:  # Paeth
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur
+    return out
+
+
+def _decode_png(b: bytes) -> tuple[int, int, float]:
+    """Minimal PNG decode — pure ``zlib``/``struct``: 8-bit greyscale /
+    RGB / RGBA, non-interlaced, all five scanline filters."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos < len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace or color not in (0, 2, 6):
+                raise ValueError("unsupported PNG variant")
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("no IHDR")
+    w, h, ch = meta
+    px = _png_unfilter(zlib.decompress(idat), w, h, ch).reshape(h, w, ch)
+    if ch == 1:
+        luma = px[..., 0].astype(float)
+    else:  # RGB(A): ITU-R 601, alpha ignored
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return w, h, float(luma.mean())
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake for formats needing external codecs (JPEG,
+    WebP, …): derives (width, height, mean_luma) from byte content so
+    tests are stable.  A deployment swaps this one branch for
+    PIL/libvips; everything around it is unchanged."""
     n = len(payload)
     w = 16 + (n % 64)
     h = 16 + ((n // 64) % 64)
@@ -62,8 +158,12 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
 def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
-    Input: (id_col long, bin_col binary, ...).  One output row per input
-    row; the binary column never leaves the stage.
+    REAL decode for BMP (24-bpp) and PNG (8-bit grey/RGB/RGBA) — both
+    pure stdlib (``struct``/``zlib``), no codec libraries; other formats
+    fall back to the deterministic stub and are labeled ``format='fake'``
+    so downstream filters can tell.  Input: (id_col long, bin_col
+    binary, ...).  One output row per input row; the binary column never
+    leaves the stage.
     """
     import pandas as pd
 
@@ -72,10 +172,23 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h, luma = _decode_image_stub(b)
-                rows.append((mid, w, h, len(b), luma))
+                try:
+                    if b[:2] == b"BM":
+                        w, h, luma = _decode_bmp(b)
+                        fmt = "bmp"
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, luma = _decode_png(b)
+                        fmt = "png"
+                    else:
+                        w, h, luma = _decode_image_stub(b)
+                        fmt = "fake"
+                except Exception:
+                    w, h, luma = _decode_image_stub(b)
+                    fmt = "fake"
+                rows.append((mid, w, h, len(b), luma, fmt))
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "n_bytes", "mean_luma"]
+                rows,
+                columns=["media_id", "width", "height", "n_bytes", "mean_luma", "format"],
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)

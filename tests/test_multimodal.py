@@ -57,3 +57,70 @@ def test_audio_features_real_wav_decode(spark):
         assert abs(r.rms - 12000 / 32768 / 2**0.5) < 0.01  # sine rms = A/sqrt(2)
     for r in bad:
         assert r.sample_rate is None and r.rms is None
+
+
+def _make_bmp(w, h, rgb):
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    row = bytes([rgb[2], rgb[1], rgb[0]] * w) + b"\x00" * (stride - w * 3)
+    return header + row * h
+
+
+def _png_chunk(t, d):
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def _make_png(w, h, rgb, filters=None):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if filters is None:
+        raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    else:
+        raw = filters
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_real_bmp_png_decode(spark):
+    df = spark.createDataFrame(
+        [
+            (0, _make_bmp(4, 2, (255, 0, 0))),   # red -> luma 76.245
+            (1, _make_png(3, 3, (0, 0, 255))),    # blue -> luma 29.07
+            (2, b"\xff\xd8\xff not-actually-jpeg"),  # unknown -> stub
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert (out[0].format, out[0].width, out[0].height) == ("bmp", 4, 2)
+    assert abs(out[0].mean_luma - 0.299 * 255) < 1e-9
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 3, 3)
+    assert abs(out[1].mean_luma - 0.114 * 255) < 1e-9
+    assert out[2].format == "fake"
+
+
+def test_png_sub_filter_unfiltering(spark):
+    # one scanline, filter type 1 (Sub): stored = actual - left-pixel byte
+    raw = bytes([1, 10, 20, 30, 5, 5, 5])  # pixels (10,20,30), (15,25,35)
+    df = spark.createDataFrame(
+        [(0, _make_png(2, 1, None, filters=raw))], "media_id long, payload binary"
+    )
+    r = extract_image_features(df).collect()[0]
+    assert r.format == "png"
+    expected = (
+        (0.299 * 10 + 0.587 * 20 + 0.114 * 30)
+        + (0.299 * 15 + 0.587 * 25 + 0.114 * 35)
+    ) / 2
+    assert abs(r.mean_luma - expected) < 1e-9
