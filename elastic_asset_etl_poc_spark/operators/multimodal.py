@@ -90,21 +90,32 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
             cur = line
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth need left-to-right recurrence
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                bb = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if ftype == 1:  # Sub
-                    pred = a
-                elif ftype == 3:  # Average
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            cur = np.cumsum(line.reshape(width, bpp), axis=0).reshape(stride) & 0xFF
+        elif ftype in (3, 4):  # Average/Paeth: per-PIXEL recurrence on
+            cur = np.zeros(stride, dtype=np.int64)  # whole channel vectors
+            lp = line.reshape(width, bpp)
+            pp = prev.reshape(width, bpp)
+            cp = cur.reshape(width, bpp)
+            zero = np.zeros(bpp, dtype=np.int64)
+            for x in range(width):
+                a = cp[x - 1] if x else zero
+                bb = pp[x]
+                c = pp[x - 1] if x else zero
+                if ftype == 3:
                     pred = (a + bb) // 2
-                else:  # Paeth
+                else:
                     p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
-                cur[x] = (line[x] + pred) & 0xFF
+                    pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c)
+                    )
+                cp[x] = (lp[x] + pred) & 0xFF
+        else:
+            # unknown filter byte = corrupt stream: raise so the caller's
+            # fail-soft path labels the row 'fake' instead of trusting
+            # garbage luma under format='png'
+            raise ValueError(f"invalid PNG scanline filter {ftype}")
         out[y] = cur
     return out
 

@@ -120,6 +120,8 @@ def temperature_fractions(
         return {}
     expo = 1.0 / temperature - 1.0
     raw = {k: float(n) ** expo for k, n in counts.items() if n > 0}
+    if not raw:  # every stratum empty → nothing to keep
+        return {}
     peak = max(raw.values())
     return {k: min(1.0, target_max * v / peak) for k, v in raw.items()}
 

@@ -98,12 +98,11 @@ ASOF_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-#: latest right-side row per key: (ts_us, value, value_is_null)
+#: latest right-side row per key: (right ts in µs, right payload value)
 ASOF_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_rts_us", T.LongType()),
         T.StructField("last_value", T.DoubleType()),
-        T.StructField("has_value", T.BooleanType()),
     ]
 )
 
@@ -115,38 +114,40 @@ def _asof_group(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        last_rts_us, last_value, has_value = state.get
+        last_rts_us, last_value = state.get
     else:
-        last_rts_us, last_value, has_value = None, None, False
+        last_rts_us, last_value = None, None
 
-    out: list = []
-    for pdf in pdfs:
-        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-        work = pd.DataFrame(
+    # The iterator yields the group in MULTIPLE Arrow chunks once it
+    # exceeds arrow.maxRecordsPerBatch — chunk boundaries are arbitrary,
+    # so sorting per chunk would process rows out of time order (lefts
+    # enriched with future rights).  Concatenate, then sort ONCE.
+    chunks = [
+        pd.DataFrame(
             {
-                "ts_us": ts_us,
+                "ts_us": pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000,
                 "is_left": pdf["is_left"],
                 "event_id": pdf["event_id"],
                 "value": pdf["value"],
             }
-        ).sort_values(["ts_us", "is_left"], kind="stable")  # right (0) first on ties
+        )
+        for pdf in pdfs
+    ]
+    out: list = []
+    if chunks:
+        work = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "is_left"], kind="stable"  # right (0) first on ties
+        )
         for r in work.itertuples(index=False):
             if r.is_left == 0:  # right side: advance the carried state
                 last_rts_us = int(r.ts_us)
                 last_value = None if pd.isna(r.value) else float(r.value)
-                has_value = last_value is not None
             else:  # left side: emit enriched with latest at-or-before state
                 out.append(
-                    (
-                        int(r.event_id),
-                        user_id,
-                        int(r.ts_us),
-                        last_rts_us,
-                        last_value if has_value else None,
-                    )
+                    (int(r.event_id), user_id, int(r.ts_us), last_rts_us, last_value)
                 )
 
-    state.update((last_rts_us, last_value, has_value))
+    state.update((last_rts_us, last_value))
     if out:
         odf = pd.DataFrame(
             out, columns=["event_id", "user_id", "ts_us", "rts_us", "right_value_asof"]

@@ -124,3 +124,29 @@ def test_png_sub_filter_unfiltering(spark):
         + (0.299 * 15 + 0.587 * 25 + 0.114 * 35)
     ) / 2
     assert abs(r.mean_luma - expected) < 1e-9
+
+
+def test_png_average_and_paeth_filters(spark):
+    # row 1: filter 0 (raw); row 2: Paeth — both pixels predict from up/left
+    raw_paeth = (
+        bytes([0, 10, 20, 30, 40, 50, 60]) + bytes([4, 2, 2, 2, 5, 5, 5])
+    )  # row2 pixels decode to (12,22,32), (45,55,65)
+    raw_avg = bytes([3, 10, 20, 30, 10, 15, 20])  # pixels (10,20,30), (15,25,35)
+    df = spark.createDataFrame(
+        [
+            (0, _make_png(2, 2, None, filters=raw_paeth)),
+            (1, _make_png(2, 1, None, filters=raw_avg)),
+            (2, _make_png(1, 1, None, filters=bytes([7, 1, 2, 3]))),  # bad filter
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in extract_image_features(df).collect()}
+
+    def luma(*px):
+        return sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in px) / len(px)
+
+    assert out[0].format == "png"
+    assert abs(out[0].mean_luma - luma((10, 20, 30), (40, 50, 60), (12, 22, 32), (45, 55, 65))) < 1e-9
+    assert out[1].format == "png"
+    assert abs(out[1].mean_luma - luma((10, 20, 30), (15, 25, 35))) < 1e-9
+    assert out[2].format == "fake"  # corrupt filter byte -> fail-soft stub

@@ -105,3 +105,10 @@ def test_temperature_mix_end_to_end(spark):
     assert set(got) == set(counts)
     for k in counts:  # every stratum survives, none grows
         assert 0 < got[k] <= counts[k]
+
+
+def test_temperature_fractions_empty_strata(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import temperature_fractions
+
+    assert temperature_fractions({}, 2.0) == {}
+    assert temperature_fractions({"en": 0}, 2.0) == {}

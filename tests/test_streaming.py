@@ -252,3 +252,42 @@ def test_stream_asof_enrich_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_asof_enrich_multi_chunk_groups(spark, events_dir):
+    """Groups larger than one Arrow chunk must still process in time
+    order (chunk boundaries are arbitrary; a per-chunk sort would enrich
+    lefts with future rights)."""
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+    from elastic_asset_etl_poc_spark.streaming.joins import stream_events_typed
+    from elastic_asset_etl_poc_spark.streaming.services_stream import run_to_memory
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_asof_enrich
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = run_to_memory(
+            stream_asof_enrich(stream_events_typed(spark, events_dir)),
+            "asof_stream_chunked",
+            "update",
+        )
+        try:
+            got = {
+                r.event_id: (r.right_ts_asof, r.right_value_asof)
+                for r in spark.sql("SELECT * FROM asof_stream_chunked").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    batch = {
+        r.event_id: (r.ts_x, r.value_x)
+        for r in asof_join(
+            clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x"
+        ).collect()
+    }
+    assert got == batch
