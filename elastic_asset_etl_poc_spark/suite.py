@@ -865,6 +865,75 @@ def pivot_daily_event_counts(spark, sf_dir):
 
 
 @q(
+    "unpivot_daily_event_counts",
+    """
+WITH wide AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, n FROM (
+  SELECT day, 'click' AS event_type, click AS n FROM wide
+  UNION ALL
+  SELECT day, 'purchase' AS event_type, purchase AS n FROM wide
+)
+""",
+)
+def unpivot_daily_event_counts(spark, sf_dir):
+    """Unpivot (wide → long): the inverse of the pivot query via the
+    native ``unpivot``/STACK operator (Expand-based, no shuffle beyond
+    the source agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "purchase"])
+        .count()
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["day"],
+        values=["click", "purchase"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+@q(
+    "grouping_sets_revenue",
+    """
+SELECT n_name, o_orderpriority,
+       CAST(sum(o_totalprice) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """GROUPING SETS beyond rollup: independent (nation) and (priority)
+    margins plus the grand total in ONE Expand-based aggregation pass —
+    three scans' worth of answers for one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    j.createOrReplaceTempView("orders_enriched_v")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(sum(o_totalprice) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders_enriched_v
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
     "text_normalize_docs",
     """
 SELECT doc_id,
