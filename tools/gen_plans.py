@@ -13,6 +13,8 @@ PICKS = [
     ("svc_phase2_parents", "Phase 2: broadcast left-semi IN-list join; probe side never shuffles"),
     ("join_region_revenue", "Star join: all dims broadcast; fact flows map-side into partial agg"),
     ("agg_pricing_summary", "TPC-H Q1 shape: partial+final hash aggregation, date filter pushed"),
+    ("embed_neardup_cosine", "Blocked all-pairs cosine: ONE exchange on the block-pair key into an Arrow groups kernel"),
+    ("asof_nearest_clicks", "Nearest as-of: one exchange, two window sorts over it - never a second shuffle"),
 ]
 
 
