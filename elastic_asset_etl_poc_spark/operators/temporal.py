@@ -47,8 +47,12 @@ def asof_join(
       * ``nearest`` — whichever of the two is closer in time (ties and
         equal distances prefer backward).
     ``tolerance_seconds`` — a match farther than this from the left
-    timestamp is nulled out (applies after direction selection, exactly
-    like pandas).
+    timestamp is nulled out.  Like pandas ``merge_asof``, with
+    ``direction='nearest'`` the tolerance applies to EACH side before the
+    nearer survivor is picked, so an out-of-tolerance backward match
+    never shadows an in-tolerance forward one (or vice versa); for
+    backward/forward there is a single candidate and the filter is
+    equivalent either way.
 
     Returns all left columns plus ``{payload}{suffix}`` columns (NULL
     when nothing matches).  The matched right row is carried as ONE
@@ -113,25 +117,30 @@ def asof_join(
         sel.append(F.first(pkt, ignorenulls=True).over(wf).alias("__pf"))
     u = u.select(*sel).filter(F.col("__is_left") == 1)
 
+    tol_us = (
+        int(tolerance_seconds * 1_000_000) if tolerance_seconds is not None else None
+    )
     if direction == "backward":
         m = F.col("__pb")
     elif direction == "forward":
         m = F.col("__pf")
     else:
-        db = F.unix_micros(F.col("__ts")) - F.unix_micros(
-            F.col("__pb").getField("__mts")
-        )
-        df_ = F.unix_micros(F.col("__pf").getField("__mts")) - F.unix_micros(
-            F.col("__ts")
-        )
+        pb, pf = F.col("__pb"), F.col("__pf")
+        db = F.unix_micros(F.col("__ts")) - F.unix_micros(pb.getField("__mts"))
+        df_ = F.unix_micros(pf.getField("__mts")) - F.unix_micros(F.col("__ts"))
+        if tol_us is not None:
+            # pandas merge_asof filters EACH side by tolerance BEFORE
+            # picking the nearer survivor: a too-far backward match must
+            # not shadow an in-tolerance forward one (and vice versa).
+            pb = F.when(pb.isNotNull() & (db <= tol_us), pb)
+            pf = F.when(pf.isNotNull() & (df_ <= tol_us), pf)
         m = (
-            F.when(F.col("__pb").isNull(), F.col("__pf"))
-            .when(F.col("__pf").isNull(), F.col("__pb"))
-            .when(db <= df_, F.col("__pb"))
-            .otherwise(F.col("__pf"))
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(db <= df_, pb)
+            .otherwise(pf)
         )
-    if tolerance_seconds is not None:
-        tol_us = int(tolerance_seconds * 1_000_000)
+    if tol_us is not None and direction != "nearest":
         delta = F.abs(
             F.unix_micros(F.col("__ts")) - F.unix_micros(m.getField("__mts"))
         )

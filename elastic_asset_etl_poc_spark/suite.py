@@ -776,12 +776,42 @@ def embed_knn_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=10)
 
 
+# Names the driver's correctness sampler has never (or least recently)
+# checked, exported FIRST so a bounded sample covers them before the
+# long-green remainder.  r2 sampled 50 of 63 registered queries; these 13
+# were the gap (3 as-of variants never checked anywhere; 10 last checked
+# in r1).  Registration order inside SUITE is unchanged — only the
+# exported dict order differs.
+_CHECK_FIRST: tuple[str, ...] = (
+    "asof_forward_clicks",
+    "asof_nearest_clicks",
+    "asof_tolerance_clicks",
+    "asof_enrich_clicks",
+    "band_join_click_purchase",
+    "set_ops_customers",
+    "conditional_agg_events",
+    "fields_api_unwrap",
+    "profile_lineitem",
+    "repetition_docs",
+    "window_frame_running",
+    "cardinality_sketches",
+    "heavy_hitters_sources",
+)
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _CHECK_FIRST if n in SUITE]
+    return first + [n for n in SUITE if n not in _CHECK_FIRST]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in SUITE.items()}
+    return {name: SUITE[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in SUITE.items() if sql is not None}
+    return {
+        name: SUITE[name][1] for name in _ordered() if SUITE[name][1] is not None
+    }
 
 
 @q(
