@@ -109,8 +109,10 @@ def jaccard_pairs(
         sh = sh0
     # Materialize eagerly: the frame feeds 3 branches of one action, and
     # concurrently-scheduled stages would each recompute a lazy cache.
-    sh = sh.cache()
-    sh.count()
+    # localCheckpoint(eager=True) stores the blocks in the materializing
+    # job itself — unlike cache()+count(), which paid one more full scan
+    # of the cached frame just to drive the count.
+    sh = sh.localCheckpoint(eager=True)
     if max_doc_freq is not None:
         sh0.unpersist()  # capped frame is materialized; drop the staging copy
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -191,8 +193,14 @@ def minhash_lsh_pairs(
             lambda i: F.xxhash64(*[F.element_at(t, i + F.lit(j)) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    sh = tdf.select("doc_id", F.explode(hashed).alias("shingle")).distinct().cache()
-    sh.count()  # eager: 4 branches of one action would race a lazy cache
+    # eager: 4 branches of one action would race a lazy cache;
+    # localCheckpoint materializes in one job without cache+count's
+    # extra full re-scan of the cached frame
+    sh = (
+        tdf.select("doc_id", F.explode(hashed).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # Affine permutation family over one base hash: mh_i = min over shingles
     # of pmod(a_i·x + b_i, p), x = xxhash64(shingle).  One row per

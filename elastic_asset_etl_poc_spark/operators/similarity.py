@@ -416,6 +416,72 @@ def cosine_pairs(
     return replicated.groupBy("__bi", "__bj").applyInPandas(block_pair, out_schema)
 
 
+def _bounded_bucket_groups(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Split over-cap (band, bucket) groups into bounded block-pair tasks.
+
+    Input: ``_banded_signatures`` output (__id, __v, band, bucket).
+    Output: the same rows replicated with (__blk, __bi, __bj) so that a
+    ``groupBy(band, bucket, __bi, __bj)`` sees at most ~2·max_bucket rows
+    per task while still covering every within-bucket pair exactly once.
+
+    Mechanism: count each bucket (map-side-combined aggregate of just the
+    key — the vectors are not shuffled for the count), left-join the
+    (tiny) over-cap list back — declared as a plain join so AQE broadcasts
+    it when small — and replicate each member of an over-cap bucket to the
+    ``nblk = ceil(count / max_bucket)`` block-pairs it participates in,
+    exactly the :func:`cosine_pairs` decomposition but *within* a bucket.
+    Buckets at or under the cap keep nblk = 1 and degenerate to the
+    original single-group plan.
+
+    Why not re-hash over-cap buckets with extra planes?  Two reasons:
+    (1) a bucket that is hot because its members are genuinely
+    near-identical can NEVER be split by more sign-planes — near-parallel
+    vectors agree on (almost) every hyperplane, so recursion would not
+    terminate on exactly the input that matters; (2) refining signatures
+    drops candidate pairs whose refined signatures disagree, silently
+    changing the output.  Block-pair decomposition preserves the exact
+    candidate set (same pairs, same cosines) and bounds per-task work
+    unconditionally, including the all-identical worst case.
+    """
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    hot = counts.filter(F.col("__cnt") > max_bucket).select(
+        "band",
+        "bucket",
+        F.ceil(F.col("__cnt") / max_bucket).cast("int").alias("__nblk"),
+    )
+    sized = (
+        banded.join(hot, ["band", "bucket"], "left")
+        .withColumn("__nblk", F.coalesce(F.col("__nblk"), F.lit(1)))
+        .withColumn(
+            "__blk",
+            F.pmod(F.xxhash64(F.col("__id").cast("string")), F.col("__nblk")).cast(
+                "int"
+            ),
+        )
+    )
+    # member of block b joins pair-tasks {min(b,x), max(b,x)} for every
+    # block x — nblk distinct structs, so replication factor = nblk (= 1
+    # for every bucket at or under the cap)
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.col("__nblk") - 1),
+        lambda x: F.struct(
+            F.least(F.col("__blk"), x).alias("bi"),
+            F.greatest(F.col("__blk"), x).alias("bj"),
+        ),
+    )
+    return sized.select(
+        "band", "bucket", "__id", "__v", "__blk", F.explode(pair_structs).alias("__p")
+    ).select(
+        "band",
+        "bucket",
+        "__id",
+        "__v",
+        "__blk",
+        F.col("__p.bi").alias("__bi"),
+        F.col("__p.bj").alias("__bj"),
+    )
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,
@@ -424,6 +490,7 @@ def cosine_pairs_lsh(
     planes: int = 4,
     bands: int = 32,
     seed: int = 0xC051,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """LSH-bucketed embedding-cosine near-dup pairs → (vec_a, vec_b, cos).
 
@@ -438,8 +505,20 @@ def cosine_pairs_lsh(
     ``bands`` up to recover recall.
 
     Defaults (4, 32) give recall ≈ 0.998 at cos 0.45 and ≈ 1 at ≥ 0.8.
-    Compute per band is Σ_bucket |bucket|² ≈ N²/2^planes — at real corpus
-    scale raise ``planes`` so the hot bucket fits a task.
+    Compute per band is Σ_bucket |bucket|² ≈ N²/2^planes.
+
+    **Hot buckets are bounded**: a skewed corpus (a cluster of
+    near-identical embeddings) lands its whole cluster in one
+    (band, bucket) regardless of ``planes`` — sign-LSH cannot separate
+    near-parallel vectors — which would otherwise make one task O(hot²)
+    in memory and the straggler of the stage.  ``max_bucket`` caps the
+    per-task population: over-cap buckets are decomposed into block-pair
+    sub-tasks (see :func:`_bounded_bucket_groups`), preserving the exact
+    candidate set while keeping every task at ≤ ~2·max_bucket rows.
+    Total compute for a hot bucket is still O(hot²) — that is the
+    requested answer (all pairs above threshold within the cluster
+    really do exist) — but it is spread across ceil(hot/cap)² bounded
+    tasks instead of one unbounded one.
     """
     import numpy as np
     import pandas as pd
@@ -454,19 +533,33 @@ def cosine_pairs_lsh(
         ]
     )
     banded = _banded_signatures(embeddings, id_col, vec_col, planes, bands, seed)
+    replicated = _bounded_bucket_groups(banded, max_bucket)
 
     def bucket_pairs(key, pdf):
+        _, _, bi, bj = key
         ids = pdf["__id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
         m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
-        ai, bz = np.nonzero(mask)
-        return pd.DataFrame(
-            {"vec_a": ids[ai], "vec_b": ids[bz], "cos": np.round(sims[ai, bz], 4)}
-        )
+        if bi == bj:
+            sims = m @ m.T
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bz = np.nonzero(mask)
+            va, vb, cs = ids[ai], ids[bz], sims[ai, bz]
+        else:
+            blks = pdf["__blk"].to_numpy()
+            a_idx = np.nonzero(blks == bi)[0]
+            b_idx = np.nonzero(blks == bj)[0]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+            sims = m[a_idx] @ m[b_idx].T
+            ai, bz = np.nonzero(sims >= threshold)
+            xa, xb = ids[a_idx][ai], ids[b_idx][bz]
+            # ids are unique within a bucket, so min/max orders each pair
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            cs = sims[ai, bz]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos": np.round(cs, 4)})
 
     # Dedup on the PAIR KEY, not the (pair, cos) tuple: the same pair's
     # dot product in two different-shaped bucket matmuls may differ by an
@@ -474,7 +567,7 @@ def cosine_pairs_lsh(
     # "distinct" rows at a .xxxx5 boundary.  min() is a deterministic
     # pick among the (at most ulp-apart) duplicates.
     return (
-        banded.groupBy("band", "bucket")
+        replicated.groupBy("band", "bucket", "__bi", "__bj")
         .applyInPandas(bucket_pairs, out_schema)
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cos").alias("cos"))

@@ -776,32 +776,44 @@ def embed_knn_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=10)
 
 
-# Names the driver's correctness sampler has never (or least recently)
-# checked, exported FIRST so a bounded sample covers them before the
-# long-green remainder.  r2 sampled 50 of 63 registered queries; these 13
-# were the gap (3 as-of variants never checked anywhere; 10 last checked
-# in r1).  Registration order inside SUITE is unchanged — only the
-# exported dict order differs.
-_CHECK_FIRST: tuple[str, ...] = (
-    "asof_forward_clicks",
-    "asof_nearest_clicks",
-    "asof_tolerance_clicks",
-    "asof_enrich_clicks",
-    "band_join_click_purchase",
-    "set_ops_customers",
-    "conditional_agg_events",
-    "fields_api_unwrap",
-    "profile_lineitem",
-    "repetition_docs",
-    "window_frame_running",
-    "cardinality_sketches",
-    "heavy_hitters_sources",
-)
+def _last_checked() -> dict[str, int]:
+    """Round in which the driver's correctness sampler last saw each query.
+
+    Parsed from the ``CORRECTNESS_r*.json`` artifacts the driver writes at
+    the repo root.  The r2/r3 lesson: the sampler checks a bounded prefix
+    (50 of 60+ queries) of the exported dict, so a FIXED export order
+    permanently starves the tail, and a hand-pinned "check these first"
+    list just rotates which 13 starve.  Ordering stale-first from the
+    driver's own artifacts makes coverage rotate automatically: whatever
+    was checked least recently (or never — e.g. queries added this round)
+    exports first each round."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
 
 
 def _ordered() -> list[str]:
-    first = [n for n in _CHECK_FIRST if n in SUITE]
-    return first + [n for n in SUITE if n not in _CHECK_FIRST]
+    seen = _last_checked()
+    reg_index = {n: i for i, n in enumerate(SUITE)}
+    return sorted(SUITE, key=lambda n: (seen.get(n, -1), reg_index[n]))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -142,3 +142,54 @@ def test_ivf_train_sample_bounded(spark):
     for r in out:
         per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_cosine_pairs_lsh_hot_bucket_bounded(spark):
+    """A cluster of near-identical vectors lands entirely in one
+    (band, bucket) — sign-LSH cannot split near-parallel vectors — so the
+    un-capped plan would run one O(hot^2) task.  The cap must (a) bound
+    every task's input and (b) leave the emitted pair set unchanged."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        _banded_signatures,
+        _bounded_bucket_groups,
+    )
+
+    rng = random.Random(7)
+    base = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    rows = [
+        (i, [x + rng.uniform(-1e-3, 1e-3) for x in base]) for i in range(200)
+    ] + [(1000 + i, [rng.uniform(-1.0, 1.0) for _ in base]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # the raw (uncapped) hot bucket really holds the whole cluster
+    banded = _banded_signatures(df, "vec_id", "embedding", 4, 32, 0xC051)
+    raw_max = banded.groupBy("band", "bucket").count().agg(F.max("count")).first()[0]
+    assert raw_max >= 200
+
+    # capped: every per-task group is bounded (<= block_i + block_j rows,
+    # blocks ~cap with hash variance — 4x cap is a generous determinstic bound)
+    cap = 32
+    sizes = (
+        _bounded_bucket_groups(banded, cap)
+        .groupBy("band", "bucket", "__bi", "__bj")
+        .count()
+    )
+    assert sizes.agg(F.max("count")).first()[0] <= 4 * cap
+
+    # pair set is invariant under the cap; cosines agree to rounding
+    capped = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_pairs_lsh(df, 0.99, max_bucket=cap).collect()
+    }
+    uncapped = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_pairs_lsh(df, 0.99, max_bucket=1 << 30).collect()
+    }
+    assert set(capped) == set(uncapped)
+    assert len(capped) >= 200 * 199 // 2  # whole cluster found (recall 1 here)
+    for pair, cos in capped.items():
+        assert abs(cos - uncapped[pair]) <= 1e-4
