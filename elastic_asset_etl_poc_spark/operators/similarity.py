@@ -189,6 +189,61 @@ def lsh_topk(
     )
 
 
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x1BF,
+):
+    """Train an IVF coarse quantizer → centroid matrix (kc, d) float64.
+
+    Spherical k-means on a BOUNDED deterministic sample: a cheap
+    ``count()`` sizes ``mod = ceil(N / max_train_sample)`` and rows with
+    ``xxhash64(id) % mod == 0`` are collected — O(sample) on the driver
+    (the broadcast-build-side discipline), NEVER O(N), regardless of
+    corpus size.  Returns an empty (0, 0) array for an empty corpus.
+
+    The returned numpy array is plain data: persist it with ``np.save``
+    (or a one-row parquet) and hand it to :func:`ivf_topk` — a static
+    corpus trains ONCE, then every query batch skips the count+collect
+    train jobs entirely.
+    """
+    import numpy as np
+
+    sample = embeddings.select(id_col, vec_col)
+    n_total = sample.count()  # distributed aggregate — cheap at any scale
+    mod = -(-max(n_total, 1) // max_train_sample)  # ceil div
+    if mod > 1:
+        sample = sample.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        )
+    rows = sample.collect()  # ≈ max_train_sample rows — bounded, never O(N)
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+
+    def _unit(m):  # zero vectors stay zero instead of dividing to NaN
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    S = _unit(np.array([np.asarray(r[1], dtype=np.float64) for r in rows]))
+    rng = np.random.default_rng(seed)
+    kc = min(n_centroids, len(S))
+    C = S[rng.choice(len(S), size=kc, replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(kc):
+            members = S[assign == c]
+            if len(members):
+                mean = members.sum(axis=0)
+                nm = np.linalg.norm(mean)
+                if nm > 0:
+                    C[c] = mean / nm
+    return C
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -200,16 +255,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0x1BF,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN → (query_id, neighbor_id, rank).
 
     The classic coarse-quantizer layout (FAISS-style IVF-Flat):
 
-    1. **train** — spherical k-means on a BOUNDED deterministic sample:
-       a cheap ``count()`` sizes ``mod = ceil(N / max_train_sample)`` and
-       rows with ``xxhash64(id) % mod == 0`` are collected — O(sample) on
-       the driver (the broadcast-build-side discipline), NEVER O(N),
-       regardless of corpus size;
+    1. **train** — :func:`ivf_train` (bounded-sample spherical k-means);
+       pass a pre-trained ``centroids`` matrix to skip this stage — a
+       static corpus should train once and reuse, not re-run the
+       count+collect jobs per query batch;
     2. **assign** — every vector maps to its nearest centroid via one
        Arrow numpy matmul against the broadcast centroids (map-side, no
        shuffle);
@@ -229,15 +284,20 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     idtype = embeddings.schema[id_col].dataType
-    sample = embeddings.select(id_col, vec_col)
-    n_total = sample.count()  # distributed aggregate — cheap at any scale
-    mod = -(-n_total // max_train_sample)  # ceil div
-    if mod > 1:
-        sample = sample.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            max_train_sample=max_train_sample,
+            kmeans_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
         )
-    rows = sample.collect()  # ≈ max_train_sample rows — bounded, never O(N)
-    if not rows:  # empty corpus → empty result, like the other operators
+    )
+    if C.size == 0:  # empty corpus → empty result, like the other operators
         return embeddings.sparkSession.createDataFrame(
             [],
             T.StructType(
@@ -248,24 +308,6 @@ def ivf_topk(
                 ]
             ),
         )
-
-    def _unit(m):  # zero vectors stay zero instead of dividing to NaN
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        return m / np.where(n == 0, 1.0, n)
-
-    S = _unit(np.array([np.asarray(r[1], dtype=np.float64) for r in rows]))
-    rng = np.random.default_rng(seed)
-    kc = min(n_centroids, len(S))
-    C = S[rng.choice(len(S), size=kc, replace=False)]
-    for _ in range(kmeans_iters):  # spherical k-means
-        assign = np.argmax(S @ C.T, axis=1)
-        for c in range(kc):
-            members = S[assign == c]
-            if len(members):
-                mean = members.sum(axis=0)
-                nm = np.linalg.norm(mean)
-                if nm > 0:
-                    C[c] = mean / nm
     bc = embeddings.sparkSession.sparkContext.broadcast(C)
 
     def assigned_schema(extra_id: str):

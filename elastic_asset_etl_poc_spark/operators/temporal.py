@@ -129,9 +129,12 @@ def asof_join(
         db = F.unix_micros(F.col("__ts")) - F.unix_micros(pb.getField("__mts"))
         df_ = F.unix_micros(pf.getField("__mts")) - F.unix_micros(F.col("__ts"))
         if tol_us is not None:
-            # pandas merge_asof filters EACH side by tolerance BEFORE
-            # picking the nearer survivor: a too-far backward match must
-            # not shadow an in-tolerance forward one (and vice versa).
+            # Filter EACH side by tolerance before picking the nearer
+            # survivor, mirroring pandas merge_asof's structure.  (Since
+            # both distances are non-negative, this is equivalent to
+            # filtering after the pick — if the nearer candidate exceeds
+            # tolerance the farther one does too — but the per-side form
+            # keeps the differential test against merge_asof one-to-one.)
             pb = F.when(pb.isNotNull() & (db <= tol_us), pb)
             pf = F.when(pf.isNotNull() & (df_ <= tol_us), pf)
         m = (

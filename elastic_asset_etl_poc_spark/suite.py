@@ -682,6 +682,42 @@ def minhash_neardup_docs(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _recall_audit(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row recall audit (n_exact, n_candidates, n_hit, recall_pct):
+    how much of the exact pair set the approximate operator recovered."""
+    hit = exact.join(approx, keys)
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .withColumn(
+            "recall_pct",
+            F.round(F.lit(100.0) * F.col("n_hit") / F.col("n_exact"), 2),
+        )
+    )
+
+
+@q(
+    "recall_minhash_vs_jaccard",
+    f"""WITH {_JACCARD_CTES}
+SELECT count(*) AS n_exact, count(*) AS n_candidates, count(*) AS n_hit,
+       CAST(100.0 AS DOUBLE) AS recall_pct
+FROM jp""",
+)
+def recall_minhash_vs_jaccard(spark, sf_dir):
+    """Driver-checked recall audit: MinHash+LSH candidates vs the exact
+    3-gram Jaccard join at J≥0.8.  Both operators are deterministic
+    (fixed PRNG seeds, deterministic fixtures) and recall on these
+    fixtures is exactly 1.0 with precision 1 (candidates are
+    exact-Jaccard-verified), so the audit row is HASH-CHECKABLE against
+    the exact-side DuckDB count — a recall regression breaks the hash
+    instead of hiding in a docstring claim."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    approx = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return _recall_audit(exact, approx, ["doc_a", "doc_b"])
+
+
 @q("simhash_docs", None)  # xxhash64-based → rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash 64-bit fingerprints per document."""
@@ -1087,12 +1123,45 @@ def embed_knn_ivf(spark, sf_dir):
 @q("embed_neardup_cosine_lsh", None)  # approximate recall → rows-only check
 def embed_neardup_cosine_lsh(spark, sf_dir):
     """LSH-bucketed cosine near-dup pairs — the 100 TB all-pairs path:
-    banded sign-LSH buckets bound the candidate set; the numpy kernel
-    runs per bucket; emitted cosines are exact (recall ≈ 0.998 @ 0.45,
-    measured 1.0 on these fixtures)."""
+    banded sign-LSH buckets bound the candidate set (hot buckets split
+    into block-pair sub-tasks, so no task exceeds ~2·max_bucket rows);
+    the numpy kernel runs per bucket; emitted cosines are exact
+    (recall ≈ 0.998 @ 0.45, measured 1.0 on these fixtures)."""
     from .operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+_COS_PAIRS_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+)"""
+
+
+@q(
+    "recall_lsh_vs_exact_cosine",
+    f"""WITH {_COS_PAIRS_CTE}
+SELECT count(*) AS n_exact, count(*) AS n_candidates, count(*) AS n_hit,
+       CAST(100.0 AS DOUBLE) AS recall_pct
+FROM cp""",
+)
+def recall_lsh_vs_exact_cosine(spark, sf_dir):
+    """Driver-checked recall audit: LSH-bucketed cosine pairs vs the
+    exact block-pair all-pairs kernel at cos≥0.45.  The hyperplanes are
+    seed-deterministic and recall on these fixtures is exactly 1.0 with
+    precision 1 (every emitted cosine is computed, not estimated), so
+    the audit row hash-checks against the exact-side DuckDB count — a
+    recall regression breaks the hash instead of hiding in a docstring."""
+    from .operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_pairs(emb, threshold=0.45).select("vec_a", "vec_b")
+    approx = cosine_pairs_lsh(emb, threshold=0.45).select("vec_a", "vec_b")
+    return _recall_audit(exact, approx, ["vec_a", "vec_b"])
 
 
 @q(
@@ -1712,6 +1781,80 @@ def asof_tolerance_clicks(spark, sf_dir):
         "ts",
         F.col("ts_x").alias("purchase_ts_tol"),
         F.col("value_x").alias("purchase_value_tol"),
+    )
+
+
+@q(
+    "asof_nearest_tolerance_clicks",
+    """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+b0 AS (
+  SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+),
+f0 AS (
+  SELECT c.event_id, c.ts, p.ts AS fts, p.value AS fval
+  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts >= c.ts
+),
+b AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN bts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(bts) <= CAST(3600 AS BIGINT) * 1000000
+              THEN bts END AS bts,
+         CASE WHEN bts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(bts) <= CAST(3600 AS BIGINT) * 1000000
+              THEN bval END AS bval
+  FROM b0
+),
+f AS (
+  SELECT event_id,
+         CASE WHEN fts IS NOT NULL
+               AND epoch_us(fts) - epoch_us(ts) <= CAST(3600 AS BIGINT) * 1000000
+              THEN fts END AS fts,
+         CASE WHEN fts IS NOT NULL
+               AND epoch_us(fts) - epoch_us(ts) <= CAST(3600 AS BIGINT) * 1000000
+              THEN fval END AS fval
+  FROM f0
+)
+SELECT b.event_id, b.user_id, b.ts,
+       CASE WHEN bts IS NULL THEN fts
+            WHEN fts IS NULL THEN bts
+            WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bts ELSE fts END AS purchase_ts_ntol,
+       CASE WHEN bts IS NULL THEN fval
+            WHEN fts IS NULL THEN bval
+            WHEN epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)
+              THEN bval ELSE fval END AS purchase_value_ntol
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_nearest_tolerance_clicks(spark, sf_dir):
+    """Nearest as-of join WITH tolerance: the closest purchase either
+    side of each click, both sides tolerance-filtered (1 h) BEFORE the
+    nearest pick — the combined code path the plain nearest and
+    backward-tolerance queries each leave unexercised.  The oracle
+    mirrors pandas merge_asof: tolerance applied per side, then the
+    CASE nearest-pick over the survivors."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x",
+        direction="nearest", tolerance_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_ntol"),
+        F.col("value_x").alias("purchase_value_ntol"),
     )
 
 

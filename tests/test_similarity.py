@@ -193,3 +193,34 @@ def test_cosine_pairs_lsh_hot_bucket_bounded(spark):
     assert len(capped) >= 200 * 199 // 2  # whole cluster found (recall 1 here)
     for pair, cos in capped.items():
         assert abs(cos - uncapped[pair]) <= 1e-4
+
+
+def test_ivf_train_reuse_skips_training_jobs(spark):
+    """A static corpus trains once: passing pre-trained centroids to
+    ivf_topk must produce the identical result while running NO driver
+    actions (count/collect) during plan construction."""
+    from pyspark.sql import DataFrame
+
+    from elastic_asset_etl_poc_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id < 3")
+    C = ivf_train(emb)
+    assert C.ndim == 2 and C.shape[0] == 16
+
+    self_trained = sorted(map(tuple, ivf_topk(emb, q, k=5).collect()))
+
+    forbidden = {}
+    for name in ("collect", "first", "toPandas", "head", "take", "count"):
+        forbidden[name] = getattr(DataFrame, name)
+
+        def boom(*a, _n=name, **k):
+            raise AssertionError(f"driver action {_n}() with pre-trained centroids")
+
+        setattr(DataFrame, name, boom)
+    try:
+        reused = ivf_topk(emb, q, k=5, centroids=C)
+    finally:
+        for name, fn in forbidden.items():
+            setattr(DataFrame, name, fn)
+    assert sorted(map(tuple, reused.collect())) == self_trained
