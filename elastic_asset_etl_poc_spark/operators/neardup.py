@@ -65,6 +65,39 @@ def shingles(
     return tdf.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
+def capped_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
+):
+    """LAZY doc-frequency-capped shingle frame → (sh, staging_cache).
+
+    The hot-shingle cap is an aggregate + broadcast anti-join against the
+    (tiny) hot set — a map-side filter, not a per-shingle window sort
+    over the full posting list (plan-asserted in test_plans_physical).
+    Returns the lazily-planned frame so callers/tests can inspect the
+    plan; ``jaccard_pairs`` materializes it with ``localCheckpoint``
+    (which truncates the visible lineage).  ``staging_cache`` is the
+    pre-cap cached frame to unpersist after materialization (None when
+    the cap is off).
+    """
+    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is None:
+        return sh0, None
+    # cache the pre-cap shingles: they feed BOTH the hot-set aggregate
+    # and the anti-join probe — uncached, the explode runs twice
+    sh0 = sh0.cache()
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh0.join(F.broadcast(hot), "shingle", "left_anti"), sh0
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -93,27 +126,16 @@ def jaccard_pairs(
     (tiny) hot-shingle set — a map-side filter, not a per-shingle window
     sort over the full posting list.
     """
-    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    if max_doc_freq is not None:
-        # cache the pre-cap shingles: they feed BOTH the hot-set aggregate
-        # and the anti-join probe — uncached, the explode runs twice
-        sh0 = sh0.cache()
-        hot = (
-            sh0.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
-        sh = sh0
+    sh, sh0 = capped_shingles(
+        df, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
+    )
     # Materialize eagerly: the frame feeds 3 branches of one action, and
     # concurrently-scheduled stages would each recompute a lazy cache.
     # localCheckpoint(eager=True) stores the blocks in the materializing
     # job itself — unlike cache()+count(), which paid one more full scan
     # of the cached frame just to drive the count.
     sh = sh.localCheckpoint(eager=True)
-    if max_doc_freq is not None:
+    if sh0 is not None:
         sh0.unpersist()  # capped frame is materialized; drop the staging copy
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -129,14 +129,41 @@ def _asof_group(
                 "is_left": pdf["is_left"],
                 "event_id": pdf["event_id"],
                 "value": pdf["value"],
+                "carried": 1,
             }
         )
         for pdf in pdfs
     ]
+    # Re-inject the carried packet as a VIRTUAL right row in the batch's
+    # time-sorted merge instead of treating it as "current state": a late
+    # right row OLDER than the carried packet then slots into its correct
+    # place on the timeline — it enriches in-batch lefts between its ts
+    # and the carried ts, but cannot REGRESS the state for lefts after
+    # the carried ts (the unconditional-overwrite bug this replaced).
+    # State after the loop = max-ts right seen, carried included, so
+    # state advances monotonically across micro-batches.
+    if last_rts_us is not None:
+        chunks.insert(
+            0,
+            pd.DataFrame(
+                {
+                    "ts_us": [last_rts_us],
+                    "is_left": [0],
+                    "event_id": [-1],
+                    "value": [last_value],
+                    "carried": [0],  # same-ts in-batch right overwrites it
+                }
+            ),
+        )
+        # the virtual row re-seeds the state at its timeline position —
+        # starting the loop from empty keeps lefts BEFORE the carried ts
+        # un-enriched (batch semantics) instead of matched to the future
+        last_rts_us, last_value = None, None
     out: list = []
     if chunks:
         work = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts_us", "is_left"], kind="stable"  # right (0) first on ties
+            ["ts_us", "is_left", "carried"],
+            kind="stable",  # right (0) first on ties; carried first of rights
         )
         for r in work.itertuples(index=False):
             if r.is_left == 0:  # right side: advance the carried state
@@ -175,11 +202,24 @@ def stream_asof_enrich(
     State per key is ONE carried packet (latest right ts + payload), so
     the state store is O(keys) regardless of stream length.  Within a
     micro-batch rows process in (ts, right-before-left) order, matching
-    the batch operator's tie semantics exactly; ACROSS micro-batches a
-    right row that arrives after a left row has been emitted cannot
-    retroactively re-enrich it — the standard streaming-enrichment
-    trade, and the reason the batch operator remains the oracle-checked
-    ground truth (tested equal on single-batch availableNow runs).
+    the batch operator's tie semantics exactly.  Across micro-batches
+    the carried packet joins each batch's time-sorted merge as a virtual
+    right row, so the state advances monotonically and equals the batch
+    operator whenever every LEFT row arrives in a batch at-or-after the
+    rights that precede it in event time (late RIGHTS are handled: an
+    out-of-order right enriches in-batch lefts in its correct timeline
+    slot without regressing the carried state).
+
+    **Late-data policy** — the two irreducible O(1)-state trades:
+    a right row that arrives after a left it should have enriched was
+    already emitted cannot retroactively re-enrich it, and a left row
+    arriving with ts older than the carried packet sees only the rights
+    in its own batch's merge (at-or-before rights from earlier batches
+    other than the carried latest were discarded, so it may enrich to
+    NULL where batch finds a match).  Both are the standard
+    streaming-enrichment semantics; the batch operator remains the
+    oracle-checked ground truth (tested equal on single-batch runs AND
+    on 3-batch runs with cross-boundary out-of-order rights).
 
     Input: a typed events stream (``streaming.joins.stream_events_typed``
     shape).  Output: one row per left event.

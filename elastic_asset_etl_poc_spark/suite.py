@@ -1202,12 +1202,22 @@ def simhash_neardup_docs(spark, sf_dir):
 
 @q("multimodal_image_features", None)  # synthetic media, rows-only check
 def multimodal_image_features(spark, sf_dir):
-    """Arrow-batched media decode plumbing over a deterministic synthetic
-    binary table (codec stubbed — container has no image libs; schema,
-    batching and partitioning are the real contract)."""
-    from .operators.multimodal import extract_image_features, synthetic_media
+    """Arrow-batched image decode over deterministic synthetic binaries:
+    REAL stdlib decode for JPEG (baseline huffman+IDCT), PNG and BMP;
+    non-image payloads fall soft to format='fake' rows (at corpus scale
+    one bad file must never kill a partition)."""
+    from .operators.multimodal import (
+        extract_image_features,
+        synthetic_images,
+        synthetic_media,
+    )
 
-    return extract_image_features(synthetic_media(spark, n=256))
+    media = synthetic_images(spark, n=128).unionByName(
+        synthetic_media(spark, n=128).selectExpr(
+            "media_id + 1000 AS media_id", "payload"
+        )
+    )
+    return extract_image_features(media)
 
 
 @q(

@@ -150,3 +150,101 @@ def test_png_average_and_paeth_filters(spark):
     assert out[1].format == "png"
     assert abs(out[1].mean_luma - luma((10, 20, 30), (15, 25, 35))) < 1e-9
     assert out[2].format == "fake"  # corrupt filter byte -> fail-soft stub
+
+
+# Real-encoder JPEG fixtures (CPython test-suite data, PSF licensed):
+# python.jpg — 16x16 baseline 3-component; 2x2.jpg — 2x2 grayscale.
+# Ground-truth mean luma computed ONCE with javax.imageio (an independent
+# decoder): python.jpg 98.1910 (BT.601 of the clamped RGB raster — the
+# Y-channel mean differs by the irreducible chroma-clamping gap),
+# 2x2.jpg exactly 128.0 (uniform gray; note java's getRGB() on
+# TYPE_BYTE_GRAY reports 188 due to its linear->sRGB conversion — raster
+# samples are the ground truth).
+_PYTHON_JPG_B64 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkI"
+    "CQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQ"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIA"
+    "AhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYF"
+    "BwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAEC"
+    "EQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUg"
+    "slSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWke"
+    "zS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKh"
+    "QMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhS"
+    "mCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+)
+_2X2_JPG_B64 = (
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAAAQUBAQEB"
+    "AQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1Fh"
+    "ByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZ"
+    "WmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXG"
+    "x8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+)
+
+
+def test_real_jpeg_decode_vs_imageio_ground_truth(spark):
+    """Decode REAL encoder output (not our own fixtures) and match
+    dimensions exactly + luma against javax.imageio ground truth."""
+    import base64
+
+    payloads = [
+        (0, base64.b64decode(_PYTHON_JPG_B64)),
+        (1, base64.b64decode(_2X2_JPG_B64)),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert rows[0].format == "jpeg" and (rows[0].width, rows[0].height) == (16, 16)
+    assert abs(rows[0].mean_luma - 98.1910) <= 1.5  # chroma-clamping gap
+    assert rows[1].format == "jpeg" and (rows[1].width, rows[1].height) == (2, 2)
+    assert abs(rows[1].mean_luma - 128.0) <= 1e-9  # grayscale: exact
+
+
+def test_jpeg_roundtrip_gray_and_420(spark):
+    """Our baseline encoder's output decodes to the ORIGINAL pixels'
+    dimensions and mean luma (all-2s quant => sub-1 error), for both
+    grayscale and 4:2:0 color frames, including non-multiple-of-MCU
+    sizes; garbage with a JPEG magic falls soft to 'fake'."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _encode_jpeg_baseline,
+        extract_image_features,
+    )
+
+    cases = []
+    want = {}
+    mid = 0
+    for color in (False, True):
+        for (w, h) in [(24, 16), (31, 17)]:
+            yy, xx = np.mgrid[0:h, 0:w]
+            gray = ((xx * 5 + yy * 3 + mid * 11) % 256).astype(np.uint8)
+            cases.append((mid, _encode_jpeg_baseline(gray, color_420=color)))
+            want[mid] = (w, h, float(gray.mean()))
+            mid += 1
+    cases.append((mid, b"\xff\xd8 not really a jpeg"))
+    df = spark.createDataFrame(cases, "media_id long, payload binary")
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    for i, (w, h, luma) in want.items():
+        assert rows[i].format == "jpeg"
+        assert (rows[i].width, rows[i].height) == (w, h)
+        assert abs(rows[i].mean_luma - luma) <= 1.5
+    assert rows[mid].format == "fake"
+
+
+def test_synthetic_images_suite_fixture(spark):
+    """The suite's image fixture mixes real-decoding JPEGs (gray + 4:2:0)
+    with fail-soft garbage rows."""
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        extract_image_features,
+        synthetic_images,
+    )
+
+    out = extract_image_features(synthetic_images(spark, n=16)).collect()
+    fmts = {r.media_id: r.format for r in out}
+    assert len(out) == 16
+    assert {fmts[i] for i in range(16) if i % 4 in (0, 1, 2)} == {"jpeg"}
+    assert {fmts[i] for i in range(16) if i % 4 == 3} == {"fake"}

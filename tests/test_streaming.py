@@ -291,3 +291,96 @@ def test_stream_asof_enrich_multi_chunk_groups(spark, events_dir):
         ).collect()
     }
     assert got == batch
+
+
+def test_stream_asof_enrich_multi_batch_out_of_order(spark, tmp_path):
+    """≥3 micro-batches with out-of-order RIGHT rows across batch
+    boundaries: a late right must not regress the carried state (a left
+    after the carried ts keeps the newer packet) while still enriching
+    in-batch lefts in its correct timeline slot.  Result must equal the
+    batch asof_join over the full history, which is exactly what a
+    1-file-per-trigger replay of in-order-per-batch lefts guarantees."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.temporal import asof_join
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_to_memory,
+    )
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_asof_enrich
+
+    H = 3_600_000_000_000  # 1h in ns
+    base = 1_700_000_000_000_000_000  # epoch ns
+
+    def rows(batch):
+        return [
+            (eid, base + h * H, uid, etype, val, None)
+            for (eid, h, uid, etype, val) in batch
+        ]
+
+    # batch 1: purchase @t=10h, clicks @12h;  batch 2: LATE purchase @t=2h
+    # (older than carried state 10h) plus clicks @1h (before the late
+    # right), @5h (between late right and carried state) and @13h (after
+    # carried state — must keep 10h, the regression case); batch 3: fresh
+    # purchase @20h then click @21h.
+    batches = [
+        rows([(1, 10, 7, "purchase", 10.0, None)[:5], (2, 12, 7, "click", 1.0, None)[:5]]),
+        rows([(3, 2, 7, "purchase", 2.0, None)[:5], (4, 1, 7, "click", 1.0, None)[:5],
+              (5, 5, 7, "click", 1.0, None)[:5], (6, 13, 7, "click", 1.0, None)[:5]]),
+        rows([(7, 20, 7, "purchase", 20.0, None)[:5], (8, 21, 7, "click", 1.0, None)[:5]]),
+    ]
+    src = str(tmp_path / "asof_multi_batch")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        # one file per batch dir write; rename below keeps 3 files total
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    q = run_to_memory(stream_asof_enrich(ev), "asof_multi", "update")
+    try:
+        n_batches = len(q.recentProgress)
+        got = {
+            r.event_id: (r.right_ts_asof, r.right_value_asof)
+            for r in spark.sql("SELECT * FROM asof_multi").collect()
+        }
+    finally:
+        q.stop()
+    assert n_batches >= 3  # the replay really crossed batch boundaries
+
+    all_rows = [r for b in batches for r in b]
+    ev_batch = spark.createDataFrame(all_rows, EVENTS_STREAM_SCHEMA).select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    clicks = ev_batch.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev_batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    want = {
+        r.event_id: (r.ts_x, r.value_x)
+        for r in asof_join(
+            clicks, purchases, on="user_id", payload=["ts", "value"], suffix="_x"
+        ).collect()
+    }
+    # every left here sees its at-or-before right inside its own batch's
+    # merge (carried packet included), so stream must equal batch exactly
+    # — including click @1h (no right precedes it → NULL, not the carried
+    # future packet) and click @13h (keeps 10h; the late 2h right must
+    # not regress the carried state).
+    assert got == want
