@@ -48,12 +48,13 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _decode_bmp(b: bytes) -> tuple[int, int, float]:
-    """Uncompressed 24-bpp BMP decode — pure ``struct``/numpy.
+def _decode_bmp(b: bytes):
+    """Uncompressed 24-bpp BMP decode → (w, h, luma plane) — pure
+    ``struct``/numpy.
 
     BITMAPINFOHEADER: width int32@18, height int32@22 (negative =
     top-down), bpp uint16@28, pixel offset uint32@10; rows are padded to
-    4-byte multiples, pixels are BGR.
+    4-byte multiples, pixels are BGR (bottom-up unless height < 0).
     """
     import struct
 
@@ -70,7 +71,9 @@ def _decode_bmp(b: bytes) -> tuple[int, int, float]:
     px = px.reshape(h_abs, stride)[:, : w * 3].reshape(h_abs, w, 3).astype(np.float64)
     # BGR → ITU-R 601 luma
     luma = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]
-    return w, h_abs, float(luma.mean())
+    if h > 0:
+        luma = luma[::-1]  # bottom-up storage → top-down plane
+    return w, h_abs, luma
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
@@ -122,9 +125,10 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
     return out
 
 
-def _decode_png(b: bytes) -> tuple[int, int, float]:
-    """Minimal PNG decode — pure ``zlib``/``struct``: 8-bit greyscale /
-    RGB / RGBA, non-interlaced, all five scanline filters."""
+def _decode_png(b: bytes):
+    """Minimal PNG decode → (w, h, luma plane) — pure ``zlib``/``struct``:
+    8-bit greyscale / RGB / RGBA, non-interlaced, all five scanline
+    filters."""
     import struct
     import zlib
 
@@ -153,7 +157,7 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
         luma = px[..., 0].astype(float)
     else:  # RGB(A): ITU-R 601, alpha ignored
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    return w, h, float(luma.mean())
+    return w, h, luma
 
 
 #: zigzag index -> natural (row-major) index, JPEG spec Figure 5
@@ -223,8 +227,8 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v
 
 
-def _decode_jpeg(b: bytes) -> tuple[int, int, float]:
-    """Baseline sequential JPEG (SOF0/SOF1) decode of the LUMA plane —
+def _decode_jpeg(b: bytes):
+    """Baseline sequential JPEG (SOF0/SOF1) decode → (w, h, luma plane) —
     pure stdlib ``struct`` + numpy Huffman/IDCT, no codec libraries.
 
     Handles grayscale and any chroma subsampling (4:4:4 / 4:2:2 / 4:2:0):
@@ -389,7 +393,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, float]:
     # streams where it doesn't
     yw, yh = -(-w * hy // hmax), -(-h * vy // vmax)
     luma = np.clip(plane[:yh, :yw], 0, 255)
-    return w, h, float(luma.mean())
+    return w, h, luma
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
@@ -402,6 +406,25 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     h = 16 + ((n // 64) % 64)
     luma = (sum(payload[:256]) / max(min(n, 256), 1)) if n else 0.0
     return w, h, luma
+
+
+def _decode_luma(b: bytes):
+    """Shared decode dispatch → (w, h, luma plane | None, format).
+
+    Real luma plane for BMP/PNG/baseline-JPEG; ``(…, None, 'fake')``
+    with the deterministic stub's scalar features for anything else —
+    including on any decode error (fail-soft)."""
+    try:
+        if b[:2] == b"BM":
+            return (*_decode_bmp(b), "bmp")
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return (*_decode_png(b), "png")
+        if b[:2] == b"\xff\xd8":
+            return (*_decode_jpeg(b), "jpeg")
+    except Exception:
+        pass
+    w, h, _luma = _decode_image_stub(b)
+    return w, h, None, "fake"
 
 
 def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
@@ -421,22 +444,10 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    if b[:2] == b"BM":
-                        w, h, luma = _decode_bmp(b)
-                        fmt = "bmp"
-                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                        w, h, luma = _decode_png(b)
-                        fmt = "png"
-                    elif b[:2] == b"\xff\xd8":
-                        w, h, luma = _decode_jpeg(b)
-                        fmt = "jpeg"
-                    else:
-                        w, h, luma = _decode_image_stub(b)
-                        fmt = "fake"
-                except Exception:
-                    w, h, luma = _decode_image_stub(b)
-                    fmt = "fake"
+                w, h, plane, fmt = _decode_luma(b)
+                luma = (
+                    float(plane.mean()) if plane is not None else _decode_image_stub(b)[2]
+                )
                 rows.append((mid, w, h, len(b), luma, fmt))
             yield pd.DataFrame(
                 rows,
@@ -446,17 +457,172 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def _encode_png_gray(plane) -> bytes:
+    """Encode a 2-D uint8 luma plane as an 8-bit grayscale PNG — pure
+    ``zlib``/``struct`` (filter type 0 per scanline)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    plane = np.clip(np.rint(plane), 0, 255).astype(np.uint8)
+    h, w = plane.shape
+    raw = b"".join(b"\x00" + plane[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize decodable images to (out_w, out_h) grayscale thumbnails →
+    (media_id, width, height, payload, format) with the payload
+    re-encoded as a REAL 8-bit grayscale PNG.
+
+    Decode is the shared stdlib path (BMP / PNG / baseline JPEG);
+    resampling is numpy area-average (box filter) over the bilinear
+    source grid — downscale-antialiased, upscale-bilinear.  Undecodable
+    payloads emit ``format='fake'`` with a NULL payload (fail-soft).
+
+    Scale shape: one Arrow ``mapInPandas`` stage, no shuffle; thumbnails
+    are orders of magnitude smaller than sources, so emit-then-shuffle
+    downstream is cheap — never shuffle the source binary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _resample(plane, ow: int, oh: int):
+        ih, iw = plane.shape
+        # area-average: split source rows/cols into oh/ow contiguous
+        # (fractional) strips via cumulative sums — exact box filter
+        ys = np.linspace(0, ih, oh + 1)
+        xs = np.linspace(0, iw, ow + 1)
+        csum = np.zeros((ih + 1, iw + 1))
+        csum[1:, 1:] = plane.cumsum(0).cumsum(1)
+
+        def integral(y, x):  # bilinear-interpolated integral image
+            yi = np.clip(y.astype(int), 0, ih)
+            xi = np.clip(x.astype(int), 0, iw)
+            yf, xf = y - yi, x - xi
+            yi1 = np.clip(yi + 1, 0, ih)
+            xi1 = np.clip(xi + 1, 0, iw)
+            c00 = csum[np.ix_(yi, xi)]
+            c01 = csum[np.ix_(yi, xi1)]
+            c10 = csum[np.ix_(yi1, xi)]
+            c11 = csum[np.ix_(yi1, xi1)]
+            top = c00 * (1 - xf)[None, :] + c01 * xf[None, :]
+            bot = c10 * (1 - xf)[None, :] + c11 * xf[None, :]
+            return top * (1 - yf)[:, None] + bot * yf[:, None]
+
+        S = integral(ys, xs)
+        area = np.outer(np.diff(ys), np.diff(xs))
+        return (S[1:, 1:] - S[:-1, 1:] - S[1:, :-1] + S[:-1, :-1]) / area
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload) if payload is not None else b""
+                _w, _h, plane, fmt = _decode_luma(b)
+                if plane is None or plane.size == 0:
+                    rows.append((mid, out_w, out_h, None, "fake"))
+                else:
+                    thumb = _resample(np.asarray(plane, dtype=np.float64), out_w, out_h)
+                    rows.append((mid, out_w, out_h, _encode_png_gray(thumb), fmt))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload", "format"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+def _jpeg_end(b: bytes, start: int) -> int:
+    """Index just past the EOI of the JPEG beginning at ``start`` — a
+    structural walk (segment lengths + entropy-data scan for unstuffed
+    markers), no Huffman decode needed.  Basis of MJPEG frame splitting."""
+    import struct
+
+    pos, n = start + 2, len(b)
+    while pos < n - 1:
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG segment structure")
+        m = b[pos + 1]
+        if m == 0xD9:
+            return pos + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        pos += 2 + ln
+        if m == 0xDA:  # entropy-coded data: scan to the next true marker
+            while pos < n - 1:
+                if (
+                    b[pos] == 0xFF
+                    and b[pos + 1] != 0x00
+                    and not (0xD0 <= b[pos + 1] <= 0xD7)
+                ):
+                    break
+                pos += 1
+    raise ValueError("no EOI")
+
+
+def _split_mjpeg(b: bytes) -> list[bytes]:
+    """Split an MJPEG byte stream (concatenated baseline JPEGs) into
+    per-frame payloads; raises on any structural break."""
+    frames, pos = [], 0
+    while pos < len(b) - 1:
+        if b[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError("not an MJPEG frame boundary")
+        end = _jpeg_end(b, pos)
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 10,
     id_col: str = "media_id",
     bin_col: str = "payload",
 ) -> DataFrame:
-    """Frame-sample a video payload: emit every Nth "frame".
+    """Frame-sample a video payload: emit every Nth frame.
 
-    STUB container decode: treats the payload as fixed 1 KiB frames.  Real
-    codec swap touches only the slicing loop.  Output fan-out (rows out >
-    rows in) is why this is ``mapInPandas`` and not a scalar UDF.
+    REAL container split for MJPEG (concatenated baseline JPEGs — each
+    emitted frame is a decodable standalone JPEG, found by a structural
+    marker walk with no entropy decode); other containers (mp4/mkv need
+    external demuxers) fall back to the deterministic fixed-1-KiB-frame
+    stub, so the fan-out contract is exercised either way.  Output
+    fan-out (rows out > rows in) is why this is ``mapInPandas`` and not
+    a scalar UDF.
     """
     import pandas as pd
 
@@ -467,9 +633,19 @@ def sample_frames(
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload) if payload is not None else b""
-                n_frames = max(len(b) // frame_size, 0)
-                for i in range(0, n_frames, every_n):
-                    rows.append((mid, i, b[i * frame_size : (i + 1) * frame_size]))
+                frames = None
+                if b[:2] == b"\xff\xd8":
+                    try:
+                        frames = _split_mjpeg(b)
+                    except Exception:
+                        frames = None  # corrupt stream → stub slicing
+                if frames is None:
+                    frames = [
+                        b[i * frame_size : (i + 1) * frame_size]
+                        for i in range(max(len(b) // frame_size, 0))
+                    ]
+                for i in range(0, len(frames), every_n):
+                    rows.append((mid, i, frames[i]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
 
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

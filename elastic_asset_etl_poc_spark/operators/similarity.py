@@ -83,6 +83,7 @@ def _banded_signatures(
     planes: int,
     bands: int,
     seed: int,
+    with_payload: bool = True,
 ):
     """Banded sign-LSH signature stage → (__id, __v double[], band, bucket).
 
@@ -91,16 +92,28 @@ def _banded_signatures(
     broadcast), signs come from one BLAS matmul per batch, and each
     vector emits ``bands`` rows — band *b*'s bucket packs the sign bits
     of planes ``[b·planes, (b+1)·planes)``.
+
+    ``with_payload=False`` emits only (band, bucket) — the bucket-size
+    counting pass needs nothing else, and skipping the id/vector columns
+    removes the bulk of the Arrow transfer (the matmul itself is
+    inherent: buckets are defined by it).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     idtype = df.schema[id_col].dataType
-    sig_schema = T.StructType(
+    fields = (
         [
             T.StructField("__id", idtype),
             T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+        if with_payload
+        else []
+    )
+    sig_schema = T.StructType(
+        fields
+        + [
             T.StructField("band", T.IntegerType()),
             T.StructField("bucket", T.IntegerType()),
         ]
@@ -119,8 +132,7 @@ def _banded_signatures(
             if H is None:
                 H = rng.standard_normal((total_planes, vecs.shape[1]))
             bits = (vecs @ H.T >= 0).astype(np.int64)  # (n, total_planes)
-            ids = pdf[id_col].to_numpy()
-            n = len(ids)
+            n = len(pdf)
             buckets = np.concatenate(
                 [
                     (bits[:, b * planes : (b + 1) * planes] << np.arange(planes))
@@ -128,14 +140,18 @@ def _banded_signatures(
                     for b in range(bands)
                 ]
             )
-            yield pd.DataFrame(
-                {
+            cols = {
+                "band": np.repeat(np.arange(bands, dtype=np.int32), n),
+                "bucket": buckets.astype(np.int32),
+            }
+            if with_payload:
+                ids = pdf[id_col].to_numpy()
+                cols = {
                     "__id": np.tile(ids, bands),
                     "__v": list(vecs) * bands,
-                    "band": np.repeat(np.arange(bands, dtype=np.int32), n),
-                    "bucket": buckets.astype(np.int32),
+                    **cols,
                 }
-            )
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
 
@@ -458,7 +474,9 @@ def cosine_pairs(
     return replicated.groupBy("__bi", "__bj").applyInPandas(block_pair, out_schema)
 
 
-def _bounded_bucket_groups(banded: DataFrame, max_bucket: int) -> DataFrame:
+def _bounded_bucket_groups(
+    banded: DataFrame, max_bucket: int, counts: DataFrame | None = None
+) -> DataFrame:
     """Split over-cap (band, bucket) groups into bounded block-pair tasks.
 
     Input: ``_banded_signatures`` output (__id, __v, band, bucket).
@@ -467,9 +485,11 @@ def _bounded_bucket_groups(banded: DataFrame, max_bucket: int) -> DataFrame:
     per task while still covering every within-bucket pair exactly once.
 
     Mechanism: count each bucket (map-side-combined aggregate of just the
-    key — the vectors are not shuffled for the count), left-join the
-    (tiny) over-cap list back — declared as a plain join so AQE broadcasts
-    it when small — and replicate each member of an over-cap bucket to the
+    key — the vectors are not shuffled for the count; pass ``counts``
+    built from the payload-free signature pass so the ids/vectors don't
+    ride through Arrow either), left-join the (tiny) over-cap list back —
+    declared as a plain join so AQE broadcasts it when small — and
+    replicate each member of an over-cap bucket to the
     ``nblk = ceil(count / max_bucket)`` block-pairs it participates in,
     exactly the :func:`cosine_pairs` decomposition but *within* a bucket.
     Buckets at or under the cap keep nblk = 1 and degenerate to the
@@ -485,7 +505,10 @@ def _bounded_bucket_groups(banded: DataFrame, max_bucket: int) -> DataFrame:
     candidate set (same pairs, same cosines) and bounds per-task work
     unconditionally, including the all-identical worst case.
     """
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    if counts is None:
+        counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
     hot = counts.filter(F.col("__cnt") > max_bucket).select(
         "band",
         "bucket",
@@ -575,7 +598,14 @@ def cosine_pairs_lsh(
         ]
     )
     banded = _banded_signatures(embeddings, id_col, vec_col, planes, bands, seed)
-    replicated = _bounded_bucket_groups(banded, max_bucket)
+    counts = (
+        _banded_signatures(
+            embeddings, id_col, vec_col, planes, bands, seed, with_payload=False
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    replicated = _bounded_bucket_groups(banded, max_bucket, counts)
 
     def bucket_pairs(key, pdf):
         _, _, bi, bj = key

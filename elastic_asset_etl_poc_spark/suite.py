@@ -1220,6 +1220,40 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+@q("multimodal_resize_thumbnails", None)  # synthetic media, rows-only check
+def multimodal_resize_thumbnails(spark, sf_dir):
+    """Image resize: decode (stdlib JPEG/PNG/BMP) → area-average resample
+    → re-encode REAL grayscale PNG thumbnails, one Arrow stage, binary
+    never shuffled; undecodable payloads fail soft to format='fake'."""
+    from .operators.multimodal import resize_images, synthetic_images
+
+    return resize_images(synthetic_images(spark, n=128), out_w=16, out_h=16)
+
+
+@q("multimodal_frame_sample", None)  # synthetic media, rows-only check
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: REAL MJPEG container split (every 4th frame
+    emitted as a standalone decodable JPEG); non-MJPEG payloads use the
+    fixed-size stub slicing.  Fan-out mapInPandas shape."""
+    from pyspark.sql import functions as PF
+
+    from .operators.multimodal import sample_frames, synthetic_images
+
+    # concatenate each image id's JPEG 8× into a tiny MJPEG "clip"
+    clips = (
+        synthetic_images(spark, n=32)
+        .filter(PF.col("media_id") % 4 != 3)  # drop the garbage payloads
+        .selectExpr(
+            "media_id",
+            "concat(payload, payload, payload, payload,"
+            " payload, payload, payload, payload) AS payload",
+        )
+    )
+    return sample_frames(clips, every_n=4).select(
+        "media_id", "frame_idx", PF.length("frame_bytes").alias("frame_len")
+    )
+
+
 @q(
     "rollup_region_revenue",
     """

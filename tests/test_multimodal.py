@@ -248,3 +248,68 @@ def test_synthetic_images_suite_fixture(spark):
     assert len(out) == 16
     assert {fmts[i] for i in range(16) if i % 4 in (0, 1, 2)} == {"jpeg"}
     assert {fmts[i] for i in range(16) if i % 4 == 3} == {"fake"}
+
+
+def test_resize_images_thumbnails(spark):
+    """Resize decodes real formats, area-resamples, and re-encodes a real
+    grayscale PNG whose mean luma matches the source; undecodable
+    payloads fail soft."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _decode_png,
+        _encode_jpeg_baseline,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    gray = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (0, _encode_jpeg_baseline(gray)),
+            (1, _make_bmp(10, 6, (0, 255, 0))),
+            (2, b"not an image at all"),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in resize_images(df, 8, 8).collect()}
+    assert (rows[0].width, rows[0].height, rows[0].format) == (8, 8, "jpeg")
+    w, h, thumb = _decode_png(bytes(rows[0].payload))
+    assert (w, h) == (8, 8)
+    assert abs(float(thumb.mean()) - float(gray.mean())) <= 2.0  # box filter preserves mean
+    assert rows[1].format == "bmp"
+    w1, h1, t1 = _decode_png(bytes(rows[1].payload))
+    assert (w1, h1) == (8, 8) and abs(float(t1.mean()) - 149.685) < 1.0  # green luma
+    assert rows[2].format == "fake" and rows[2].payload is None
+
+
+def test_sample_frames_mjpeg_real_split(spark):
+    """MJPEG payloads split into REAL standalone JPEG frames (every Nth),
+    each independently decodable; non-MJPEG payloads keep the 1 KiB stub
+    slicing."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _decode_luma,
+        _encode_jpeg_baseline,
+        sample_frames,
+    )
+
+    frames = []
+    for i in range(5):
+        g = (np.full((16, 16), 40 * i)).astype(np.uint8)
+        frames.append(_encode_jpeg_baseline(g))
+    df = spark.createDataFrame(
+        [(0, b"".join(frames)), (1, b"y" * 5000)], "media_id long, payload binary"
+    )
+    out = sample_frames(df, every_n=2).collect()
+    mj = sorted(
+        [r for r in out if r.media_id == 0], key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in mj] == [0, 2, 4]
+    for r in mj:
+        w, h, plane, fmt = _decode_luma(bytes(r.frame_bytes))
+        assert fmt == "jpeg" and (w, h) == (16, 16)
+        assert abs(float(plane.mean()) - 40 * r.frame_idx) <= 1.5
+    stub = [r for r in out if r.media_id == 1]
+    assert [r.frame_idx for r in stub] == [0, 2]  # 2 of 2 kiB frames sampled
