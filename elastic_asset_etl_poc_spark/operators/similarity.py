@@ -260,6 +260,26 @@ def ivf_train(
     return C
 
 
+def save_centroids(spark, centroids, path: str) -> None:
+    """Persist an :func:`ivf_train` centroid matrix as a tiny parquet
+    table (centroid_id, vector) — readable by any engine, so a static
+    corpus trains once per ingest instead of once per query batch."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "centroid_id int, vector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str):
+    """Load a :func:`save_centroids` matrix back as numpy (kc, d)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("centroid_id").collect()
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.array([r.vector for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

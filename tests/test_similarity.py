@@ -224,3 +224,27 @@ def test_ivf_train_reuse_skips_training_jobs(spark):
         for name, fn in forbidden.items():
             setattr(DataFrame, name, fn)
     assert sorted(map(tuple, reused.collect())) == self_trained
+
+
+def test_ivf_centroids_parquet_roundtrip(spark, tmp_path):
+    """Centroids persist to parquet and round-trip bit-exactly, so a
+    static corpus trains once per ingest, not once per query batch."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        ivf_topk,
+        ivf_train,
+        load_centroids,
+        save_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    C = ivf_train(emb)
+    path = str(tmp_path / "centroids")
+    save_centroids(spark, C, path)
+    C2 = load_centroids(spark, path)
+    assert C2.shape == C.shape and np.array_equal(C, C2)
+    q = emb.filter("vec_id < 2")
+    a = sorted(map(tuple, ivf_topk(emb, q, k=5, centroids=C).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, q, k=5, centroids=C2).collect()))
+    assert a == b

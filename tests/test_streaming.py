@@ -384,3 +384,54 @@ def test_stream_asof_enrich_multi_batch_out_of_order(spark, tmp_path):
     # future packet) and click @13h (keeps 10h; the late 2h right must
     # not regress the carried state).
     assert got == want
+
+
+def test_stateful_sessionize_multi_batch(spark, tmp_path):
+    """Session state must carry across >=3 micro-batches: a gap inside a
+    batch opens a new session, a small gap ACROSS a batch boundary must
+    NOT, and a large gap across a boundary must."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_to_memory,
+    )
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_sessionize
+
+    M = 60_000_000_000  # 1 min in ns
+    base = 1_700_000_000_000_000_000
+
+    def ev(eid, minutes, uid):
+        return (eid, base + minutes * M, uid, "click", 1.0, None)
+
+    # user 7: b1 [0m, 5m] | b2 [10m (5m gap: same session), 60m (new)] |
+    #         b3 [200m (new)] -> 3 sessions, 5 events
+    # user 8: b1 [0m] | b3 [400m] -> 2 sessions, 2 events
+    batches = [
+        [ev(1, 0, 7), ev(2, 5, 7), ev(10, 0, 8)],
+        [ev(3, 10, 7), ev(4, 60, 7)],
+        [ev(5, 200, 7), ev(11, 400, 8)],
+    ]
+    src = str(tmp_path / "sess_multi_batch")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+    )
+    q = run_to_memory(stream_sessionize(stream), "sess_multi", "update")
+    try:
+        n_batches = len(q.recentProgress)
+        rows = spark.sql(
+            "SELECT user_id, last(n_events) AS n_events, last(n_sessions)"
+            " AS n_sessions FROM sess_multi GROUP BY user_id"
+        ).collect()
+    finally:
+        q.stop()
+    assert n_batches >= 3
+    got = {r.user_id: (r.n_events, r.n_sessions) for r in rows}
+    assert got == {7: (5, 3), 8: (2, 2)}
