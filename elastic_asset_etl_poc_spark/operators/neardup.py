@@ -552,3 +552,44 @@ def dedup_survivors(
         F.col("label").alias("cluster"),
         (F.col("node") == F.col("label")).alias("is_survivor"),
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination audit → (doc_id, n_shingles,
+    n_contaminated, contamination_pct): what fraction of each training
+    document's n-gram shingles appear anywhere in the benchmark set.
+
+    The standard pre-training hygiene check (eval-set leakage).  Plan
+    shape for 100 TB: the benchmark side is tiny (eval suites are
+    thousands of documents) — its distinct shingle set BROADCASTS, so
+    the corpus side is a map-side left join + one hash-agg on doc_id;
+    the corpus is never shuffled on shingle.  Documents with fewer than
+    ``n`` tokens have no shingles and are omitted (nothing to test).
+    """
+    d = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    b = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(b), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_pct",
+            F.round(
+                F.col("n_contaminated") * F.lit(100.0) / F.col("n_shingles"), 2
+            ),
+        )
+    )

@@ -110,3 +110,35 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("v").alias("fingerprint"))
     )
+
+
+#: (pattern, replacement) chain for PII scrubbing — patterns restricted
+#: to syntax shared by Java regex (Spark) and RE2 (DuckDB) so the oracle
+#: can apply the identical chain
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, NANP-style
+    phone numbers and IPv4 addresses with typed placeholder tokens, and
+    count the redactions per document.
+
+    Pure ``regexp_extract_all`` + ``regexp_replace`` chain — JVM-side
+    codegen, map-only (no shuffle, no Python), linear in corpus size:
+    the shape a 100 TB scrub pass needs.  Counts are computed BEFORE
+    replacement so `<EMAIL>` tokens never double-count.
+    """
+    c = F.col(text_col)
+    n_redacted: Column = F.lit(0)
+    for pat, _rep in PII_PATTERNS:
+        n_redacted = n_redacted + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    red = c
+    for pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return df.withColumn(out_col, red).withColumn("n_redacted", n_redacted)

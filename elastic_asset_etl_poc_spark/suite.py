@@ -718,6 +718,79 @@ def recall_minhash_vs_jaccard(spark, sf_dir):
     return _recall_audit(exact, approx, ["doc_a", "doc_b"])
 
 
+@q(
+    "redact_pii_docs",
+    r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-ample.com ip 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || ' ph 555-867-530'
+              || CAST(doc_id % 10 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text_redacted,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
+       + len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_redacted
+FROM seeded
+""",
+)
+def redact_pii_docs(spark, sf_dir):
+    """PII scrubbing (emails/phones/IPv4 → typed placeholders + per-doc
+    count), demonstrated on documents seeded with deterministic synthetic
+    PII derived from doc_id.  Map-only regexp chain — no shuffle, no
+    Python; the oracle applies the identical chain (patterns restricted
+    to Java-regex ∩ RE2 syntax)."""
+    from .operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id").cast("string"),
+            F.lit("@ex-ample.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" ph 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select("doc_id", "text_redacted", "n_redacted")
+
+
+@q(
+    "contamination_docs",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+SELECT doc_id, count(*) AS n_shingles,
+       count(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END) AS n_contaminated,
+       round(count(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END) * 100.0
+             / count(*), 2) AS contamination_pct
+FROM corpus GROUP BY doc_id
+""",
+)
+def contamination_docs(spark, sf_dir):
+    """Benchmark-contamination audit: every 20th document plays the held
+    -out eval set; the rest of the corpus reports what fraction of its
+    3-gram shingles leak from it.  Benchmark shingles broadcast (eval
+    suites are tiny) — corpus side is a map-side join + one doc_id agg."""
+    from .operators.neardup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_check(corpus, bench)
+
+
 @q("simhash_docs", None)  # xxhash64-based → rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash 64-bit fingerprints per document."""

@@ -185,3 +185,63 @@ def test_normalize_text(spark):
     assert out[1] == "hello world x2"
     assert out[2] == "already clean"
     assert out[3] == ""
+
+
+def test_redact_pii_patterns(spark):
+    from elastic_asset_etl_poc_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@corp.example.org today"),
+            (2, "call 555-123-4567 or visit 192.168.0.1 now"),
+            (3, "nothing sensitive here"),
+            (4, "a@b.io and c@d.io and 10.0.0.7"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].text_redacted == "write to <EMAIL> today"
+    assert rows[1].n_redacted == 1
+    assert rows[2].text_redacted == "call <PHONE> or visit <IP> now"
+    assert rows[2].n_redacted == 2
+    assert rows[3].text_redacted == "nothing sensitive here"
+    assert rows[3].n_redacted == 0
+    assert rows[4].n_redacted == 3
+
+
+def test_contamination_check_overlap(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shingles: 3, contaminated: 2
+            (2, "zeta eta theta iota"),  # 2 shingles, 0 contaminated
+            (3, "too short"),  # no shingles -> omitted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_check(docs, bench).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].n_shingles, rows[1].n_contaminated) == (3, 2)
+    assert rows[1].contamination_pct == 66.67
+    assert (rows[2].n_shingles, rows[2].n_contaminated) == (2, 0)
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark shingle set must be the broadcast side — the corpus
+    is never shuffled on shingle."""
+    from elastic_asset_etl_poc_spark.operators.neardup import contamination_check
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = contamination_check(
+        docs.filter("doc_id % 20 != 0"), docs.filter("doc_id % 20 = 0")
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
