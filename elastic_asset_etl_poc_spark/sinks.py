@@ -66,6 +66,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-sorted parquet layout for scan pruning (the Z-order-lite
+    that plain parquet supports).
+
+    ``repartitionByRange`` gives each output file a DISJOINT range of
+    ``sort_cols``; ``sortWithinPartitions`` makes every parquet row group
+    internally sorted, so file- and row-group-level min/max statistics
+    become tight and non-overlapping.  A reader filtering on the leading
+    sort column then skips whole files/row groups at the footer level —
+    at 100 TB the difference between scanning a shard and scanning the
+    corpus.  Verified in tests by reading the footers back with pyarrow
+    and checking (a) disjoint per-file ranges and (b) that a point
+    predicate overlaps exactly one file's stats.
+    """
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,
