@@ -316,6 +316,11 @@ def _decode_jpeg(b: bytes):
         raise ValueError("missing SOF/SOS")
 
     w, h, comps = frame
+    # corrupt/hostile headers can claim 65535×65535: refuse before
+    # allocating the plane or walking 67M MCUs — one bad file must never
+    # OOM or stall a million-row partition (fail-soft catches this)
+    if w * h > 100_000_000:
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed decode cap")
     by_id = {cid: (hs, vs, qid) for cid, hs, vs, qid in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)

@@ -313,3 +313,31 @@ def test_sample_frames_mjpeg_real_split(spark):
         assert abs(float(plane.mean()) - 40 * r.frame_idx) <= 1.5
     stub = [r for r in out if r.media_id == 1]
     assert [r.frame_idx for r in stub] == [0, 2]  # 2 of 2 kiB frames sampled
+
+
+def test_jpeg_hostile_header_fails_soft_fast(spark):
+    """A corrupt SOF claiming 65535x65535 must fail soft instantly — not
+    allocate a 34 GB plane or walk 67M MCUs (one bad file must never OOM
+    or stall a partition)."""
+    import struct
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(m, payload):
+        out.extend(struct.pack(">BBH", 0xFF, m, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes([2] * 64))
+    seg(0xC0, struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0]))
+    dc_counts = [0] * 16
+    dc_counts[7] = 12
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(range(12)))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out.extend(b"\x2b\xff\xd9")
+    df = spark.createDataFrame([(0, bytes(out))], "media_id long, payload binary")
+    row = extract_image_features(df).collect()[0]
+    assert row.format == "fake"
