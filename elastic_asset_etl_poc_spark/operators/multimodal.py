@@ -502,6 +502,38 @@ RESIZED_IMAGE_SCHEMA = T.StructType(
 )
 
 
+def _area_resample(plane, ow: int, oh: int):
+    """Exact area-average (box filter) resample of a 2-D float plane via
+    a bilinear-interpolated integral image — downscale-antialiased,
+    upscale-bilinear, and preserves the global mean exactly (uniform
+    strip areas telescope to the total integral; property-tested)."""
+    import numpy as np
+
+    ih, iw = plane.shape
+    ys = np.linspace(0, ih, oh + 1)
+    xs = np.linspace(0, iw, ow + 1)
+    csum = np.zeros((ih + 1, iw + 1))
+    csum[1:, 1:] = plane.cumsum(0).cumsum(1)
+
+    def integral(y, x):  # bilinear-interpolated integral image
+        yi = np.clip(y.astype(int), 0, ih)
+        xi = np.clip(x.astype(int), 0, iw)
+        yf, xf = y - yi, x - xi
+        yi1 = np.clip(yi + 1, 0, ih)
+        xi1 = np.clip(xi + 1, 0, iw)
+        c00 = csum[np.ix_(yi, xi)]
+        c01 = csum[np.ix_(yi, xi1)]
+        c10 = csum[np.ix_(yi1, xi)]
+        c11 = csum[np.ix_(yi1, xi1)]
+        top = c00 * (1 - xf)[None, :] + c01 * xf[None, :]
+        bot = c10 * (1 - xf)[None, :] + c11 * xf[None, :]
+        return top * (1 - yf)[:, None] + bot * yf[:, None]
+
+    S = integral(ys, xs)
+    area = np.outer(np.diff(ys), np.diff(xs))
+    return (S[1:, 1:] - S[:-1, 1:] - S[1:, :-1] + S[:-1, :-1]) / area
+
+
 def resize_images(
     df: DataFrame,
     out_w: int,
@@ -525,33 +557,6 @@ def resize_images(
     import numpy as np
     import pandas as pd
 
-    def _resample(plane, ow: int, oh: int):
-        ih, iw = plane.shape
-        # area-average: split source rows/cols into oh/ow contiguous
-        # (fractional) strips via cumulative sums — exact box filter
-        ys = np.linspace(0, ih, oh + 1)
-        xs = np.linspace(0, iw, ow + 1)
-        csum = np.zeros((ih + 1, iw + 1))
-        csum[1:, 1:] = plane.cumsum(0).cumsum(1)
-
-        def integral(y, x):  # bilinear-interpolated integral image
-            yi = np.clip(y.astype(int), 0, ih)
-            xi = np.clip(x.astype(int), 0, iw)
-            yf, xf = y - yi, x - xi
-            yi1 = np.clip(yi + 1, 0, ih)
-            xi1 = np.clip(xi + 1, 0, iw)
-            c00 = csum[np.ix_(yi, xi)]
-            c01 = csum[np.ix_(yi, xi1)]
-            c10 = csum[np.ix_(yi1, xi)]
-            c11 = csum[np.ix_(yi1, xi1)]
-            top = c00 * (1 - xf)[None, :] + c01 * xf[None, :]
-            bot = c10 * (1 - xf)[None, :] + c11 * xf[None, :]
-            return top * (1 - yf)[:, None] + bot * yf[:, None]
-
-        S = integral(ys, xs)
-        area = np.outer(np.diff(ys), np.diff(xs))
-        return (S[1:, 1:] - S[:-1, 1:] - S[1:, :-1] + S[:-1, :-1]) / area
-
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
@@ -561,7 +566,7 @@ def resize_images(
                 if plane is None or plane.size == 0:
                     rows.append((mid, out_w, out_h, None, "fake"))
                 else:
-                    thumb = _resample(np.asarray(plane, dtype=np.float64), out_w, out_h)
+                    thumb = _area_resample(np.asarray(plane, dtype=np.float64), out_w, out_h)
                     rows.append((mid, out_w, out_h, _encode_png_gray(thumb), fmt))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload", "format"]
