@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HEX_SPACE = 16**8
 
@@ -151,3 +152,58 @@ def stratified_hash_sample(
     if thr is None:
         raise ValueError("fractions must not be empty")
     return df.filter(h8 < thr)  # NULL threshold (unlisted stratum) drops the row
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate each shard's token
+    stream in doc order and cut every ``max_tokens`` — the standard
+    pretraining packing where documents may straddle a cut (no padding
+    waste, deterministic layout).
+
+    Emits one row per document: (doc_id, shard, n_tokens, start_offset,
+    first_seq, last_seq) — ``first_seq``/``last_seq`` are the global
+    sequence ids the document's tokens land in, so a loader can slice
+    its shard's stream without re-tokenizing.
+
+    Scale shape: packing is per-SHARD (``doc_id % n_shards``), so the
+    running-offset window sorts each shard independently — no global
+    sort, no single-partition window.  Sequence ids are globally unique
+    via ``shard * ceil(shard_tokens_max)`` striding — here simply
+    ``shard`` in the high bits.  All builtin window/arithmetic columns
+    (portable: the DuckDB oracle applies identical SQL).
+    """
+    from .text import token_count
+
+    n_tok = token_count(F.col(text_col))
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_offsets = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        n_tok.alias("n_tokens"),
+    ).withColumn("end_offset", F.sum("n_tokens").over(w))
+    start = F.col("end_offset") - F.col("n_tokens")
+    seq_stride = F.lit(1_000_000_000)  # shard-unique sequence id space
+    return with_offsets.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        (F.col("shard").cast("long") * seq_stride + F.floor(start / max_tokens)).alias(
+            "first_seq"
+        ),
+        (
+            F.col("shard").cast("long") * seq_stride
+            + F.floor((F.col("end_offset") - 1) / max_tokens)
+        ).alias("last_seq"),
+    )

@@ -791,6 +791,36 @@ def contamination_docs(spark, sf_dir):
     return contamination_check(corpus, bench)
 
 
+@q(
+    "pack_sequences_docs",
+    """
+WITH tok AS (
+  SELECT doc_id, doc_id % 64 AS shard, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_offset
+  FROM tok
+)
+SELECT doc_id, shard, n_tokens,
+       end_offset - n_tokens AS start_offset,
+       shard * 1000000000 + (end_offset - n_tokens) // 512 AS first_seq,
+       shard * 1000000000 + (end_offset - 1) // 512 AS last_seq
+FROM off
+""",
+)
+def pack_sequences_docs(spark, sf_dir):
+    """GPT-style sequence packing plan: per-shard token streams cut every
+    512 tokens (documents may straddle a cut — no padding waste).  Pure
+    window arithmetic, no global sort; sequence ids globally unique via
+    shard striding."""
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), max_tokens=512)
+
+
 @q("simhash_docs", None)  # xxhash64-based → rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash 64-bit fingerprints per document."""

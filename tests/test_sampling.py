@@ -112,3 +112,31 @@ def test_temperature_fractions_empty_strata(spark):
 
     assert temperature_fractions({}, 2.0) == {}
     assert temperature_fractions({"en": 0}, 2.0) == {}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants per shard: offsets are contiguous in doc order,
+    sequence spans match token counts, and a doc spanning a cut has
+    last_seq > first_seq."""
+    from elastic_asset_etl_poc_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(["w"] * 300)),
+            (2, " ".join(["w"] * 300)),  # same shard (n_shards=2): spans the 512 cut
+            (4, " ".join(["w"] * 100)),
+            (1, " ".join(["w"] * 50)),  # other shard
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, max_tokens=512, n_shards=2).collect()}
+    assert rows[0].start_offset == 0 and rows[0].n_tokens == 300
+    assert rows[2].start_offset == 300  # contiguous within shard 0
+    assert rows[4].start_offset == 600
+    # doc 2 occupies offsets [300, 600) -> crosses the 512 boundary
+    assert rows[2].first_seq == 0 and rows[2].last_seq == 1
+    assert rows[4].first_seq == 1 and rows[4].last_seq == 1
+    # shard 1 ids live in a disjoint sequence-id space
+    assert rows[1].first_seq == 1_000_000_000
+    # total tokens = sum of per-doc counts (nothing lost or padded)
+    assert sum(r.n_tokens for r in rows.values()) == 750
