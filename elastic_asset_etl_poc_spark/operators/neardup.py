@@ -417,6 +417,16 @@ def simhash_neardup(
     all-pairs), then verify with ``bit_count(a XOR b)``.  This is the
     standard scalable simhash dedup layout (Manku et al., WWW'07 —
     public-literature algorithm).
+
+    Hot-chunk skew (a dup cluster sharing one chunk value) is handled by
+    the ENGINE here: the candidate step is a plain equi-join, so AQE
+    skew-join splitting (on in ``session.get_spark``) subdivides an
+    oversized join partition at runtime.  Contrast
+    ``similarity.cosine_pairs_lsh``, whose per-bucket kernel is an
+    ``applyInPandas`` group AQE cannot split — that one needs the manual
+    ``max_bucket`` block-pair decomposition.  Declaring the plan
+    relationally whenever possible is exactly what makes the skew story
+    free.
     """
     bands = max_hamming + 1
     width = 64 // bands
