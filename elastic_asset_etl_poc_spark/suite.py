@@ -684,7 +684,14 @@ def minhash_neardup_docs(spark, sf_dir):
 
 def _recall_audit(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
     """One-row recall audit (n_exact, n_candidates, n_hit, recall_pct):
-    how much of the exact pair set the approximate operator recovered."""
+    how much of the exact pair set the approximate operator recovered.
+
+    Each input feeds TWO branches (its own count and the hit join);
+    without materialization the full dedup pipeline behind each would
+    execute twice.  The pair frames are tiny (pairs above threshold), so
+    an eager localCheckpoint costs nothing and halves the audit."""
+    exact = exact.localCheckpoint(eager=True)
+    approx = approx.localCheckpoint(eager=True)
     hit = exact.join(approx, keys)
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
