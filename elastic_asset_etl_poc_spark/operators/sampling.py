@@ -207,3 +207,34 @@ def pack_sequences(
             + F.floor((F.col("end_offset") - 1) / max_tokens)
         ).alias("last_seq"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate: float,
+    weight_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: keep each row
+    with probability ``min(1, rate · weight)``.
+
+    Same md5-uniform machinery as :func:`hash_sample` — membership is a
+    pure function of (id, salt), so the sample is stable under corpus
+    growth/repartitioning and reproducible in any engine with md5 (the
+    DuckDB oracle applies the identical expression).  The standard tool
+    for quality-weighted or length-debiased corpus subsampling.  Rows
+    with NULL weight drop (no silent keep at an undefined probability).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # per-row hex threshold, compared as strings like the other samplers
+    # (integer-exact and engine-portable — no float division parity risk);
+    # p >= 1 clamps to the max 8-hex value, excluding ~1 id in 4·10⁹
+    thr_int = F.least(
+        F.lit(float(_HEX_SPACE - 1)),
+        F.least(F.lit(1.0), F.lit(rate) * w.cast("double")) * F.lit(float(_HEX_SPACE)),
+    ).cast("bigint")
+    thr_hex = F.lower(F.lpad(F.hex(thr_int), 8, "0"))
+    # explicit NULL-weight guard: least() IGNORES NULLs in both Spark and
+    # DuckDB, so rate·NULL would otherwise clamp to probability 1
+    return df.filter(w.isNotNull() & (_hash8(id_col, salt) < thr_hex))

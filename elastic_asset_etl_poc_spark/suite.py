@@ -828,6 +828,34 @@ def pack_sequences_docs(spark, sf_dir):
     return pack_sequences(load_table(spark, sf_dir, "documents"), max_tokens=512)
 
 
+@q(
+    "weighted_sample_docs",
+    """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens
+FROM t
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8)
+      < printf('%08x', CAST(least(least(1.0, 0.002 * n_tokens) * 4294967296.0,
+                                  4294967295.0) AS BIGINT))
+""",
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Length-weighted deterministic sample: keep probability
+    min(1, 0.002·n_tokens) — longer documents oversampled, membership a
+    pure function of doc_id (stable under growth/repartition).  The
+    oracle applies the identical md5-uniform expression."""
+    from .operators.sampling import weighted_sample
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", token_count(F.col("text")))
+    return weighted_sample(docs, rate=0.002, weight_col="n_tokens").select(
+        "doc_id", "n_tokens"
+    )
+
+
 @q("simhash_docs", None)  # xxhash64-based → rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash 64-bit fingerprints per document."""

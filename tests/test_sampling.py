@@ -140,3 +140,31 @@ def test_pack_sequences_invariants(spark):
     assert rows[1].first_seq == 1_000_000_000
     # total tokens = sum of per-doc counts (nothing lost or padded)
     assert sum(r.n_tokens for r in rows.values()) == 750
+
+
+def test_weighted_sample_proportional_and_stable(spark):
+    """Keep rate tracks the weight; membership is a pure function of id
+    (stable under repartition); NULL weights drop."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.sampling import weighted_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(4.0)).alias("w"),
+    )
+    out = weighted_sample(df, rate=0.1, weight_col="w")
+    rows = out.collect()
+    light = sum(1 for r in rows if r.w == 1.0) / (n / 2)
+    heavy = sum(1 for r in rows if r.w == 4.0) / (n / 2)
+    assert abs(light - 0.1) < 0.03
+    assert abs(heavy - 0.4) < 0.05
+    again = weighted_sample(df.repartition(13), rate=0.1, weight_col="w")
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # p >= 1 keeps (essentially) everything; NULL weight drops
+    full = weighted_sample(df, rate=1.0, weight_col="w").count()
+    assert full == n
+    nul = df.withColumn("w", F.lit(None).cast("double"))
+    assert weighted_sample(nul, rate=0.5, weight_col="w").count() == 0
