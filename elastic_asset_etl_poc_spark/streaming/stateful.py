@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -241,4 +242,102 @@ def stream_asof_enrich(
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+CLOSED_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: open session per key: (start_us, last_ts_us, n_events)
+CLOSED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _closed_sessions_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    out: list = []
+
+    if state.hasTimedOut:
+        # watermark passed last_event + gap: the session is final
+        start_us, last_us, n = state.get
+        out.append((user_id, start_us, last_us, n))
+        state.remove()
+    else:
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        arrays = [
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+            for pdf in pdfs
+        ]
+        ts_us = np.sort(np.concatenate(arrays)) if arrays else np.array([], dtype=np.int64)
+        for t in ts_us:
+            t = int(t)
+            if last_us is not None and t - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n))  # close the session
+                start_us, n = None, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+            # fire when the EVENT-TIME watermark passes the gap deadline
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+
+    if out:
+        odf = pd.DataFrame(out, columns=["user_id", "s", "e", "n_events"])
+        yield pd.DataFrame(
+            {
+                "user_id": odf["user_id"],
+                "session_start": pd.to_datetime(odf["s"], unit="us"),
+                "session_end": pd.to_datetime(odf["e"], unit="us"),
+                "n_events": odf["n_events"],
+            }
+        )
+
+
+def stream_sessionize_closed(
+    events: DataFrame, watermark_delay: str = "1 minute"
+) -> DataFrame:
+    """CLOSED-session stream: emit one FINAL row per session once the
+    event-time watermark passes ``last_event + gap`` — the append-mode
+    complement of :func:`stream_sessionize`'s running counters.
+
+    Intra-batch gaps close sessions immediately; the trailing open
+    session per key parks in the state store with an
+    ``EventTimeTimeout`` at ``last_event + gap``, so state stays O(open
+    sessions) and every session eventually emits exactly once (when the
+    watermark — driven by ANY key's newer events — passes its deadline).
+    This is the standard sessionization-with-TTL layout; a batch rerun
+    of ``sessionize_events`` remains the ground truth the tests compare
+    against.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _closed_sessions_group,
+            outputStructType=CLOSED_SESSION_SCHEMA,
+            stateStructType=CLOSED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

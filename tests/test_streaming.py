@@ -435,3 +435,66 @@ def test_stateful_sessionize_multi_batch(spark, tmp_path):
     assert n_batches >= 3
     got = {r.user_id: (r.n_events, r.n_sessions) for r in rows}
     assert got == {7: (5, 3), 8: (2, 2)}
+
+
+def test_stream_sessionize_closed_event_time_timeout(spark, tmp_path):
+    """Closed-session emission: intra-batch gaps close immediately; the
+    trailing open session parks with an EventTimeTimeout and emits once
+    ANOTHER key's later events push the watermark past its deadline."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_to_memory,
+    )
+    from elastic_asset_etl_poc_spark.streaming.stateful import (
+        stream_sessionize_closed,
+    )
+
+    M = 60_000_000_000  # 1 min in ns
+    base = 1_700_000_000_000_000_000
+
+    def ev(eid, minutes, uid):
+        return (eid, base + minutes * M, uid, "click", 1.0, None)
+
+    # user 7: events at 0m, 5m | 10m, then 100m (intra-batch gap >30m in
+    # batch 3 closes [0,10] immediately). The open [100m ...] session
+    # times out when user 9's event at 600m (batch 4) advances the
+    # watermark past 100m+30m+delay.
+    batches = [
+        [ev(1, 0, 7), ev(2, 5, 7)],
+        [ev(3, 10, 7)],
+        [ev(4, 100, 7)],
+        [ev(9, 600, 9)],
+    ]
+    src = str(tmp_path / "closed_sessions")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+    )
+    q = run_to_memory(stream_sessionize_closed(stream), "closed_sess", "append")
+    try:
+        n_batches = len(q.recentProgress)
+        rows = spark.sql(
+            "SELECT * FROM closed_sess ORDER BY user_id, session_start"
+        ).collect()
+    finally:
+        q.stop()
+    assert n_batches >= 4
+    import datetime as dt
+
+    def t(minutes):
+        return dt.datetime.fromtimestamp(
+            (base // 1_000_000_000) + minutes * 60, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+    got = [(r.user_id, r.session_start, r.session_end, r.n_events) for r in rows]
+    # session [0m..10m] closed by the intra-batch gap before 100m;
+    # session [100m..100m] closed by the event-time timeout.
+    assert got == [(7, t(0), t(10), 3), (7, t(100), t(100), 1)]
