@@ -856,6 +856,53 @@ def weighted_sample_docs(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_clean_docs",
+    """
+WITH q AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM q
+  WHERE n_tokens BETWEEN 10 AND 1000
+    AND round(n_stop * 1.0 / n_tokens, 4) > 0
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+  FROM kept GROUP BY md5(text)
+)
+SELECT doc_id, n_tokens FROM dedup
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':clean'), 1, 8) < '80000000'
+""",
+)
+def corpus_clean_docs(spark, sf_dir):
+    """End-to-end corpus cleaning — the composition story: quality
+    filter (C4/Gopher-style bounds) → exact dedup (min-id survivor per
+    content digest) → deterministic 50% hash sample.  Three operators
+    chained as one lazy plan: the quality predicate and the digest both
+    compute map-side before the single dedup shuffle, and the sample is
+    a map-side filter after it — Catalyst fuses what a hand-built
+    pipeline would stage through disk."""
+    from .operators.sampling import hash_sample
+    from .operators.text import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(docs).filter(F.col("quality_keep"))
+    kept = docs.join(quality.select("doc_id", "n_tokens"), "doc_id")
+    survivors = (
+        kept.groupBy(F.md5("text").alias("__digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .drop("__digest")
+    )
+    return hash_sample(survivors, 0.5, salt="clean").select("doc_id", "n_tokens")
+
+
 @q("simhash_docs", None)  # xxhash64-based → rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash 64-bit fingerprints per document."""
