@@ -769,7 +769,9 @@ def synthetic_audio(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
-def _encode_jpeg_baseline(gray, color_420: bool = False) -> bytes:
+def _encode_jpeg_baseline(
+    gray, color_420: bool = False, restart_interval: int = 0
+) -> bytes:
     """Minimal baseline-sequential JPEG ENCODER for test fixtures — pure
     stdlib ``struct`` + numpy FDCT, deliberately simple rather than
     standard-table-faithful: flat 8-bit Huffman codes (every symbol one
@@ -824,6 +826,8 @@ def _encode_jpeg_baseline(gray, color_420: bool = False) -> bytes:
     for cid, _, _ in comps:
         sos += bytes([cid, 0x00])
     sos += bytes([0, 63, 0])
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
     seg(0xDA, sos)
 
     bitbuf = {"acc": 0, "n": 0}
@@ -872,8 +876,18 @@ def _encode_jpeg_baseline(gray, color_420: bool = False) -> bytes:
     padded = np.pad(gray, ((0, ph - h), (0, pw - w)), mode="edge")
     y_pred = c_pred = 0
     neutral = np.full((8, 8), 128, dtype=np.uint8)
+    mcu_idx = 0
     for my in range(ph // mcu):
         for mx in range(pw // mcu):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # RSTn: byte-align (pad 1s), emit marker, reset DC preds
+                if bitbuf["n"]:
+                    put(0xFF, 8 - bitbuf["n"])
+                out.extend(
+                    bytes([0xFF, 0xD0 + (mcu_idx // restart_interval - 1) % 8])
+                )
+                y_pred = c_pred = 0
+            mcu_idx += 1
             if color_420:
                 for v in range(2):
                     for u in range(2):

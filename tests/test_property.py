@@ -26,11 +26,12 @@ def gray_images(draw, max_side=16):
 
 
 @settings(max_examples=12, deadline=None)
-@given(img=gray_images(), color=st.booleans())
-def test_jpeg_roundtrip_random_images(img, color):
+@given(img=gray_images(), color=st.booleans(), ri=st.integers(0, 3))
+def test_jpeg_roundtrip_random_images(img, color, ri):
     """Any uint8 image survives encode→decode with exact dimensions and
-    near-exact luma (all-2s quant ⇒ ≤ ±1 per coefficient)."""
-    b = _encode_jpeg_baseline(img, color_420=color)
+    near-exact luma (all-2s quant ⇒ ≤ ±1 per coefficient), with or
+    without restart intervals (DRI/RSTn resets exercised when ri > 0)."""
+    b = _encode_jpeg_baseline(img, color_420=color, restart_interval=ri)
     w, h, plane = _decode_jpeg(b)
     assert (w, h) == (img.shape[1], img.shape[0])
     assert plane.shape == img.shape
