@@ -921,7 +921,18 @@ def synthetic_images(spark, n: int = 64) -> DataFrame:
         w, h = 24 + (i % 3) * 8, 16 + (i % 5) * 8
         yy, xx = np.mgrid[0:h, 0:w]
         gray = ((xx * 5 + yy * 3 + i * 11) % 256).astype(np.uint8)
-        rows.append((i, _encode_jpeg_baseline(gray, color_420=(kind == 1))))
+        # kind 0: plain grayscale; 1: 4:2:0 color; 2: grayscale with
+        # restart markers — all three decoder bitstream layouts
+        rows.append(
+            (
+                i,
+                _encode_jpeg_baseline(
+                    gray,
+                    color_420=(kind == 1),
+                    restart_interval=2 if kind == 2 else 0,
+                ),
+            )
+        )
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
 
