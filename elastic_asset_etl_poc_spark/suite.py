@@ -997,7 +997,7 @@ def embed_knn_lsh(spark, sf_dir):
     return lsh_topk(emb, queries, k=10)
 
 
-def _last_checked() -> dict[str, int]:
+def _last_checked(root: str | None = None) -> dict[str, int]:
     """Round in which the driver's correctness sampler last saw each query.
 
     Parsed from the ``CORRECTNESS_r*.json`` artifacts the driver writes at
@@ -1013,7 +1013,8 @@ def _last_checked() -> dict[str, int]:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))

@@ -79,3 +79,33 @@ def test_load_table_alternate_formats(spark, tmp_path):
     # json fallback picked up for a table with no parquet present
     spark.read.json(str(tmp_path / "nation.json"))  # sanity: readable
     assert load_table(spark, str(tmp_path), "nation").count() == src.count()
+
+
+def test_stale_first_export_order(tmp_path):
+    """queries()/oracle_sql() export stale-first: never-checked queries
+    lead, then oldest-checked by round, ties in registration order —
+    and corrupt/absent artifacts must never break the export."""
+    import json
+
+    from elastic_asset_etl_poc_spark import suite
+
+    # empty root: no artifacts -> registration order, nothing crashes
+    assert list(suite._last_checked(str(tmp_path))) == []
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"svc_phase1_dedup": {}, "assets_services": {}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"svc_phase1_dedup": {}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("not json at all")  # ignored
+    seen = suite._last_checked(str(tmp_path))
+    assert seen == {"svc_phase1_dedup": 2, "assets_services": 1}
+
+    # the real export: every registered query present exactly once, and
+    # any never-checked query sorts before every checked one
+    names = list(suite.queries())
+    assert sorted(names) == sorted(suite.SUITE)
+    real_seen = suite._last_checked()
+    ranks = [real_seen.get(n, -1) for n in names]
+    assert ranks == sorted(ranks)  # monotone: stale-first ordering holds
