@@ -324,12 +324,28 @@ def _decode_jpeg(b: bytes):
     by_id = {cid: (hs, vs, qid) for cid, hs, vs, qid in comps}
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
     y_cid = comps[0][0]  # first frame component is luma by convention
-
     hy, vy, _ = by_id[y_cid]
-    plane = np.zeros((mcuy * vy * 8, mcux * hy * 8))
+
+    # Spec A.2.2: a SINGLE-component scan is NON-interleaved — the data
+    # unit grid is the component's own ceil(comp_dim/8) blocks and the
+    # declared sampling factors do not shape the MCU (a grayscale frame
+    # declaring 0x22 sampling is legal and must not desync the stream).
+    single = len(scan_comps) == 1
+    if single:
+        scid = scan_comps[0][0]
+        if scid != y_cid:
+            raise ValueError("first scan lacks the luma component")
+        shs, svs, _ = by_id[scid]
+        comp_w = -(-(w * shs) // hmax)  # ceil
+        comp_h = -(-(h * svs) // vmax)
+        mcux = -(-comp_w // 8)  # one 8×8 block per "MCU"
+        mcuy = -(-comp_h // 8)
+        plane = np.zeros((mcuy * 8, mcux * 8))
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        plane = np.zeros((mcuy * vy * 8, mcux * hy * 8))
     A = _dct_basis()
     zz = np.array(_JPEG_ZIGZAG)
 
@@ -377,21 +393,33 @@ def _decode_jpeg(b: bytes):
                     raise ValueError("expected restart marker")
                 reader.pos = p + 2
                 preds = {cid: 0 for cid, _, _ in scan_comps}
-            for cid, dc_id, ac_id in scan_comps:
-                hs, vs, qid = by_id[cid]
-                for v in range(vs):
-                    for u in range(hs):
-                        coef, preds[cid] = decode_block(
-                            reader, huff[(0, dc_id)], huff[(1, ac_id)], preds[cid]
-                        )
-                        if cid != y_cid:
-                            continue  # chroma: bitstream sync only
-                        nat = np.zeros(64, dtype=np.float64)
-                        nat[zz] = coef * qt[qid]
-                        px = A.T @ nat.reshape(8, 8) @ A + 128.0
-                        r0 = (my * vs + v) * 8
-                        c0 = (mx * hs + u) * 8
-                        plane[r0 : r0 + 8, c0 : c0 + 8] = px
+            if single:
+                cid, dc_id, ac_id = scan_comps[0]
+                qid = by_id[cid][2]
+                coef, preds[cid] = decode_block(
+                    reader, huff[(0, dc_id)], huff[(1, ac_id)], preds[cid]
+                )
+                nat = np.zeros(64, dtype=np.float64)
+                nat[zz] = coef * qt[qid]
+                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    A.T @ nat.reshape(8, 8) @ A + 128.0
+                )
+            else:
+                for cid, dc_id, ac_id in scan_comps:
+                    hs, vs, qid = by_id[cid]
+                    for v in range(vs):
+                        for u in range(hs):
+                            coef, preds[cid] = decode_block(
+                                reader, huff[(0, dc_id)], huff[(1, ac_id)], preds[cid]
+                            )
+                            if cid != y_cid:
+                                continue  # chroma: bitstream sync only
+                            nat = np.zeros(64, dtype=np.float64)
+                            nat[zz] = coef * qt[qid]
+                            px = A.T @ nat.reshape(8, 8) @ A + 128.0
+                            r0 = (my * vs + v) * 8
+                            c0 = (mx * hs + u) * 8
+                            plane[r0 : r0 + 8, c0 : c0 + 8] = px
             mcu_idx += 1
 
     # Y normally has max sampling (plane is w×h); the general crop covers

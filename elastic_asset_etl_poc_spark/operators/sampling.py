@@ -184,7 +184,7 @@ def pack_sequences(
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy("doc_id")  # post-alias name — id_col was renamed above
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_offsets = df.select(
@@ -227,12 +227,17 @@ def weighted_sample(
     with NULL weight drop (no silent keep at an undefined probability).
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    # per-row hex threshold, compared as strings like the other samplers
-    # (integer-exact and engine-portable — no float division parity risk);
-    # p >= 1 clamps to the max 8-hex value, excluding ~1 id in 4·10⁹
-    thr_int = F.least(
-        F.lit(float(_HEX_SPACE - 1)),
-        F.least(F.lit(1.0), F.lit(rate) * w.cast("double")) * F.lit(float(_HEX_SPACE)),
+    # per-row hex threshold, compared as strings like the other samplers.
+    # p clamps to [0, 1]: a NEGATIVE product would hex to 16 chars and
+    # lpad would TRUNCATE it to 'ffffffff' (keep-everything); p >= 1
+    # clamps to the max 8-hex value, excluding ~1 id in 4·10⁹.  floor()
+    # explicitly: Spark's cast truncates but DuckDB's CAST rounds, so the
+    # oracle must floor too (see weighted_sample_docs SQL).
+    p = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(rate) * w.cast("double"))
+    )
+    thr_int = F.floor(
+        F.least(F.lit(float(_HEX_SPACE - 1)), p * F.lit(float(_HEX_SPACE)))
     ).cast("bigint")
     thr_hex = F.lower(F.lpad(F.hex(thr_int), 8, "0"))
     # explicit NULL-weight guard: least() IGNORES NULLs in both Spark and

@@ -135,9 +135,12 @@ def redact_pii(
     replacement so `<EMAIL>` tokens never double-count.
     """
     c = F.col(text_col)
-    n_redacted: Column = F.lit(0)
+    total: Column = F.lit(0)
     for pat, _rep in PII_PATTERNS:
-        n_redacted = n_redacted + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    # NULL text → NULL count: with ANSI off, size(NULL) is the legacy -1,
+    # which would sum to a nonsense -3 (the DuckDB oracle yields NULL)
+    n_redacted = F.when(c.isNotNull(), total)
     red = c
     for pat, rep in PII_PATTERNS:
         red = F.regexp_replace(red, pat, rep)

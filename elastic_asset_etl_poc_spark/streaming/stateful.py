@@ -290,13 +290,23 @@ def _closed_sessions_group(
         ts_us = np.sort(np.concatenate(arrays)) if arrays else np.array([], dtype=np.int64)
         for t in ts_us:
             t = int(t)
-            if last_us is not None and t - last_us > gap_us:
-                out.append((user_id, start_us, last_us, n))  # close the session
-                start_us, n = None, 0
-            if start_us is None:
-                start_us = t
-            last_us = t
-            n += 1
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t > last_us:
+                if t - last_us > gap_us:
+                    out.append((user_id, start_us, last_us, n))  # close
+                    start_us, n = t, 0
+                last_us = t
+                n += 1
+            elif t >= start_us - gap_us:
+                # LATE but within the open session's horizon: merge it
+                # without REGRESSING last_us (a regressed end both
+                # corrupts the next gap check and can emit end < start);
+                # it may extend the session backward instead
+                start_us = min(start_us, t)
+                n += 1
+            # else: older than the open session's horizon — beyond what
+            # O(1) state can re-merge; dropped, the watermark contract
         if last_us is not None:
             state.update((start_us, last_us, n))
             # fire when the EVENT-TIME watermark passes the gap deadline
@@ -329,6 +339,13 @@ def stream_sessionize_closed(
     This is the standard sessionization-with-TTL layout; a batch rerun
     of ``sessionize_events`` remains the ground truth the tests compare
     against.
+
+    **Late-data policy**: an event older than the open session's last
+    timestamp but within its gap horizon merges into the session
+    (extending it backward if needed) WITHOUT regressing the session
+    end; an event older than ``session_start − gap`` is dropped — O(1)
+    state cannot re-open an already-emitted session, the same horizon
+    the watermark enforces across keys.
     """
     return (
         events.withWatermark("ts", watermark_delay)

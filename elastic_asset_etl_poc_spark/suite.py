@@ -837,8 +837,9 @@ WITH t AS (
 SELECT doc_id, n_tokens
 FROM t
 WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 8)
-      < printf('%08x', CAST(least(least(1.0, 0.002 * n_tokens) * 4294967296.0,
-                                  4294967295.0) AS BIGINT))
+      < printf('%08x', CAST(floor(least(
+            greatest(0.0, least(1.0, 0.002 * n_tokens)) * 4294967296.0,
+            4294967295.0)) AS BIGINT))
 """,
 )
 def weighted_sample_docs(spark, sf_dir):

@@ -341,3 +341,31 @@ def test_jpeg_hostile_header_fails_soft_fast(spark):
     df = spark.createDataFrame([(0, bytes(out))], "media_id long, payload binary")
     row = extract_image_features(df).collect()[0]
     assert row.format == "fake"
+
+
+def test_jpeg_single_scan_ignores_sampling_factors(spark):
+    """Spec A.2.2: a single-component scan is non-interleaved — a
+    grayscale frame declaring 0x22 sampling must decode identically to
+    the 0x11 twin instead of desyncing into the fake path."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _encode_jpeg_baseline,
+        extract_image_features,
+    )
+
+    yy, xx = np.mgrid[0:17, 0:31]
+    gray = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    plain = bytearray(_encode_jpeg_baseline(gray))
+    idx = bytes(plain).find(b"\xff\xc0")
+    samp_off = idx + 2 + 2 + 6 + 1
+    assert plain[samp_off] == 0x11
+    patched = bytearray(plain)
+    patched[samp_off] = 0x22
+    df = spark.createDataFrame(
+        [(0, bytes(plain)), (1, bytes(patched))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert rows[1].format == "jpeg"
+    assert (rows[1].width, rows[1].height) == (31, 17)
+    assert rows[1].mean_luma == rows[0].mean_luma

@@ -168,3 +168,25 @@ def test_weighted_sample_proportional_and_stable(spark):
     assert full == n
     nul = df.withColumn("w", F.lit(None).cast("double"))
     assert weighted_sample(nul, rate=0.5, weight_col="w").count() == 0
+
+
+def test_weighted_sample_negative_weight_and_custom_id(spark):
+    """Negative weights clamp to probability 0 (the 16-char hex of a
+    negative threshold must not truncate to keep-everything), and
+    pack_sequences works with a non-default id column."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        pack_sequences,
+        weighted_sample,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(-2.0).alias("w")
+    )
+    assert weighted_sample(df, rate=0.1, weight_col="w").count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "media_id long, text string"
+    )
+    out = pack_sequences(docs, max_tokens=4, id_col="media_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]

@@ -498,3 +498,60 @@ def test_stream_sessionize_closed_event_time_timeout(spark, tmp_path):
     # session [0m..10m] closed by the intra-batch gap before 100m;
     # session [100m..100m] closed by the event-time timeout.
     assert got == [(7, t(0), t(10), 3), (7, t(100), t(100), 1)]
+
+
+def test_stream_sessionize_closed_late_event_no_regression(spark, tmp_path):
+    """A late-but-watermark-valid event must merge into the open session
+    without regressing its end: the next batch's gap check uses the true
+    max timestamp, and no session ever emits end < start."""
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_to_memory,
+    )
+    from elastic_asset_etl_poc_spark.streaming.stateful import (
+        stream_sessionize_closed,
+    )
+
+    M = 60_000_000_000
+    base = 1_700_000_000_000_000_000
+
+    def ev(eid, minutes, uid):
+        return (eid, base + minutes * M, uid, "click", 1.0, None)
+
+    # batch1: A @60m; batch2: LATE A @59m (within gap horizon, watermark
+    # still behind); batch3: A @89m — 89-60=29m < gap, so with a correct
+    # (non-regressed) state this CONTINUES the session; a regressed
+    # last_us=59m would falsely close it.  batch4: B @600m pushes the
+    # watermark so A's single session times out and emits.
+    batches = [
+        [ev(1, 60, 7)],
+        [ev(2, 59, 7)],
+        [ev(3, 89, 7)],
+        [ev(9, 600, 9)],
+    ]
+    src = str(tmp_path / "late_sessions")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+    )
+    q = run_to_memory(stream_sessionize_closed(stream), "late_sess", "append")
+    try:
+        rows = spark.sql("SELECT * FROM late_sess WHERE user_id = 7").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1  # ONE merged session, not a false split
+    r = rows[0]
+    assert r.session_start <= r.session_end
+    got_minutes = (
+        (r.session_start.timestamp() - base / 1e9) / 60,
+        (r.session_end.timestamp() - base / 1e9) / 60,
+        r.n_events,
+    )
+    assert got_minutes == (59.0, 89.0, 3)
