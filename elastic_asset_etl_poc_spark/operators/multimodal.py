@@ -36,6 +36,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("format", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
     ]
 )
 
@@ -429,6 +430,41 @@ def _decode_jpeg(b: bytes):
     return w, h, luma
 
 
+def _jpeg_exif_orientation(b: bytes) -> int | None:
+    """Parse the EXIF Orientation tag (0x0112) from a JPEG's APP1
+    segment — pure ``struct`` TIFF-IFD walk, both byte orders.  Returns
+    1–8 (TIFF orientation codes) or None when absent/corrupt.  The one
+    piece of image metadata corpus pipelines routinely filter/normalize
+    on (rotated-at-capture photos)."""
+    import struct
+
+    pos, n = 2, len(b)
+    while pos < n - 3:
+        if b[pos] != 0xFF:
+            return None
+        m = b[pos + 1]
+        if m in (0xDA, 0xD9):  # scan data / EOI: no more metadata
+            return None
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        if m == 0xE1 and b[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            t = pos + 10  # TIFF header base
+            order = {b"II": "<", b"MM": ">"}.get(b[t : t + 2])
+            if order is None:
+                return None
+            (ifd_off,) = struct.unpack_from(order + "I", b, t + 4)
+            p = t + ifd_off
+            (cnt,) = struct.unpack_from(order + "H", b, p)
+            for i in range(cnt):
+                e = p + 2 + 12 * i
+                tag, typ, _num = struct.unpack_from(order + "HHI", b, e)
+                if tag == 0x0112 and typ == 3:  # Orientation, SHORT
+                    (val,) = struct.unpack_from(order + "H", b, e + 8)
+                    return val if 1 <= val <= 8 else None
+            return None
+        pos += 2 + ln
+    return None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake for formats needing external codecs (JPEG,
     WebP, …): derives (width, height, mean_luma) from byte content so
@@ -481,10 +517,17 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
                 luma = (
                     float(plane.mean()) if plane is not None else _decode_image_stub(b)[2]
                 )
-                rows.append((mid, w, h, len(b), luma, fmt))
+                try:
+                    orient = _jpeg_exif_orientation(b) if fmt == "jpeg" else None
+                except Exception:
+                    orient = None
+                rows.append((mid, w, h, len(b), luma, fmt, orient))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "width", "height", "n_bytes", "mean_luma", "format"],
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "mean_luma", "format", "orientation",
+                ],
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)

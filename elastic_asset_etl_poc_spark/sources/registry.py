@@ -61,12 +61,18 @@ def load_table(
     fmt = "parquet"
     path = f"{sf_dir}/{table}.parquet"
     if not os.path.exists(path):  # alternate source formats (S2: same table,
-        for cand, f in ((f"{sf_dir}/{table}.csv", "csv"), (f"{sf_dir}/{table}.json", "json")):
+        for cand, f in (
+            (f"{sf_dir}/{table}.orc", "orc"),
+            (f"{sf_dir}/{table}.csv", "csv"),
+            (f"{sf_dir}/{table}.json", "json"),
+        ):
             if os.path.exists(cand):  # different physical encoding)
                 path, fmt = cand, f
                 break
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":  # columnar like parquet: pushdown + pruning intact
+        df = spark.read.orc(path)
     elif fmt == "csv":
         df = spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else:

@@ -79,6 +79,17 @@ def test_load_table_alternate_formats(spark, tmp_path):
     # json fallback picked up for a table with no parquet present
     spark.read.json(str(tmp_path / "nation.json"))  # sanity: readable
     assert load_table(spark, str(tmp_path), "nation").count() == src.count()
+    # ORC: columnar alternate with pushdown intact (checked in the plan)
+    src.write.mode("overwrite").orc(str(tmp_path / "supplier.orc"))
+    orc_back = load_table(spark, str(tmp_path), "supplier")
+    assert orc_back.count() == src.count()
+    plan = (
+        orc_back.filter("r_regionkey = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "r_regionkey" in plan
 
 
 def test_stale_first_export_order(tmp_path):

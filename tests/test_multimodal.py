@@ -369,3 +369,44 @@ def test_jpeg_single_scan_ignores_sampling_factors(spark):
     assert rows[1].format == "jpeg"
     assert (rows[1].width, rows[1].height) == (31, 17)
     assert rows[1].mean_luma == rows[0].mean_luma
+
+
+def test_jpeg_exif_orientation(spark):
+    """EXIF Orientation parses from a spliced APP1 TIFF-IFD (both byte
+    orders); JPEGs without EXIF report NULL."""
+    import struct
+
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _encode_jpeg_baseline,
+        extract_image_features,
+    )
+
+    def app1(order, orientation):
+        e = "<" if order == b"II" else ">"
+        tiff = order + struct.pack(e + "HI", 0x2A, 8)
+        ifd = struct.pack(e + "H", 1) + struct.pack(
+            e + "HHIHH", 0x0112, 3, 1, orientation, 0
+        ) + struct.pack(e + "I", 0)
+        payload = b"Exif\x00\x00" + tiff + ifd
+        return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+    base = _encode_jpeg_baseline(np.full((8, 8), 77, dtype=np.uint8))
+    rows = {
+        r.media_id: r
+        for r in extract_image_features(
+            spark.createDataFrame(
+                [
+                    (0, base),
+                    (1, base[:2] + app1(b"II", 6) + base[2:]),
+                    (2, base[:2] + app1(b"MM", 3) + base[2:]),
+                ],
+                "media_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert rows[0].orientation is None
+    assert rows[1].format == "jpeg" and rows[1].orientation == 6
+    assert rows[2].format == "jpeg" and rows[2].orientation == 3
+    assert rows[1].mean_luma == rows[0].mean_luma  # APP1 doesn't change decode
