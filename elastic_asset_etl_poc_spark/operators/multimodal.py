@@ -465,6 +465,27 @@ def _jpeg_exif_orientation(b: bytes) -> int | None:
     return None
 
 
+def _apply_exif_orientation(plane, orientation: int | None):
+    """Normalize a luma plane to upright per the TIFF orientation code
+    (1–8): flips and 90° rotations, the standard camera-capture
+    transforms.  Unknown/None codes return the plane unchanged."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return plane
+    ops = {
+        2: lambda p: np.fliplr(p),
+        3: lambda p: np.rot90(p, 2),
+        4: lambda p: np.flipud(p),
+        5: lambda p: np.rot90(np.fliplr(p), 1),
+        6: lambda p: np.rot90(p, -1),
+        7: lambda p: np.rot90(np.fliplr(p), -1),
+        8: lambda p: np.rot90(p, 1),
+    }
+    fn = ops.get(orientation)
+    return fn(plane) if fn else plane
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake for formats needing external codecs (JPEG,
     WebP, …): derives (width, height, mean_luma) from byte content so
@@ -637,7 +658,15 @@ def resize_images(
                 if plane is None or plane.size == 0:
                     rows.append((mid, out_w, out_h, None, "fake"))
                 else:
-                    thumb = _area_resample(np.asarray(plane, dtype=np.float64), out_w, out_h)
+                    src = np.asarray(plane, dtype=np.float64)
+                    if fmt == "jpeg":
+                        try:
+                            src = _apply_exif_orientation(
+                                src, _jpeg_exif_orientation(b)
+                            )
+                        except Exception:
+                            pass  # metadata must never fail the decode
+                    thumb = _area_resample(src, out_w, out_h)
                     rows.append((mid, out_w, out_h, _encode_png_gray(thumb), fmt))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload", "format"]

@@ -410,3 +410,50 @@ def test_jpeg_exif_orientation(spark):
     assert rows[1].format == "jpeg" and rows[1].orientation == 6
     assert rows[2].format == "jpeg" and rows[2].orientation == 3
     assert rows[1].mean_luma == rows[0].mean_luma  # APP1 doesn't change decode
+
+
+def test_resize_applies_exif_orientation(spark):
+    """resize_images normalizes rotated-at-capture JPEGs: orientation 6
+    (90° CW to display) rotates the plane before resampling, so an
+    asymmetric image's thumbnail differs from the unrotated twin while a
+    symmetric transform preserves the mean."""
+    import struct
+
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _apply_exif_orientation,
+        _decode_png,
+        _encode_jpeg_baseline,
+        resize_images,
+    )
+
+    # numpy-level truth table: orientation 6 = rot90(p, -1)
+    p = np.arange(6, dtype=float).reshape(2, 3)
+    assert np.array_equal(_apply_exif_orientation(p, 6), np.rot90(p, -1))
+    assert np.array_equal(_apply_exif_orientation(p, 1), p)
+
+    def app1(orientation):
+        tiff = b"II" + struct.pack("<HI", 0x2A, 8)
+        ifd = struct.pack("<H", 1) + struct.pack(
+            "<HHIHH", 0x0112, 3, 1, orientation, 0
+        ) + struct.pack("<I", 0)
+        payload = b"Exif\x00\x00" + tiff + ifd
+        return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+    # left-bright/right-dark gradient: rotating 90° makes rows uniform
+    yy, xx = np.mgrid[0:16, 0:16]
+    gray = (xx * 16).astype(np.uint8)
+    base = _encode_jpeg_baseline(gray)
+    rotated = base[:2] + app1(6) + base[2:]
+    df = spark.createDataFrame(
+        [(0, base), (1, rotated)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    _, _, t0 = _decode_png(bytes(rows[0].payload))
+    _, _, t1 = _decode_png(bytes(rows[1].payload))
+    # same pixels, different arrangement: mean preserved, layout not
+    assert abs(float(t0.mean()) - float(t1.mean())) < 1.0
+    assert not np.array_equal(t0, t1)
+    # rotation 6 maps the horizontal gradient to a vertical one
+    assert np.ptp(t1.mean(axis=1)) > 10 * max(np.ptp(t1.mean(axis=0)), 1e-9)
