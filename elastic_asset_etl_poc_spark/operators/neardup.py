@@ -603,3 +603,61 @@ def contamination_check(
             ),
         )
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): for each document, the fraction of its n-gram
+    positions whose n-gram also occurs in at least one OTHER document.
+    Downstream either drops high-overlap documents or cuts the duplicated
+    spans; this operator computes the per-document evidence.
+
+    Scale shape (the suffix-array alternative re-expressed as joins):
+    positional n-grams explode once; the duplicated-gram set comes from a
+    hash-agg with map-side partial aggregation (``count(distinct doc)`` ≥ 2
+    implemented as a two-level agg); the exploded frame then semi-joins
+    that set on the gram key (shuffle equi-join — AQE spreads hot grams)
+    and a final per-doc hash-agg counts duplicated positions.  Nothing is
+    all-pairs, nothing collects: cost is corpus-linear plus two shuffles
+    on (gram) and one on (doc_id).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    tk = F.col("__toks")
+    n_tok = F.size(tk)
+    # 1-based window starts; guard short docs (sequence(1, 0) descends)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = base.select("doc_id", grams.alias("__grams"))
+    exploded = with_grams.select("doc_id", F.explode("__grams").alias("gram"))
+    # grams seen in >= 2 distinct docs; distinct-then-count keeps partial
+    # aggregation (a straight countDistinct would too, via expand)
+    dup_grams = (
+        exploded.dropDuplicates(["gram", "doc_id"])
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    dup_counts = (
+        exploded.join(dup_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    per_doc = with_grams.select("doc_id", F.size("__grams").alias("n_grams"))
+    n_dup = F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long"))
+    return per_doc.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_dup.alias("n_dup_grams"),
+        F.when(F.col("n_grams") > 0, F.round(n_dup / F.col("n_grams"), 4)).alias(
+            "dup_gram_frac"
+        ),
+    )

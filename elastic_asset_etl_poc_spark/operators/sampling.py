@@ -243,3 +243,37 @@ def weighted_sample(
     # explicit NULL-weight guard: least() IGNORES NULLs in both Spark and
     # DuckDB, so rate·NULL would otherwise clamp to probability 1
     return df.filter(w.isNotNull() & (_hash8(id_col, salt) < thr_hex))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-key cap: keep at most ``n`` rows per key, chosen
+    by md5-hash order over the row id.  The standard per-domain /
+    per-source cap a web corpus applies so boilerplate-heavy domains
+    cannot dominate the training mix.
+
+    Hash order (not insertion or timestamp order) makes the survivor set
+    a pure function of the ids present — replayable, engine-portable
+    (md5 is identical in DuckDB), and unbiased w.r.t. crawl order.
+
+    Scale shape: one hash-partition window per key, rank ≤ n filter.
+    A pathologically hot key serializes into one partition's sort — the
+    same boundedness discussion as ``applyInPandas`` groups
+    (DESIGN.md): for known-skewed corpora, pre-thin hot keys with
+    :func:`hash_sample` at rate ≈ (n · safety) / est_key_count first,
+    which is map-side, then apply the exact cap.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1, got {n}")
+    h = _hash8(id_col, salt)
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

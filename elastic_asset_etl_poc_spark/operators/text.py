@@ -145,3 +145,93 @@ def redact_pii(
     for pat, rep in PII_PATTERNS:
         red = F.regexp_replace(red, pat, rep)
     return df.withColumn(out_col, red).withColumn("n_redacted", n_redacted)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1): duplicate
+    token fraction, modal-token dominance, and duplicate bigram fraction.
+    High values flag the degenerate boilerplate/spam documents a quality
+    filter should drop before pretraining.
+
+    All per-row array arithmetic — map-only, no shuffle, JVM-side codegen.
+    Tokens are materialized into a column FIRST so the higher-order-function
+    lambdas reference the array, not the ``split`` expression (referencing
+    ``split`` inside a lambda re-evaluates it per element — quadratic).
+    """
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    tk = F.col("__toks")
+    n_tok = F.size(tk)
+    uniq = F.array_distinct(tk)
+    dup_tok = F.round((n_tok - F.size(uniq)) / n_tok, 4)
+    # count of the modal token: for each distinct token, count its
+    # occurrences; take the max.  O(distinct · n) per row — bounded by
+    # vocabulary, not document length squared.
+    top_cnt = F.array_max(
+        F.transform(uniq, lambda t: F.size(F.filter(tk, lambda x: x == t)))
+    )
+    top_frac = F.round(top_cnt / n_tok, 4)
+    # bigrams via 1-based index walk; sequence(1, 0) is DESCENDING under
+    # Spark 4 so the n_tok < 2 case must short-circuit to an empty array
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        top_frac.alias("top_token_frac"),
+        F.when(
+            F.size(bigrams) > 0,
+            F.round(
+                (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
+                / F.size(bigrams),
+                4,
+            ),
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_score(
+    df: DataFrame, terms: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF scores for a fixed term list: tf(doc, term) · ln(N / df(term)).
+
+    The relevance-scoring primitive behind corpus search / topic filtering
+    (the reference's ES backend scores with BM25 — same tf·idf family;
+    `lib/es_client.ts` issues the queries, scoring stays server-side).
+
+    Scale shape: explode only MATCHING tokens (the term filter runs inside
+    the array before explode — row blowup is Σ tf, not corpus token count),
+    one hash-agg for tf, a second tiny agg for df, then broadcast joins of
+    the |terms|-row df table and the 1-row corpus count.  No window, no
+    driver action.
+    """
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    exploded = base.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(term_arr, t))
+        ).alias("term"),
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n_docs = base.agg(F.count("*").alias("__n"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("__df")), 4).alias(
+                "tfidf"
+            ),
+        )
+    )

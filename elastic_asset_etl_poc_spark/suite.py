@@ -2111,3 +2111,116 @@ def band_join_click_purchase(spark, sf_dir):
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     pairs = band_join(clicks, purchases, on="user_id", band_seconds=86400)
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions, round 4 continuation: repetition / substring-dup /
+# per-source caps / tf-idf
+# ---------------------------------------------------------------------------
+
+@q(
+    "repetition_docs",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+b AS (
+  SELECT doc_id, tk, len(tk) AS n_tokens,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+              ELSE [] END AS bg
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round((n_tokens - len(list_distinct(tk))) * 1.0 / n_tokens, 4) AS dup_token_frac,
+       round(list_max(list_transform(list_distinct(tk),
+                                     u -> len(list_filter(tk, x -> x = u))))
+             * 1.0 / n_tokens, 4) AS top_token_frac,
+       CASE WHEN len(bg) > 0
+            THEN round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 4)
+       END AS dup_bigram_frac
+FROM b
+""",
+)
+def repetition_docs(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-token fraction,
+    modal-token dominance, duplicate-bigram fraction.  Map-only."""
+    from .operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dup_ngram_spans_docs",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+base AS (SELECT doc_id, greatest(len(tk) - 4, 0) AS n_grams FROM t),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 3),
+                               i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+  FROM t WHERE len(tk) >= 5
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+dc AS (SELECT doc_id, count(*) AS n_dup_grams FROM g JOIN dup USING (gram) GROUP BY doc_id)
+SELECT b.doc_id, b.n_grams,
+       coalesce(dc.n_dup_grams, 0) AS n_dup_grams,
+       CASE WHEN b.n_grams > 0
+            THEN round(coalesce(dc.n_dup_grams, 0) * 1.0 / b.n_grams, 4)
+       END AS dup_gram_frac
+FROM base b LEFT JOIN dc USING (doc_id)
+""",
+)
+def dup_ngram_spans_docs(spark, sf_dir):
+    """Cross-document duplicated 5-gram spans (exact-substring dedup
+    signal, Lee et al. 2022) — per-doc duplicated-position fraction."""
+    from .operators.neardup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(load_table(spark, sf_dir, "documents"), n=5)
+
+
+@q(
+    "source_cap_docs",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+)
+def source_cap_docs(spark, sf_dir):
+    """Per-source deterministic cap (<=10 docs per source by md5-hash
+    order) — the per-domain cap of a web-corpus mixing stage."""
+    from .operators.sampling import cap_per_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_key(docs, "source", 10).select("doc_id", "source")
+
+
+@q(
+    "tfidf_docs",
+    """
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t IN ('spark', 'join', 'window')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS ndocs_term FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf * ln(n.n_docs * 1.0 / dfreq.ndocs_term), 4) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+""",
+)
+def tfidf_docs(spark, sf_dir):
+    """TF-IDF scores for a fixed term list (ES/BM25-family relevance
+    primitive): explode matching tokens only, two hash-aggs, broadcast
+    df + corpus-count joins."""
+    from .operators.text import tfidf_score
+
+    return tfidf_score(
+        load_table(spark, sf_dir, "documents"), terms=("spark", "join", "window")
+    )

@@ -190,3 +190,38 @@ def test_weighted_sample_negative_weight_and_custom_id(spark):
     )
     out = pack_sequences(docs, max_tokens=4, id_col="media_id").collect()
     assert sorted(r.doc_id for r in out) == [1, 2]
+
+
+def test_cap_per_key_bounds_and_stability(spark):
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 20 else "cold") for i in range(24)],
+        "doc_id long, source string",
+    )
+    capped = cap_per_key(df, "source", 3)
+    by_key = {}
+    for r in capped.collect():
+        by_key.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_key["hot"]) == 3
+    assert len(by_key["cold"]) == 3
+    # survivor NESTING: the cap-2 survivors are a strict subset of cap-3's
+    two = {r.doc_id for r in cap_per_key(df, "source", 2).collect()}
+    three = {r.doc_id for r in capped.collect()}
+    assert two < three and len(two) == 4
+    assert all(
+        len({d for d in two if (d < 20) == hot}) == 2 for hot in (True, False)
+    )
+    # determinism + independence: adding rows to ANOTHER key leaves this
+    # key's survivors unchanged
+    grown = df.union(
+        spark.createDataFrame([(100, "new"), (101, "new")], df.schema)
+    )
+    hot_after = {
+        r.doc_id for r in cap_per_key(grown, "source", 3).collect() if r.doc_id < 20
+    }
+    assert hot_after == by_key["hot"]
+    with pytest.raises(ValueError):
+        cap_per_key(df, "source", 0)

@@ -245,3 +245,70 @@ def test_contamination_benchmark_broadcasts(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_repetition_signals_hand_computed(spark):
+    from elastic_asset_etl_poc_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x x x x"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # doc 1: 3 tokens, 2 distinct; modal token 'a' appears twice;
+    # bigrams {'a a', 'a b'} all distinct
+    assert out[1].n_tokens == 3
+    assert out[1].dup_token_frac == 0.3333
+    assert out[1].top_token_frac == 0.6667
+    assert out[1].dup_bigram_frac == 0.0
+    # doc 2: all-same token — maximal repetition
+    assert out[2].dup_token_frac == 0.75
+    assert out[2].top_token_frac == 1.0
+    assert out[2].dup_bigram_frac == 0.6667  # 3 bigrams, 1 distinct
+    # doc 3: single token — no bigram signal (NULL, not division blow-up)
+    assert out[3].dup_token_frac == 0.0
+    assert out[3].top_token_frac == 1.0
+    assert out[3].dup_bigram_frac is None
+
+
+def test_duplicate_ngram_spans_cross_doc_only(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        # 'a b' is the only gram shared across documents; doc 3 is too
+        # short for any 2-gram
+        [(1, "a b c d"), (2, "a b x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=2).collect()}
+    assert (out[1].n_grams, out[1].n_dup_grams, out[1].dup_gram_frac) == (3, 1, 0.3333)
+    assert (out[2].n_grams, out[2].n_dup_grams, out[2].dup_gram_frac) == (2, 1, 0.5)
+    assert (out[3].n_grams, out[3].n_dup_grams, out[3].dup_gram_frac) == (0, 0, None)
+
+
+def test_duplicate_ngram_spans_within_doc_repeat_not_dup(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import duplicate_ngram_spans
+
+    # 'a b' repeats WITHIN doc 1 only — cross-document count is 1 distinct
+    # doc, so nothing is flagged
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=2).collect()}
+    assert out[1].n_dup_grams == 0 and out[2].n_dup_grams == 0
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import tfidf_score
+
+    df = spark.createDataFrame(
+        [(1, "t u u"), (2, "t v"), (3, "w")], "doc_id long, text string"
+    )
+    rows = {(r.doc_id, r.term): r for r in tfidf_score(df, ("t", "u")).collect()}
+    assert set(rows) == {(1, "t"), (1, "u"), (2, "t")}  # doc 3 matches nothing
+    assert rows[(1, "u")].tf == 2
+    assert rows[(1, "t")].tfidf == round(1 * math.log(3 / 2), 4)
+    assert rows[(1, "u")].tfidf == round(2 * math.log(3 / 1), 4)
+    assert rows[(2, "t")].tfidf == rows[(1, "t")].tfidf
