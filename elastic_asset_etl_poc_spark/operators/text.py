@@ -235,3 +235,60 @@ def tfidf_score(
             ),
         )
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    embeddings: each token hashes to a dimension index and a ±1 sign;
+    the document vector is the signed token-count histogram, optionally
+    L2-normalized.  Bridges the text side into the embedding operators —
+    ``cosine_topk`` / ``cosine_pairs_lsh`` / ``ivf_topk`` consume the
+    output directly, giving similarity search over raw text with no
+    model inference.
+
+    The token hash is the same exact-integer family as
+    :func:`doc_fingerprint` (``ascii(tok)·131 + len(tok)``) so the
+    long-form output is engine-portable and oracle-checkable; a
+    production corpus swaps in ``xxhash64`` for better dispersion (one
+    expression — the plan shape is identical).
+
+    Scale shape: explode → one hash-agg on (doc, idx) → one hash-agg to
+    assemble the dense vector from a sparse entry map — two shuffles,
+    both with map-side partial aggregation, no Python, no driver action.
+    Returns (doc_id, embedding array<double>).
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    exploded = base.select("doc_id", F.explode("__toks").alias("tok"))
+    h = (
+        F.ascii(F.col("tok")).cast("long") * F.lit(FP_TOKEN_WEIGHT)
+        + F.length(F.col("tok")).cast("long")
+    )
+    idx = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(h - idx, F.lit(2 * dim)) == 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+    sparse = (
+        exploded.select("doc_id", idx.alias("idx"), sign.alias("w"))
+        .groupBy("doc_id", "idx")
+        .agg(F.sum("w").alias("w"))
+    )
+    entries = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "w"))).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)),
+    )
+    if normalize:
+        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+        vec = F.when(
+            norm > 0, F.transform(vec, lambda x: x / norm)
+        ).otherwise(vec)
+    return entries.select("doc_id", vec.alias("embedding"))

@@ -2224,3 +2224,82 @@ def tfidf_docs(spark, sf_dir):
     return tfidf_score(
         load_table(spark, sf_dir, "documents"), terms=("spark", "join", "window")
     )
+
+
+#: sparse-form feature-hash embedding CTEs shared by the two hash-embed
+#: oracles — token hash ascii·131+len (doc_fingerprint family), dim 64,
+#: sign by quotient parity, L2 norm over the nonzero entries
+_HASH_EMBED_CTE = """
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id, CAST(ascii(tok) AS BIGINT) * 131 + length(tok) AS hv FROM t
+),
+sp AS (
+  SELECT doc_id, CAST(hv % 64 AS INT) AS dim_idx,
+         sum(CASE WHEN (hv - hv % 64) % 128 = 0 THEN 1.0 ELSE -1.0 END) AS w
+  FROM h GROUP BY 1, 2
+),
+n AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM sp GROUP BY 1)
+"""
+
+
+@q(
+    "hash_embed_docs",
+    f"""
+WITH {_HASH_EMBED_CTE}
+SELECT sp.doc_id, sp.dim_idx, round(sp.w / n.nrm, 4) AS weight
+FROM sp JOIN n USING (doc_id)
+WHERE sp.w <> 0
+""",
+)
+def hash_embed_docs(spark, sf_dir):
+    """Feature-hashing text embeddings (hashing trick), checked in long
+    form: the dense L2-normalized vector posexplodes to (doc_id,
+    dim_idx, weight) nonzero entries — the oracle rebuilds the same
+    sparse map in SQL."""
+    from .operators.text import hash_embed
+
+    emb = hash_embed(load_table(spark, sf_dir, "documents"), dim=64)
+    ex = emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "weight")
+    )
+    return ex.filter(F.col("weight") != 0).select(
+        "doc_id", "dim_idx", F.round("weight", 4).alias("weight")
+    )
+
+
+@q(
+    "text_knn_hash_embed",
+    f"""
+WITH {_HASH_EMBED_CTE},
+qv AS (SELECT doc_id, dim_idx, w FROM sp WHERE doc_id < 5),
+dots AS (
+  SELECT qv.doc_id AS query_id, e.doc_id AS neighbor_id, sum(e.w * qv.w) AS dot
+  FROM sp e JOIN qv ON e.dim_idx = qv.dim_idx AND e.doc_id <> qv.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, dots.dot / (ne.nrm * nq.nrm) AS cos
+  FROM dots
+  JOIN n ne ON ne.doc_id = dots.neighbor_id
+  JOIN n nq ON nq.doc_id = dots.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def text_knn_hash_embed(spark, sf_dir):
+    """Similarity search over RAW TEXT with no model inference:
+    hash_embed bridges documents into the embedding operators, then
+    exact cosine top-10 per query doc.  The oracle computes the same
+    cosine from the sparse form (dot over shared dims / norms)."""
+    from .operators.similarity import cosine_topk
+    from .operators.text import hash_embed
+
+    emb = hash_embed(load_table(spark, sf_dir, "documents"), dim=64)
+    queries = emb.filter(F.col("doc_id") < 5)
+    return cosine_topk(emb, queries, k=10, id_col="doc_id")

@@ -312,3 +312,44 @@ def test_tfidf_hand_computed(spark):
     assert rows[(1, "t")].tfidf == round(1 * math.log(3 / 2), 4)
     assert rows[(1, "u")].tfidf == round(2 * math.log(3 / 1), 4)
     assert rows[(2, "t")].tfidf == rows[(1, "t")].tfidf
+
+
+def test_hash_embed_hand_computed(spark):
+    import math
+
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.text import hash_embed
+
+    # token hashes: 'a' -> 97*131+1 = 12708 = 64*198 + 36 (even quotient:
+    # sign +1, idx 36); 'z' -> 122*131+1 = 15983 = 64*249 + 47 (odd: -1)
+    df = spark.createDataFrame(
+        [(1, "a z"), (2, "a a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.embedding for r in hash_embed(df, dim=64).collect()}
+    r2 = math.sqrt(2)
+    assert abs(out[1][36] - 1 / r2) < 1e-12 and abs(out[1][47] + 1 / r2) < 1e-12
+    assert sum(1 for x in out[1] if x != 0) == 2
+    assert out[2][36] == 1.0 and sum(abs(x) for x in out[2]) == 1.0
+    # L2 norm is 1 for every non-degenerate doc
+    for vec in out.values():
+        assert abs(math.fsum(x * x for x in vec) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        hash_embed(df, dim=1)
+
+
+def test_hash_embed_bridges_into_cosine_topk(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import cosine_topk
+    from elastic_asset_etl_poc_spark.operators.text import hash_embed
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown the fox"),  # same bag of words -> same vector
+            (3, "completely different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = hash_embed(df)
+    top = cosine_topk(emb, emb.filter("doc_id = 1"), k=1, id_col="doc_id").collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [(1, 2, 1)]
