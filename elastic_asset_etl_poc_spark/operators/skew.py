@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted_agg(
@@ -84,3 +85,47 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Per-key distribution diagnostics — the planning step BEFORE a big
+    join/agg on ``key_col``: find the hot keys that would pin a reducer
+    and quantify how hot they are, so the pipeline can choose plain
+    shuffle vs :func:`salted_agg`/:func:`salted_join` vs a per-key cap.
+
+    Returns the ``top_n`` heaviest keys as (key, n_rows, pct_of_total,
+    hot_ratio, rank) where ``hot_ratio`` is n_rows over the mean rows
+    per key — a hot_ratio ≫ shuffle-partition count means one task owns
+    the key no matter how wide the cluster.
+
+    Scale shape: one hash-agg on the key (map-side partials), a 1-row
+    global agg broadcast back, and a ``TakeOrderedAndProject`` top-n on
+    the per-key count frame — the rank window runs only over the
+    ``top_n`` survivors, never a global no-partition window (a corpus
+    with billions of distinct keys would serialize one).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("__total"), 4).alias(
+                "pct_of_total"
+            ),
+            F.round(
+                F.col("n_rows") * F.col("__n_keys") / F.col("__total"), 4
+            ).alias("hot_ratio"),
+            "rank",
+        )
+    )

@@ -2303,3 +2303,30 @@ def text_knn_hash_embed(spark, sf_dir):
     emb = hash_embed(load_table(spark, sf_dir, "documents"), dim=64)
     queries = emb.filter(F.col("doc_id") < 5)
     return cosine_topk(emb, queries, k=10, id_col="doc_id")
+
+
+@q(
+    "skew_report_events",
+    """
+WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c),
+top AS (
+  SELECT key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+  FROM c
+)
+SELECT top.key, top.n_rows,
+       round(top.n_rows * 100.0 / t.total, 4) AS pct_of_total,
+       round(top.n_rows * t.n_keys * 1.0 / t.total, 4) AS hot_ratio,
+       top.rank
+FROM top CROSS JOIN t
+WHERE top.rank <= 10
+""",
+)
+def skew_report_events(spark, sf_dir):
+    """Hot-key diagnostics on events.user_id: top-10 heaviest keys with
+    corpus share and hot-ratio (n_rows over mean rows/key) — the
+    planning input for salted_agg/salted_join/cap_per_key decisions."""
+    from .operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_n=10)

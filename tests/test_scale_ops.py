@@ -149,3 +149,19 @@ def test_large_large_join_smj_without_broadcast(spark):
     assert n == l.count()
     # with broadcast off, the fact-fact join must take the shuffle path
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_skew_report_hand_computed(spark):
+    from elastic_asset_etl_poc_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 20 + [("a",)] * 2 + [("b",)], "k string"
+    )
+    out = skew_report(df, "k", top_n=2).collect()
+    assert [(r.key, r.n_rows, r.rank) for r in out] == [("hot", 20, 1), ("a", 2, 2)]
+    by = {r.key: r for r in out}
+    assert by["hot"].pct_of_total == round(20 * 100.0 / 23, 4)
+    assert by["hot"].hot_ratio == round(20 * 3 / 23, 4)
+    # top-n must plan as TakeOrdered (distributed), not a global window
+    plan = skew_report(df, "k", top_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
