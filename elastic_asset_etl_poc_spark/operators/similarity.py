@@ -664,3 +664,49 @@ def cosine_pairs_lsh(
         .groupBy("vec_a", "vec_b")
         .agg(F.min("cos").alias("cos"))
     )
+
+
+def cluster_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid (spherical) cluster assignment → (id, cluster_id).
+
+    The corpus-organization step after :func:`ivf_train`: topic-cluster
+    the whole embedding table for mixture reporting, per-cluster
+    sampling rates, or semantic dedup blocking.  Pure map-side work —
+    the centroid matrix broadcasts, each Arrow batch does one numpy
+    matmul + argmax; no shuffle, no driver action, linear in corpus
+    size.  Cosine assignment (rows L2-normalized; zero vectors keep
+    norm 1 so they assign deterministically instead of NaN).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    idtype = embeddings.schema[id_col].dataType
+    schema = T.StructType(
+        [T.StructField(id_col, idtype), T.StructField(out_col, T.IntegerType())]
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.size == 0:
+        return embeddings.sparkSession.createDataFrame([], schema)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+
+    def assign(it):
+        Cm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.where(n == 0, 1.0, n)
+            cid = np.argmax(vn @ Cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: cid})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)

@@ -279,16 +279,51 @@ def hash_embed(
         .groupBy("doc_id", "idx")
         .agg(F.sum("w").alias("w"))
     )
-    entries = sparse.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "w"))).alias("__m")
+    # the L2 norm comes from the SPARSE side (zeros contribute nothing),
+    # as one extra aggregate column: a post-hoc array fold would sit
+    # inside the dense transform's lambda and re-evaluate the whole
+    # vector expression per element — O(dim²·entries) per row, measured
+    # 10s for 5k docs vs 0.5s for this form
+    aggs = [F.map_from_entries(F.collect_list(F.struct("idx", "w"))).alias("__m")]
+    if normalize:
+        aggs.append(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__norm"))
+    entries = sparse.groupBy("doc_id").agg(*aggs)
+    denom = (
+        F.when(F.col("__norm") > 0, F.col("__norm")).otherwise(F.lit(1.0))
+        if normalize
+        else F.lit(1.0)
     )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0.0)) / denom,
     )
-    if normalize:
-        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-        vec = F.when(
-            norm > 0, F.transform(vec, lambda x: x / norm)
-        ).otherwise(vec)
     return entries.select("doc_id", vec.alias("embedding"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model score per document: the mean
+    ln p(token) under the corpus's own unigram distribution — the
+    perplexity-proxy quality filter of CCNet/CC-style pipelines
+    (documents full of rare/garbage tokens score low, boilerplate made
+    of corpus-typical tokens scores high).  A production pipeline swaps
+    the self-trained unigram table for a fixed KenLM/reference-corpus
+    table — the plan shape (broadcast vocab join) is unchanged.
+
+    Scale shape: one explode, one hash-agg for the vocab frequency
+    table (vocabulary-sized — broadcast back), a 1-row corpus total,
+    then a per-doc hash-agg of ln-probs.  No Python, no window, no
+    driver action.
+    """
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    exploded = base.select("doc_id", F.explode("__toks").alias("tok"))
+    freqs = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = exploded.agg(F.count(F.lit(1)).alias("__total"))
+    scored = exploded.join(F.broadcast(freqs), "tok").crossJoin(
+        F.broadcast(total)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("__cnt") / F.col("__total"))), 4).alias(
+            "avg_logprob"
+        ),
+    )

@@ -2330,3 +2330,58 @@ def skew_report_events(spark, sf_dir):
     from .operators.skew import skew_report
 
     return skew_report(load_table(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+@q(
+    "unigram_logprob_docs",
+    """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+t AS (SELECT count(*) AS total FROM e)
+SELECT e.doc_id, count(*) AS n_tokens,
+       round(avg(ln(f.cnt * 1.0 / t.total)), 4) AS avg_logprob
+FROM e JOIN f USING (tok) CROSS JOIN t
+GROUP BY e.doc_id
+""",
+)
+def unigram_logprob_docs(spark, sf_dir):
+    """CCNet-style LM quality score: mean ln p(token) under the corpus
+    unigram distribution (broadcast vocab join, no Python)."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@q("cluster_docs_embeddings", None)  # k-means clustering → rows-only check
+def cluster_docs_embeddings(spark, sf_dir):
+    """Corpus topic clustering: seeded spherical k-means (ivf_train, 8
+    centroids) + map-side cluster_assign, reported as per-cluster size
+    with the majority label and its count (mixture/purity summary).
+    Deterministic end-to-end (seeded trainer, argmax assignment), so
+    the rows-only driver check is stable."""
+    from .operators.similarity import cluster_assign, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, n_centroids=8)
+    assigned = cluster_assign(emb, centroids)
+    per_label = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    top = (
+        per_label.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return sizes.join(top, "cluster_id")

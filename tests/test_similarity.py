@@ -248,3 +248,23 @@ def test_ivf_centroids_parquet_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, ivf_topk(emb, q, k=5, centroids=C).collect()))
     b = sorted(map(tuple, ivf_topk(emb, q, k=5, centroids=C2).collect()))
     assert a == b
+
+
+def test_cluster_assign_two_obvious_clusters(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cluster_assign,
+        ivf_train,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.01 * i]) for i in range(8)] + [
+        (i, [0.0, 1.0, -0.01 * i]) for i in range(8, 16)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = ivf_train(df, n_centroids=2, kmeans_iters=5)
+    out = {r.vec_id: r.cluster_id for r in cluster_assign(df, C).collect()}
+    a = {out[i] for i in range(8)}
+    b = {out[i] for i in range(8, 16)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # assignment is deterministic across invocations
+    again = {r.vec_id: r.cluster_id for r in cluster_assign(df, C).collect()}
+    assert again == out

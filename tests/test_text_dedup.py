@@ -353,3 +353,20 @@ def test_hash_embed_bridges_into_cosine_topk(spark):
     emb = hash_embed(df)
     top = cosine_topk(emb, emb.filter("doc_id = 1"), k=1, id_col="doc_id").collect()
     assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [(1, 2, 1)]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    # corpus: a x2, b x1, c x1, total 4
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].avg_logprob == round(
+        (2 * math.log(0.5) + math.log(0.25)) / 3, 4
+    )
+    assert out[2].avg_logprob == round(math.log(0.25), 4)
