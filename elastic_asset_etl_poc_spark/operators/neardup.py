@@ -661,3 +661,35 @@ def duplicate_ngram_spans(
             "dup_gram_frac"
         ),
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: from an incoming batch, keep only
+    documents whose content appears neither in the existing corpus nor
+    earlier (by min id) within the batch itself.  The ingest-time
+    primitive: each crawl/stream micro-batch dedups against everything
+    already accepted without ever re-shuffling the corpus text.
+
+    Scale shape: both sides reduce to 128-bit digests before any join
+    (the corpus side is digest + nothing else — at 100 TB the digest
+    table is ~2% of corpus bytes and is the thing you persist between
+    ingests); within-batch survivors via one hash-agg; cross-corpus
+    novelty via LEFT ANTI join on the digest — no window, and the only
+    shuffles carry digests.
+    """
+    digest = F.md5(F.col(text_col)).alias("__digest")
+    batch = (
+        new_df.select(digest, F.col(id_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    seen = corpus_df.select(F.md5(F.col(text_col)).alias("__digest")).distinct()
+    novel = batch.join(seen, "__digest", "left_anti")
+    return novel.join(
+        new_df.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(id_col, "__digest", text_col)

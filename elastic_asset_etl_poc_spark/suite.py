@@ -2385,3 +2385,32 @@ def cluster_docs_embeddings(spark, sf_dir):
     )
     sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
     return sizes.join(top, "cluster_id")
+
+
+@q(
+    "dedup_incremental_docs",
+    """
+WITH newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+batch AS (
+  SELECT md5(text) AS __digest, min(doc_id) AS doc_id
+  FROM newb GROUP BY 1
+),
+seen AS (SELECT DISTINCT md5(text) AS __digest FROM corpus)
+SELECT b.doc_id, b.__digest, d.text
+FROM batch b
+LEFT JOIN seen s USING (__digest)
+JOIN newb d ON d.doc_id = b.doc_id
+WHERE s.__digest IS NULL
+""",
+)
+def dedup_incremental_docs(spark, sf_dir):
+    """Ingest-time incremental dedup: docs with doc_id%5=0 arrive as the
+    new batch, the rest are the accepted corpus; survivors are batch
+    docs novel against both the corpus digests and earlier batch rows."""
+    from .operators.neardup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_incremental(newb, corpus)

@@ -370,3 +370,23 @@ def test_unigram_logprob_hand_computed(spark):
         (2 * math.log(0.5) + math.log(0.25)) / 3, 4
     )
     assert out[2].avg_logprob == round(math.log(0.25), 4)
+
+
+def test_dedup_incremental_batch_and_corpus(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "already accepted"), (2, "also accepted")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already accepted"),  # dup of corpus -> dropped
+            (11, "brand new"),
+            (12, "brand new"),  # within-batch dup -> min id 11 survives
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in dedup_incremental(batch, corpus).collect())
+    assert out == [11, 13]
