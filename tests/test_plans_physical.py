@@ -115,3 +115,42 @@ def test_jaccard_cap_is_broadcast_anti_join(spark):
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     # no Window operator anywhere in the jaccard plan
     assert "\nWindow" not in plan and "Window [" not in plan
+
+
+def test_unigram_tfidf_broadcast_vocab_joins(spark):
+    from elastic_asset_etl_poc_spark.operators.text import tfidf_score, unigram_logprob
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for df in (unigram_logprob(docs), tfidf_score(docs, ("spark", "join"))):
+        plan = fmt_plan(df)
+        # vocab/total tables broadcast back — the corpus side never
+        # shuffles for the join, and nothing falls back to a loop join
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_dup_ngram_spans_partial_agg_no_cartesian(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import duplicate_ngram_spans
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    plan = fmt_plan(duplicate_ngram_spans(load_table(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the dup-gram agg keeps map-side partials (partial_count before the
+    # exchange): at least one HashAggregate pair around an Exchange
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_dedup_incremental_digest_only_shuffle(spark):
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_incremental
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    newb = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    plan = fmt_plan(dedup_incremental(newb, corpus))
+    # the corpus side reduces to digests before the anti join; raw text
+    # appears only in the final batch-side re-join
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
