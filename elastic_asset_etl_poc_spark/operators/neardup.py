@@ -625,6 +625,12 @@ def duplicate_ngram_spans(
     on (gram) and one on (doc_id).
     """
     base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    # materialize the token arrays BEFORE the gram lambda: CollapseProject
+    # would otherwise inline split(text) into the per-position lambda and
+    # re-tokenize the document once per gram — O(positions·tokens) per doc
+    # (measured 3.3s for one pass at sf0.1 vs 0.4s materialized); the
+    # same split-in-lambda trap jaccard_pairs' shingle checkpoint avoids
+    base = base.localCheckpoint(eager=True)
     tk = F.col("__toks")
     n_tok = F.size(tk)
     # 1-based window starts; guard short docs (sequence(1, 0) descends)
@@ -635,7 +641,11 @@ def duplicate_ngram_spans(
             lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_grams = base.select("doc_id", grams.alias("__grams"))
+    # one gram-construction pass total: with_grams feeds three consumers
+    # (dup-gram agg, membership join, per-doc sizes)
+    with_grams = base.select("doc_id", grams.alias("__grams")).localCheckpoint(
+        eager=True
+    )
     exploded = with_grams.select("doc_id", F.explode("__grams").alias("gram"))
     # grams seen in >= 2 distinct docs; distinct-then-count keeps partial
     # aggregation (a straight countDistinct would too, via expand)
