@@ -34,3 +34,36 @@ def semi_join_in_list(
     if hint:
         b = b.hint(hint)
     return probe.join(b, on=probe[f"`{probe_key}`"] == b["__bk"], how="left_semi")
+
+
+def fk_orphan_audit(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one child→parent edge: a one-row
+    frame (relation, n_rows, n_null_fk, n_orphans).  The data-quality
+    gate a pipeline runs after every ingest — silent FK breakage (late
+    dims, partial loads) otherwise surfaces as quietly wrong joins
+    downstream.
+
+    Scale shape: the parent side reduces to DISTINCT keys before the
+    join (never the parent payload), the child side carries only the FK
+    column, and the orphan test is a left join + null-probe folded into
+    one aggregation — AQE picks broadcast vs shuffle from the actual
+    distinct-key size.
+    """
+    parents = parent.select(F.col(pk_col).alias("__pk")).distinct()
+    fk = F.col(fk_col)
+    joined = child.select(fk.alias("__fk")).join(
+        parents, F.col("__fk") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("__fk").isNull(), 1)).alias("n_null_fk"),
+        F.count(
+            F.when(F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1)
+        ).alias("n_orphans"),
+    ).select(F.lit(relation).alias("relation"), "n_rows", "n_null_fk", "n_orphans")

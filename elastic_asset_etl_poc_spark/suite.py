@@ -2414,3 +2414,53 @@ def dedup_incremental_docs(spark, sf_dir):
     newb = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_incremental(newb, corpus)
+
+
+@q(
+    "fk_integrity_audit",
+    """
+SELECT 'orders->customer' AS relation, count(*) AS n_rows,
+       count(*) FILTER (WHERE o_custkey IS NULL) AS n_null_fk,
+       count(*) FILTER (WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+FROM orders
+UNION ALL
+SELECT 'lineitem->orders', count(*),
+       count(*) FILTER (WHERE l_orderkey IS NULL),
+       count(*) FILTER (WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->part', count(*),
+       count(*) FILTER (WHERE l_partkey IS NULL),
+       count(*) FILTER (WHERE l_partkey IS NOT NULL
+           AND l_partkey NOT IN (SELECT p_partkey FROM part))
+FROM lineitem
+UNION ALL
+SELECT 'nation->region', count(*),
+       count(*) FILTER (WHERE n_regionkey IS NULL),
+       count(*) FILTER (WHERE n_regionkey IS NOT NULL
+           AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
+FROM nation
+""",
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Post-ingest referential-integrity gate over the star schema's
+    four FK edges: row counts, NULL FKs, and orphans per edge."""
+    from functools import reduce
+
+    from .operators.joins import fk_orphan_audit
+
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+        ("nation", "n_regionkey", "region", "r_regionkey", "nation->region"),
+    ]
+    audits = [
+        fk_orphan_audit(
+            load_table(spark, sf_dir, c), fk, load_table(spark, sf_dir, p), pk, rel
+        )
+        for c, fk, p, pk, rel in edges
+    ]
+    return reduce(lambda a, b: a.unionByName(b), audits)

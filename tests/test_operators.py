@@ -261,3 +261,19 @@ def test_band_join_subsecond_precision(spark):
     )
     out = band_join(left, right, on="key", band_seconds=2, left_ts="t", right_ts="t")
     assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_fk_orphan_audit_counts(spark):
+    from elastic_asset_etl_poc_spark.operators.joins import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = fk_orphan_audit(child, "fk", parent, "pk", "c->p").collect()[0]
+    assert (row.relation, row.n_rows, row.n_null_fk, row.n_orphans) == (
+        "c->p",
+        5,
+        1,
+        1,
+    )
