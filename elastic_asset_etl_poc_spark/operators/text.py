@@ -327,3 +327,49 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    step before embedding/RAG indexing or fixed-context training:
+    stride = chunk_tokens − overlap, every token lands in at least one
+    chunk, the final chunk may run short.  Returns (doc_id, chunk_id,
+    n_chunk_tokens, chunk_text).
+
+    Scale shape: tokens are eagerly checkpointed (the CollapseProject
+    split-in-lambda trap — see duplicate_ngram_spans), then each doc
+    builds its chunk array in ONE pass and explodes chunk structs, so
+    the blow-up is the ≤ chunk/stride coverage factor (~1.3× here),
+    never tokens × chunks (exploding start offsets first would copy
+    the whole token array once per chunk — quadratic for long docs).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    base = base.localCheckpoint(eager=True)
+    tk = F.col("__toks")
+    n_tok = F.size(tk)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n_tok - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.floor((s - 1) / stride).cast("int").alias("chunk_id"),
+            F.size(F.slice(tk, s, chunk_tokens)).alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(tk, s, chunk_tokens)).alias("chunk_text"),
+        ),
+    )
+    return (
+        base.filter(n_tok >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
+    )

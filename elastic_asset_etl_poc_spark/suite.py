@@ -2464,3 +2464,27 @@ def fk_integrity_audit(spark, sf_dir):
         for c, fk, p, pk, rel in edges
     ]
     return reduce(lambda a, b: a.unionByName(b), audits)
+
+
+@q(
+    "chunk_docs",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk,
+         unnest(range(1, greatest(len(tk) - 8, 1) + 1, 24)) AS start
+  FROM t WHERE len(tk) >= 1
+)
+SELECT doc_id,
+       CAST(floor((start - 1) / 24) AS INT) AS chunk_id,
+       len(list_slice(tk, start, start + 31)) AS n_chunk_tokens,
+       array_to_string(list_slice(tk, start, start + 31), ' ') AS chunk_text
+FROM s
+""",
+)
+def chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8 overlap) —
+    the pre-embedding/RAG document splitter."""
+    from .operators.text import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -390,3 +390,30 @@ def test_dedup_incremental_batch_and_corpus(spark):
     )
     out = sorted(r.doc_id for r in dedup_incremental(batch, corpus).collect())
     assert out == [11, 13]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(1, 11))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    one = sorted(
+        ((r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in out if r.doc_id == 1)
+    )
+    # stride 2 over 10 tokens: starts 1,3,5,7 — full coverage, last ends at t10
+    assert one == [
+        (0, 4, "t1 t2 t3 t4"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t5 t6 t7 t8"),
+        (3, 4, "t7 t8 t9 t10"),
+    ]
+    # short doc -> single short chunk
+    two = [(r.chunk_id, r.n_chunk_tokens, r.chunk_text) for r in out if r.doc_id == 2]
+    assert two == [(0, 2, "a b")]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
