@@ -2488,3 +2488,45 @@ def chunk_docs(spark, sf_dir):
     from .operators.text import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_survivors_semantic",
+    """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM cp
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM cp
+),
+cc(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, c.label FROM edges e JOIN cc c ON c.node = e.dst
+)
+SELECT node AS vec_id, min(label) AS cluster,
+       min(label) = node AS is_survivor
+FROM cc GROUP BY node
+""",
+)
+def dedup_survivors_semantic(spark, sf_dir):
+    """SEMANTIC dedup end-to-end: exact embedding-cosine pairs (>= 0.45)
+    -> connected components -> keep-min-id survivor per cluster.  The
+    embedding-side twin of dedup_survivors_docs; same recursive-CTE
+    oracle, so semantic cluster ids and survivor flags are hash-checked."""
+    from .operators.neardup import dedup_survivors
+    from .operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.45).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_survivors(emb, pairs, id_col="vec_id")
