@@ -202,3 +202,41 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
         .partitionBy("asset.type")
         .parquet(path)
     )
+
+
+def write_bulk_ndjson(
+    df: DataFrame,
+    path: str,
+    index: str,
+    id_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export as Elasticsearch ``_bulk`` NDJSON: per document an action
+    line (``{"index": {"_index": ..., "_id": ...}}``) followed by the
+    source line — the exact payload the reference's bulk loader ships
+    (S8, `lib/es_client.ts` bulk helper), but produced DISTRIBUTED: each
+    task writes its partition as text, so a 100 TB export is a map-only
+    job with no driver collect (unlike the debug-only
+    :func:`to_json_lines`).
+
+    The action line is assembled with JSON-escaped ``to_json`` structs —
+    never string interpolation of raw values — so ids containing quotes
+    or backslashes stay valid NDJSON.
+    """
+    if id_col is not None:
+        action = F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(index).alias("_index"),
+                    F.col(id_col).cast("string").alias("_id"),
+                ).alias("index")
+            )
+        )
+    else:
+        action = F.to_json(
+            F.struct(F.struct(F.lit(index).alias("_index")).alias("index"))
+        )
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    df.select(
+        F.concat_ws("\n", action, doc).alias("value")
+    ).write.mode(mode).text(path)

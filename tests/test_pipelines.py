@@ -256,3 +256,30 @@ def test_write_range_sorted_prunes_by_footer_stats(spark, tmp_path):
     got = spark.read.parquet(path).filter(f"o_custkey = {probe}").count()
     want = orders.filter(f"o_custkey = {probe}").count()
     assert got == want and want > 0
+
+
+def test_write_bulk_ndjson_roundtrip(spark, tmp_path):
+    import glob
+    import json
+
+    from elastic_asset_etl_poc_spark.sinks import write_bulk_ndjson
+
+    df = spark.createDataFrame(
+        [(1, 'quo"te'), (2, "plain")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "bulk")
+    write_bulk_ndjson(df, out, index="docs-v1", id_col="doc_id")
+    lines = []
+    for f in sorted(glob.glob(out + "/part-*")):
+        with open(f) as fh:
+            lines += [l for l in fh.read().splitlines() if l]
+    assert len(lines) == 4  # action + source per doc
+    actions = [json.loads(l) for l in lines[0::2]]
+    sources = [json.loads(l) for l in lines[1::2]]
+    assert {a["index"]["_index"] for a in actions} == {"docs-v1"}
+    assert sorted(a["index"]["_id"] for a in actions) == ["1", "2"]
+    by_id = {s["doc_id"]: s["text"] for s in sources}
+    assert by_id[1] == 'quo"te'  # escaping survives the concat
+    # action i must precede its own source line
+    for a, s in zip(actions, sources):
+        assert a["index"]["_id"] == str(s["doc_id"])
