@@ -2530,3 +2530,37 @@ def dedup_survivors_semantic(spark, sf_dir):
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return dedup_survivors(emb, pairs, id_col="vec_id")
+
+
+@q(
+    "temperature_mix_docs",
+    """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+f AS (SELECT lang, power(n, 1.0 / 2.0 - 1.0) AS raw FROM c WHERE n > 0),
+p AS (SELECT max(raw) AS peak FROM f),
+thr AS (SELECT lang, least(1.0, 1.0 * raw / peak) AS frac FROM f CROSS JOIN p)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
+      < CASE WHEN thr.frac >= 1.0 THEN 'g'
+             ELSE printf('%08x', CAST(least(floor(thr.frac * 4294967296.0),
+                                            4294967295.0) AS BIGINT)) END
+""",
+)
+def temperature_mix_docs(spark, sf_dir):
+    """XLM-style temperature mixture (T=2) over the language strata:
+    rare languages keep everything, dominant ones downsample to
+    n^(1/T-1)/peak — the multilingual rebalancing step of a pretraining
+    mix.  Per-language counts collect to the driver (|langs| rows — the
+    bounded-collect discipline), fractions come from
+    temperature_fractions, membership from the md5 stratified sampler;
+    the oracle recomputes the identical float pipeline in SQL (same
+    pow/divide/floor order, so thresholds match bit-exactly)."""
+    from .operators.sampling import stratified_hash_sample, temperature_fractions
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    fractions = temperature_fractions(counts, temperature=2.0)
+    return stratified_hash_sample(docs, "lang", fractions, salt="mix").select(
+        "doc_id", "lang"
+    )
