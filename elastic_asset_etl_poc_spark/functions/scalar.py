@@ -80,3 +80,29 @@ def date_math_lookback(now: datetime, amount: int, unit: str) -> tuple[Column, C
         "d": timedelta(days=amount),
     }[unit]
     return F.lit(now - delta), F.lit(now)
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` of each input
+    column into one clustering key.  Feed the result to
+    ``sinks.write_range_sorted`` and a range-partitioned sort on ONE
+    column yields files whose min/max footers are tight in EVERY
+    interleaved dimension — multi-dimensional scan pruning on plain
+    parquet (the Z-order layout Delta/Iceberg expose as OPTIMIZE
+    ZORDER BY, built from builtin bit arithmetic).
+
+    Inputs must be non-negative integers already bucketed/ranked to
+    ``bits`` de-facto range (values beyond it only lose locality above
+    bit ``bits``, never correctness).  Pure shift/and/or column
+    expression — codegen, map-side, engine-portable.
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if not 1 <= bits <= 63 // len(cols):
+        raise ValueError(f"bits must be in [1, {63 // len(cols)}] for {len(cols)} cols")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z

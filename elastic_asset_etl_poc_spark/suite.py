@@ -2564,3 +2564,36 @@ def temperature_mix_docs(spark, sf_dir):
     return stratified_hash_sample(docs, "lang", fractions, salt="mix").select(
         "doc_id", "lang"
     )
+
+
+def _zorder_sql_terms(exprs: list[str], bits: int) -> str:
+    """DuckDB twin of functions.scalar.zorder_key — same interleave order."""
+    terms = []
+    for b in range(bits):
+        for i, e in enumerate(exprs):
+            terms.append(f"(((({e}) >> {b}) & 1) << {b * len(exprs) + i})")
+    return " | ".join(terms)
+
+
+@q(
+    "zorder_key_events",
+    f"""
+SELECT event_id,
+       {_zorder_sql_terms(['(user_id & 65535)',
+                           '(CAST(floor(value) AS BIGINT) & 65535)'], 16)} AS zkey
+FROM events
+""",
+)
+def zorder_key_events(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value-bucket):
+    the key write_range_sorted sorts on to get multi-dimensional
+    footer-level scan pruning.  Exact integer bit arithmetic — the
+    oracle interleaves with the identical shift/and/or expression."""
+    from .functions.scalar import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    dims = [
+        F.col("user_id").bitwiseAND(F.lit(65535)),
+        F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(65535)),
+    ]
+    return ev.select("event_id", zorder_key(dims, bits=16).alias("zkey"))

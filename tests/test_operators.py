@@ -277,3 +277,28 @@ def test_fk_orphan_audit_counts(spark):
         1,
         1,
     )
+
+
+def test_zorder_key_hand_computed_and_quadrants(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.functions.scalar import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 5), (7, 7), (8, 8)], "x long, y long"
+    )
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    }
+    # interleave(3,5): x bits at even positions, y at odd -> 0b100111 = 39
+    assert out[(3, 5)] == 39
+    # quadrant separation: everything below (8,8) sorts before (8,8)
+    assert out[(7, 7)] == 63 and out[(8, 8)] == 192
+    with pytest.raises(ValueError):
+        zorder_key([], bits=4)
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x"), F.col("y")], bits=40)
