@@ -2597,3 +2597,37 @@ def zorder_key_events(spark, sf_dir):
         F.floor(F.col("value")).cast("long").bitwiseAND(F.lit(65535)),
     ]
     return ev.select("event_id", zorder_key(dims, bits=16).alias("zkey"))
+
+
+@q(
+    "svc_phase1_streaming",
+    _sig()
+    + """
+SELECT service_name AS name, service_environment AS environment,
+       max(ts) AS last_seen
+FROM signals
+WHERE metricset_name = 'purchase'
+GROUP BY 1, 2
+""",
+)
+def svc_phase1_streaming(spark, sf_dir):
+    """§2.9 driver-visible STREAMING query: the continuous phase-1
+    service-discovery pipeline (stateful last-wins dedup + watermark)
+    driven to completion with an availableNow trigger over the staged
+    events fixture, collected from the memory sink.  The oracle is the
+    equivalent batch SQL — streaming and batch semantics are
+    hash-checked equal, not just pytest-asserted."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import run_to_memory, stream_services_phase1
+
+    staged = tempfile.mkdtemp(prefix="svc_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+    name = f"svc_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_services_phase1(spark, staged), name, "complete"
+    )
+    q.stop()
+    return spark.table(name)
