@@ -2624,10 +2624,15 @@ def svc_phase1_streaming(spark, sf_dir):
     from .streaming import run_to_memory, stream_services_phase1
 
     staged = tempfile.mkdtemp(prefix="svc_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-    name = f"svc_stream_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(
-        stream_services_phase1(spark, staged), name, "complete"
-    )
-    q.stop()
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        name = f"svc_stream_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_services_phase1(spark, staged), name, "complete"
+        )
+        q.stop()
+    finally:
+        # the run has fully drained into the memory sink; the staged
+        # copy is dead weight (bench invokes this 3×)
+        shutil.rmtree(staged, ignore_errors=True)
     return spark.table(name)
