@@ -1,4 +1,5 @@
-"""Temporal joins Spark lacks natively: the as-of join.
+"""Temporal operators Spark lacks natively: as-of join, band join,
+gap-filled rollup.
 
 ``asof_join(left, right)`` enriches every left row with the most recent
 right row at-or-before its timestamp, per key — the canonical "attach the
@@ -153,6 +154,64 @@ def asof_join(
         *lcols,
         *[F.col("__m").getField(p).alias(f"{p}{suffix}") for p in payload],
     )
+
+
+def rollup_gapfill(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    bucket: str = "hour",
+    aggs: dict[str, F.Column] | None = None,
+    locf: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style time rollup with dense gap-fill and LOCF.
+
+    Buckets ``df`` to ``date_trunc(bucket, ts)`` per ``key``, aggregates,
+    then left-joins the rollup onto a dense (key × bucket) scaffold built
+    from ``sequence(min_bucket, max_bucket, 1 <bucket>)`` so silent gaps
+    become explicit rows (``n_events`` 0, aggregate columns NULL).
+    Columns named in ``locf`` additionally get a ``{col}_locf`` twin that
+    carries the last observed value forward (``last(..., ignorenulls)``
+    over an unbounded-preceding frame) — the "last known reading"
+    semantics of a TimescaleDB ``time_bucket_gapfill`` + ``locf``.
+
+    Scale posture: the heavy input collapses in ONE map-side-combined
+    aggregate shuffle; the scaffold is |keys| × |buckets| rows (tiny —
+    broadcast side of the left join), and the LOCF window re-uses the
+    (key)-partitioned exchange.  Nothing here scales with raw row count
+    except the initial rollup.
+    """
+    aggs = aggs or {"n_events": F.count("*")}
+    b = F.date_trunc(bucket, F.col(ts)).alias("bucket_ts")
+    rolled = df.groupBy(F.col(key), b).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    bounds = df.agg(
+        F.date_trunc(bucket, F.min(ts)).alias("__lo"),
+        F.date_trunc(bucket, F.max(ts)).alias("__hi"),
+    )
+    scaffold = (
+        df.select(key)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr(f"INTERVAL 1 {bucket}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    out = scaffold.join(rolled, [key, "bucket_ts"], "left")
+    if "n_events" in aggs:
+        out = out.withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf or []:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out
 
 
 def band_join(

@@ -263,6 +263,44 @@ def test_band_join_subsecond_precision(spark):
     assert sorted(r.id for r in out.collect()) == [1, 3]
 
 
+def test_rollup_gapfill_dense_scaffold_and_locf(spark):
+    """Gaps between min and max buckets appear as explicit rows
+    (n_events=0, agg NULL) and the LOCF twin carries the last observed
+    value across them, per key."""
+    from elastic_asset_etl_poc_spark.operators.temporal import rollup_gapfill
+
+    df = spark.createDataFrame(
+        [
+            ("a", ts(1, 0), 10.0),
+            ("a", ts(1, 0), 5.0),   # same bucket, aggregates
+            ("a", ts(1, 3), 2.0),   # hours 1 and 2 are gaps
+            ("b", ts(1, 1), 7.0),
+        ],
+        "key string, t timestamp, v double",
+    )
+    out = rollup_gapfill(
+        df,
+        key="key",
+        ts="t",
+        bucket="hour",
+        aggs={"n_events": F.count("*"), "sum_v": F.sum("v")},
+        locf=["sum_v"],
+    )
+    rows = {
+        (r.key, r.bucket_ts.hour): (r.n_events, r.sum_v, r.sum_v_locf)
+        for r in out.collect()
+    }
+    # scaffold is the GLOBAL bucket range × every key: 4 hours × 2 keys
+    assert len(rows) == 8
+    assert rows[("a", 0)] == (2, 15.0, 15.0)
+    assert rows[("a", 1)] == (0, None, 15.0)  # gap: explicit, LOCF carries
+    assert rows[("a", 2)] == (0, None, 15.0)
+    assert rows[("a", 3)] == (1, 2.0, 2.0)
+    assert rows[("b", 0)] == (0, None, None)  # before first observation
+    assert rows[("b", 1)] == (1, 7.0, 7.0)
+    assert rows[("b", 3)] == (0, None, 7.0)
+
+
 def test_fk_orphan_audit_counts(spark):
     from elastic_asset_etl_poc_spark.operators.joins import fk_orphan_audit
 
