@@ -2613,6 +2613,91 @@ def svc_phase1_streaming(spark, sf_dir):
 
 
 @q(
+    "stream_windowed_counts_daily",
+    _sig()
+    + """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       metricset_name,
+       count(*) AS n
+FROM signals
+GROUP BY 1, 2
+""",
+)
+def stream_windowed_counts_daily(spark, sf_dir):
+    """§2.9 driver-visible STREAMING query #2: tumbling 1-day windowed
+    counts per metricset (watermark + window aggregation) drained with an
+    availableNow trigger into the memory sink.  Spark's epoch-aligned
+    tumbling '1 day' windows coincide with date_trunc('day') in UTC, so
+    the batch SQL is an exact oracle — the streaming window operator is
+    hash-checked, not just pytest-asserted."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import run_to_memory, stream_windowed_counts
+
+    staged = tempfile.mkdtemp(prefix="win_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        name = f"win_stream_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_windowed_counts(spark, staged), name, "complete"
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name)
+
+
+@q(
+    "cohort_retention_events",
+    """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(floor(date_diff('day', c.cohort_week, a.act_week) / 7) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+WHERE a.act_week >= c.cohort_week
+GROUP BY 1, 2
+""",
+)
+def cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-signup week,
+    counted per week offset of any later activity — the engagement
+    matrix behind every retention curve.  Shape: two key-partitioned
+    aggregates (cohort anchor, distinct user-week activity) joined on
+    user_id, then one (cohort, offset) count-distinct; no window over
+    raw events.  Both engines truncate weeks to ISO Monday."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
     "rollup_gapfill_events",
     """
 WITH hourly AS (
