@@ -2698,6 +2698,109 @@ def cohort_retention_events(spark, sf_dir):
 
 
 @q(
+    "hopping_window_counts",
+    """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+),
+w AS (
+  SELECT event_type,
+         (us // (CAST(12 AS BIGINT) * 3600 * 1000000))
+           * (CAST(12 AS BIGINT) * 3600 * 1000000)
+           - k.k * CAST(12 AS BIGINT) * 3600 * 1000000 AS ws
+  FROM h CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT make_timestamp(ws) AS window_start, event_type, count(*) AS n
+FROM w GROUP BY 1, 2
+""",
+)
+def hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) window aggregation in batch: 1-day windows
+    every 12 hours — each event lands in size/hop = 2 windows.  Spark's
+    ``F.window(ts, '1 day', '12 hours')`` explodes the window set
+    map-side then hash-aggregates (one shuffle); the oracle reproduces
+    the epoch-aligned window-start arithmetic with integer µs division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day", "12 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
+@q(
+    "rolling_zscore_events",
+    """
+WITH c AS (
+  SELECT event_id, event_type, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+z AS (
+  SELECT event_id, event_type, cents,
+         sum(cents) OVER w AS s1,
+         sum(cents * cents) OVER w AS s2,
+         count(*) OVER w AS n_frame
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, n_frame,
+       s1 / n_frame / 100 AS roll_avg,
+       CASE WHEN n_frame > 1
+            THEN sqrt(greatest((s2 - s1 * s1 * 1.0 / n_frame)
+                               / (n_frame - 1), 0)) / 100
+       END AS roll_std,
+       CASE WHEN n_frame > 1
+            THEN abs(cents - s1 * 1.0 / n_frame)
+                 > 3 * sqrt(greatest((s2 - s1 * s1 * 1.0 / n_frame)
+                                     / (n_frame - 1), 0))
+       END AS is_outlier
+FROM z
+""",
+)
+def rolling_zscore_events(spark, sf_dir):
+    """Rolling-window anomaly detection: per-type 20-row trailing mean /
+    sample stddev, flagging values beyond 3σ — the sensor-QC pass, as
+    one partitioned window (single shuffle, no self-join).
+
+    Parity strategy: naive ``avg(value) OVER w`` is irreparably
+    boundary-unstable here — two-decimal inputs make every 20-row mean
+    land exactly on .xxx5, where Spark's sequential frame sum and
+    DuckDB's segment-tree sum differ by 1 ulp and ANY rounding flips.
+    Instead both engines sum EXACT integer cents (and squared cents —
+    ≤2^46, exact in int64/double), then derive mean and stddev with the
+    identical float expression: bit-identical doubles out, no rounding
+    needed, and the 3σ flag is deterministic too."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    c = ev.withColumn("cents", cents)
+    s1 = F.sum("cents").over(w)
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    var_c = (s2 - s1 * s1 * F.lit(1.0) / n) / (n - 1)
+    std_c = F.sqrt(F.greatest(var_c, F.lit(0.0)))
+    return c.select(
+        "event_id",
+        "event_type",
+        n.alias("n_frame"),
+        (s1 / n / 100).alias("roll_avg"),
+        F.when(n > 1, std_c / 100).alias("roll_std"),
+        F.when(
+            n > 1, F.abs(F.col("cents") - s1 * F.lit(1.0) / n) > 3 * std_c
+        ).alias("is_outlier"),
+    )
+
+
+@q(
     "rollup_gapfill_events",
     """
 WITH hourly AS (
