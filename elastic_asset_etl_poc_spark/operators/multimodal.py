@@ -833,6 +833,100 @@ def extract_audio_features(
     return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("seg_id", T.IntegerType()),
+        T.StructField("start_sec", T.DoubleType()),
+        T.StructField("end_sec", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("seg_rms", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def segment_audio_energy(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    frame_ms: int = 25,
+    rms_threshold: float = 0.05,
+) -> DataFrame:
+    """Energy-based voice/activity segmentation: split each WAV into
+    ``frame_ms`` frames, keep contiguous runs whose frame RMS clears
+    ``rms_threshold``, emit one row per active segment — the
+    silence-stripping pass before an ASR/training-audio pipeline.
+
+    Fan-out shape (rows out ≥ rows in) like :func:`sample_frames`, so
+    ``mapInPandas`` rather than a scalar UDF; the numpy kernel is one
+    reshape + per-frame RMS + run-length extraction, no Python loop over
+    samples.  Fail-soft: undecodable payloads emit a single
+    ``decode_ok=false`` row (audit trail) instead of killing the task.
+    """
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    cols = [
+        "media_id",
+        "seg_id",
+        "start_sec",
+        "end_sec",
+        "n_frames",
+        "seg_rms",
+        "decode_ok",
+    ]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        sw = w.getsampwidth()
+                        raw = w.readframes(w.getnframes())
+                    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+                    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                    if sw == 1:
+                        x = x - 128.0
+                    scale = float(1 << (8 * sw - 1)) if sw > 1 else 128.0
+                    x = x / scale
+                    if nch > 1:  # mono mix
+                        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+                    flen = max(1, sr * frame_ms // 1000)
+                    if x.size % flen:
+                        x = np.pad(x, (0, flen - x.size % flen))
+                    frames = x.reshape(-1, flen)
+                    rms = np.sqrt((frames**2).mean(axis=1))
+                    mask = rms >= rms_threshold
+                    # run-length extraction over the boolean mask
+                    edges = np.flatnonzero(np.diff(np.r_[0, mask.view(np.int8), 0]))
+                    for k, (s, e) in enumerate(edges.reshape(-1, 2)):
+                        seg = frames[s:e].ravel()
+                        rows.append(
+                            (
+                                mid,
+                                k,
+                                round(s * flen / sr, 6),
+                                round(e * flen / sr, 6),
+                                int(e - s),
+                                round(float(np.sqrt((seg**2).mean())), 6),
+                                True,
+                            )
+                        )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_SEGMENTS_SCHEMA)
+
+
 def synthetic_audio(spark, n: int = 32) -> DataFrame:
     """Deterministic WAV fixtures: (media_id, payload binary) — 16-bit
     mono sine bursts of varying pitch/length, built with the stdlib

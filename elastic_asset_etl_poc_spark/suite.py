@@ -1296,6 +1296,16 @@ def multimodal_audio_features(spark, sf_dir):
     return extract_audio_features(synthetic_audio(spark, n=64))
 
 
+@q("multimodal_audio_segments", None)  # synthetic binary input → rows-only
+def multimodal_audio_segments(spark, sf_dir):
+    """Energy-based activity segmentation (silence stripping) over the
+    WAV fixtures — fan-out mapInPandas, one row per above-threshold run
+    (operators/multimodal.py:segment_audio_energy)."""
+    from .operators.multimodal import segment_audio_energy, synthetic_audio
+
+    return segment_audio_energy(synthetic_audio(spark, n=64))
+
+
 @q("embed_knn_ivf", None)  # approximate by design → rows-only check
 def embed_knn_ivf(spark, sf_dir):
     """IVF-Flat ANN (coarse-quantizer scale path; data-adaptive twin of

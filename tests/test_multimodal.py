@@ -59,6 +59,55 @@ def test_audio_features_real_wav_decode(spark):
         assert r.sample_rate is None and r.rms is None
 
 
+def test_audio_energy_segmentation(spark):
+    """Silence-separated bursts come back as distinct segments with
+    frame-accurate boundaries; garbage payloads fail soft."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        segment_audio_energy,
+    )
+
+    sr = 8000
+    flen = sr * 25 // 1000  # 200 samples per 25ms frame
+
+    def pcm(samples):
+        return b"".join(struct.pack("<h", int(s)) for s in samples)
+
+    # 4 silent frames, 8 loud frames, 4 silent, 4 loud
+    sig = (
+        [0.0] * (4 * flen)
+        + [12000 * math.sin(2 * math.pi * 440 * t / sr) for t in range(8 * flen)]
+        + [0.0] * (4 * flen)
+        + [12000 * math.sin(2 * math.pi * 220 * t / sr) for t in range(4 * flen)]
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm(sig))
+    df = spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"junk")], "media_id long, payload binary"
+    )
+    rows = segment_audio_energy(df).collect()
+    segs = sorted(
+        [r for r in rows if r.media_id == 1], key=lambda r: r.seg_id
+    )
+    assert [r.decode_ok for r in segs] == [True, True]
+    assert [(r.n_frames, r.start_sec, r.end_sec) for r in segs] == [
+        (8, round(4 * 0.025, 6), round(12 * 0.025, 6)),
+        (4, round(16 * 0.025, 6), round(20 * 0.025, 6)),
+    ]
+    for r in segs:  # sine RMS = A/sqrt(2)
+        assert abs(r.seg_rms - 12000 / 32768 / 2**0.5) < 0.01
+    bad = [r for r in rows if r.media_id == 2]
+    assert len(bad) == 1 and not bad[0].decode_ok and bad[0].seg_id is None
+
+
 def _make_bmp(w, h, rgb):
     import struct
 
