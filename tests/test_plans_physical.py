@@ -154,3 +154,55 @@ def test_dedup_incremental_digest_only_shuffle(spark):
     # appears only in the final batch-side re-join
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_gapfill_scaffold_broadcast_no_cartesian(spark):
+    """The dense scaffold build is a broadcast cross of |keys| × 1-row
+    bounds; the scaffold⋈rollup stitch must never SMJ the raw input, and
+    the raw events collapse through a map-side partial aggregate."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["rollup_gapfill_events"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final rollup
+    assert "BroadcastExchange" in plan  # 1-row bounds / small stitch side
+
+
+def test_outlier_iqr_bounds_broadcast(spark):
+    """Quartile fences are a per-type frame broadcast back onto the raw
+    rows — the big side must not shuffle for that join."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["outlier_iqr_events"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_no_raw_window_no_cartesian(spark):
+    """Each funnel stage is a keyed aggregate; the only cross joins are
+    the three 1-row stage-count frames at the top."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["funnel_events"](spark, SF_DIR))
+    assert "\nWindow" not in plan and "Window [" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 stages × partial+final
+
+
+def test_hopping_window_single_agg_shuffle(spark):
+    """F.window with a slide explodes window starts map-side then
+    aggregates — one exchange, no join."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["hopping_window_counts"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_rolling_zscore_single_window_shuffle(spark):
+    """All rolling statistics share ONE partitioned window sort — a
+    second Exchange would mean the frame aggregates split."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["rolling_zscore_events"](spark, SF_DIR))
+    assert len([l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l]) == 1
+    assert "SortMergeJoin" not in plan
