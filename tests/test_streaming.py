@@ -555,3 +555,51 @@ def test_stream_sessionize_closed_late_event_no_regression(spark, tmp_path):
         r.n_events,
     )
     assert got_minutes == (59.0, 89.0, 3)
+
+
+def test_stream_file_sink_exactly_once_resume(spark, tmp_path):
+    """Checkpointed file-sink runs are incremental and exactly-once:
+    a second availableNow run over the same checkpoint processes ONLY
+    files that arrived since the first, and a third run with no new
+    input appends nothing — the restart/resume contract a production
+    ingest pipeline relies on (no reprocessing, no duplicates)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, s string")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+            .select("id", F.upper(F.col("s")).alias("s_up"))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    def sink_rows():
+        return sorted(
+            (r.id, r.s_up) for r in spark.read.parquet(out).collect()
+        )
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert sink_rows() == [(1, "A"), (2, "B")]
+
+    spark.createDataFrame([(3, "c")], "id long, s string").write.mode(
+        "append"
+    ).parquet(src)
+    run_once()  # resumes from the checkpoint: only the new file
+    assert sink_rows() == [(1, "A"), (2, "B"), (3, "C")]
+
+    run_once()  # no new input → no duplicates
+    assert sink_rows() == [(1, "A"), (2, "B"), (3, "C")]
