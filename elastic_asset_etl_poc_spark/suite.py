@@ -2811,6 +2811,71 @@ def rolling_zscore_events(spark, sf_dir):
 
 
 @q(
+    "rfm_segments_events",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         date_diff('day', max(ts), {NOW_SQL}) AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS m_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+s AS (
+  SELECT ntile(4) OVER (ORDER BY recency_days, user_id) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+         ntile(4) OVER (ORDER BY m_cents DESC, user_id) AS m,
+         m_cents
+  FROM u
+)
+SELECT r, f, m, count(*) AS n_users,
+       sum(m_cents) / 100.0 AS monetary_sum
+FROM s GROUP BY 1, 2, 3
+""",
+)
+def rfm_segments_events(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary quartiles
+    (NTILE over deterministic orderings, user_id tiebreak), counted per
+    (r,f,m) cell.  Monetary sums run on exact integer cents so both
+    engines derive bit-identical doubles (see rolling_zscore_events).
+
+    Scale note: the quartile windows order the per-USER frame (already
+    collapsed by the first aggregate) — at billions of users the global
+    NTILE sort would become the bottleneck and a production variant cuts
+    on approx_percentile bounds instead; the exact form is the
+    oracle-checkable twin."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("cents", cents)
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"), F.max("ts")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("m_cents"),
+        )
+    )
+    s = u.select(
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("m_cents").desc(), F.col("user_id")))
+        .alias("m"),
+        "m_cents",
+    )
+    return s.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("m_cents") / 100.0).alias("monetary_sum"),
+    )
+
+
+@q(
     "rollup_gapfill_events",
     """
 WITH hourly AS (
