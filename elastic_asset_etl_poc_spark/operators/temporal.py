@@ -24,9 +24,22 @@ history outgrows a partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _us(c: Column) -> Column:
+    """Microsecond epoch of a timestamp column.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ in Spark 4
+    (DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE); the fixtures' parquet
+    timestamps load as NTZ.  The session timezone is pinned UTC
+    (session.py), so ``cast("timestamp")`` maps NTZ wall-clock values
+    onto the UTC epoch deterministically, and is a no-op for columns
+    that are already TIMESTAMP.
+    """
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -127,8 +140,8 @@ def asof_join(
         m = F.col("__pf")
     else:
         pb, pf = F.col("__pb"), F.col("__pf")
-        db = F.unix_micros(F.col("__ts")) - F.unix_micros(pb.getField("__mts"))
-        df_ = F.unix_micros(pf.getField("__mts")) - F.unix_micros(F.col("__ts"))
+        db = _us(F.col("__ts")) - _us(pb.getField("__mts"))
+        df_ = _us(pf.getField("__mts")) - _us(F.col("__ts"))
         if tol_us is not None:
             # Filter EACH side by tolerance before picking the nearer
             # survivor, mirroring pandas merge_asof's structure.  (Since
@@ -146,7 +159,7 @@ def asof_join(
         )
     if tol_us is not None and direction != "nearest":
         delta = F.abs(
-            F.unix_micros(F.col("__ts")) - F.unix_micros(m.getField("__mts"))
+            _us(F.col("__ts")) - _us(m.getField("__mts"))
         )
         m = F.when(m.isNotNull() & (delta <= tol_us), m)
     u = u.withColumn("__m", m)
@@ -240,19 +253,19 @@ def band_join(
     to ~1s outside the band.  Buckets are sized in the same unit.
     """
     band_us = band_seconds * 1_000_000
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / band_us)
+    lb = F.floor(_us(F.col(left_ts)) / band_us)
     l = left.withColumn(
         "__b", F.explode(F.array(lb - 1, lb, lb + 1))
     )
     r = (
         right.withColumnRenamed(right_ts, f"{right_ts}_r")
-        .withColumn("__b", F.floor(F.unix_micros(F.col(f"{right_ts}_r")) / band_us))
+        .withColumn("__b", F.floor(_us(F.col(f"{right_ts}_r")) / band_us))
         .withColumnRenamed(on, f"{on}_r")
     )
     joined = l.join(
         r, (l["__b"] == r["__b"]) & (l[on] == r[f"{on}_r"]), "inner"
     ).drop("__b")
     band = F.abs(
-        F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"{right_ts}_r"))
+        _us(F.col(left_ts)) - _us(F.col(f"{right_ts}_r"))
     ) <= band_us
     return joined.filter(band).drop(f"{on}_r")

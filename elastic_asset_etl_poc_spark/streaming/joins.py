@@ -23,8 +23,9 @@ from .services_stream import EVENTS_STREAM_SCHEMA
 
 def stream_events_typed(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of events with µs timestamps — the streaming
-    twin of ``sources.registry.load_table('events')`` (same raw-ns →
-    ``timestamp_micros(ts div 1000)`` conversion)."""
+    twin of ``sources.registry.load_table('events')``: the fixture's
+    TIMESTAMP_NTZ ts cast to TIMESTAMP (UTC session TZ → wall-clock
+    no-op) so watermarks and interval joins can use it."""
     ev = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -33,7 +34,7 @@ def stream_events_typed(spark: SparkSession, source_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").cast("timestamp").alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -28,8 +28,25 @@ from pyspark.sql import types as T
 
 from ..sources.signals import SERVICE_SUMMARY_EVENT
 
-#: events.parquet layout with ts as raw ns-epoch long (see registry.load_table)
+#: events.parquet layout; ts is µs-precision TIMESTAMP in the fixture and
+#: loads as TIMESTAMP_NTZ, exactly as the batch path (registry.load_table)
+#: leaves it — forcing LongType here would yield µs longs and any manual
+#: epoch conversion would have to guess the unit (the r4 bug).
 EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: same layout with ts as a raw ns-epoch long — the synthetic-input
+#: encoding used by the multi-batch stateful tests, which convert with
+#: ``timestamp_micros(ts div 1000)`` themselves.
+EVENTS_STREAM_SCHEMA_NS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -57,7 +74,7 @@ def stream_signals(spark: SparkSession, source_dir: str) -> DataFrame:
     uid = F.col("user_id")
     tag = lambda p, c, m: F.concat(F.lit(p + "-"), (c % m).cast("string"))  # noqa: E731
     return ev.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("@timestamp"),
+        F.col("ts").cast("timestamp").alias("@timestamp"),
         F.col("event_id").alias("event.id"),
         F.col("event_type").alias("metricset.name"),
         tag("svc", uid, 20).alias("service.name"),
@@ -84,7 +101,11 @@ def stream_services_phase1(
             F.col("`service.name`").alias("name"),
             F.col("`service.environment`").alias("environment"),
         )
-        .agg(F.max(F.col("`@timestamp`")).alias("last_seen"))
+        .agg(
+            # back to NTZ: batch plans and the oracle emit TIMESTAMP_NTZ;
+            # UTC session TZ makes the round-trip a wall-clock identity
+            F.max(F.col("`@timestamp`")).cast("timestamp_ntz").alias("last_seen")
+        )
     )
 
 
@@ -106,7 +127,7 @@ def stream_windowed_counts(
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("metricset_name"),
             F.col("n"),
         )
@@ -153,7 +174,7 @@ def stream_service_parents(
     parent = find_parent()
     return sig.select(
         F.col("`event.id`").alias("event_id"),
-        F.col("`@timestamp`").alias("ts"),
+        F.col("`@timestamp`").cast("timestamp_ntz").alias("ts"),
         F.col("`service.name`").alias("name"),
         parent.getField("parent_type").alias("parent_type"),
         parent.getField("parent_ean").alias("parent_ean"),
@@ -173,7 +194,7 @@ def stream_signals_full(spark: SparkSession, source_dir: str) -> DataFrame:
     uid = F.col("user_id")
     tag = lambda p, c, m: F.concat(F.lit(p + "-"), (c % m).cast("string"))  # noqa: E731
     return ev.select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("@timestamp"),
+        F.col("ts").cast("timestamp").alias("@timestamp"),
         F.col("event_id").alias("event.id"),
         F.col("event_type").alias("metricset.name"),
         tag("svc", uid, 20).alias("service.name"),

@@ -806,15 +806,20 @@ WITH tok AS (
   FROM documents
 ),
 off AS (
+  -- CAST: DuckDB window SUM returns HUGEINT and would propagate through
+  -- the offset/seq arithmetic; Spark computes BIGINT — pin the oracle to
+  -- BIGINT so the driver's value hash compares like-for-like.
   SELECT doc_id, shard, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS end_offset
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS end_offset
   FROM tok
 )
 SELECT doc_id, shard, n_tokens,
-       end_offset - n_tokens AS start_offset,
-       shard * 1000000000 + (end_offset - n_tokens) // 512 AS first_seq,
-       shard * 1000000000 + (end_offset - 1) // 512 AS last_seq
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(shard * 1000000000 + (end_offset - n_tokens) // 512 AS BIGINT)
+         AS first_seq,
+       CAST(shard * 1000000000 + (end_offset - 1) // 512 AS BIGINT) AS last_seq
 FROM off
 """,
 )

@@ -75,7 +75,7 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
     ev = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(events_dir)
-        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts")
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
     )
     q = run_to_memory(stream_sessionize(ev), "sess_stream", "update")
     try:
@@ -303,7 +303,7 @@ def test_stream_asof_enrich_multi_batch_out_of_order(spark, tmp_path):
     from pyspark.sql import functions as F
     from elastic_asset_etl_poc_spark.operators.temporal import asof_join
     from elastic_asset_etl_poc_spark.streaming.services_stream import (
-        EVENTS_STREAM_SCHEMA,
+        EVENTS_STREAM_SCHEMA_NS,
         run_to_memory,
     )
     from elastic_asset_etl_poc_spark.streaming.stateful import stream_asof_enrich
@@ -330,12 +330,12 @@ def test_stream_asof_enrich_multi_batch_out_of_order(spark, tmp_path):
     ]
     src = str(tmp_path / "asof_multi_batch")
     for i, b in enumerate(batches):
-        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
             "append" if i else "overwrite"
         ).parquet(src)
         # one file per batch dir write; rename below keeps 3 files total
     ev = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -359,7 +359,7 @@ def test_stream_asof_enrich_multi_batch_out_of_order(spark, tmp_path):
     assert n_batches >= 3  # the replay really crossed batch boundaries
 
     all_rows = [r for b in batches for r in b]
-    ev_batch = spark.createDataFrame(all_rows, EVENTS_STREAM_SCHEMA).select(
+    ev_batch = spark.createDataFrame(all_rows, EVENTS_STREAM_SCHEMA_NS).select(
         "event_id",
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
         "user_id",
@@ -392,7 +392,7 @@ def test_stateful_sessionize_multi_batch(spark, tmp_path):
     NOT, and a large gap across a boundary must."""
     from pyspark.sql import functions as F
     from elastic_asset_etl_poc_spark.streaming.services_stream import (
-        EVENTS_STREAM_SCHEMA,
+        EVENTS_STREAM_SCHEMA_NS,
         run_to_memory,
     )
     from elastic_asset_etl_poc_spark.streaming.stateful import stream_sessionize
@@ -413,11 +413,11 @@ def test_stateful_sessionize_multi_batch(spark, tmp_path):
     ]
     src = str(tmp_path / "sess_multi_batch")
     for i, b in enumerate(batches):
-        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
             "append" if i else "overwrite"
         ).parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -443,7 +443,7 @@ def test_stream_sessionize_closed_event_time_timeout(spark, tmp_path):
     ANOTHER key's later events push the watermark past its deadline."""
     from pyspark.sql import functions as F
     from elastic_asset_etl_poc_spark.streaming.services_stream import (
-        EVENTS_STREAM_SCHEMA,
+        EVENTS_STREAM_SCHEMA_NS,
         run_to_memory,
     )
     from elastic_asset_etl_poc_spark.streaming.stateful import (
@@ -468,11 +468,11 @@ def test_stream_sessionize_closed_event_time_timeout(spark, tmp_path):
     ]
     src = str(tmp_path / "closed_sessions")
     for i, b in enumerate(batches):
-        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
             "append" if i else "overwrite"
         ).parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -505,7 +505,7 @@ def test_stream_sessionize_closed_late_event_no_regression(spark, tmp_path):
     without regressing its end: the next batch's gap check uses the true
     max timestamp, and no session ever emits end < start."""
     from elastic_asset_etl_poc_spark.streaming.services_stream import (
-        EVENTS_STREAM_SCHEMA,
+        EVENTS_STREAM_SCHEMA_NS,
         run_to_memory,
     )
     from elastic_asset_etl_poc_spark.streaming.stateful import (
@@ -531,11 +531,11 @@ def test_stream_sessionize_closed_late_event_no_regression(spark, tmp_path):
     ]
     src = str(tmp_path / "late_sessions")
     for i, b in enumerate(batches):
-        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
             "append" if i else "overwrite"
         ).parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
