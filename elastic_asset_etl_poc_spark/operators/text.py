@@ -163,15 +163,37 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(tk)
     uniq = F.array_distinct(tk)
     dup_tok = F.round((n_tok - F.size(uniq)) / n_tok, 4)
-    # count of the modal token: for each distinct token, count its
-    # occurrences; take the max.  O(distinct · n) per row — bounded by
-    # vocabulary, not document length squared.
-    top_cnt = F.array_max(
-        F.transform(uniq, lambda t: F.size(F.filter(tk, lambda x: x == t)))
+    # count of the modal token: sort once, then a single run-length
+    # aggregate pass — O(n log n) per row vs the O(distinct · n) nested
+    # transform/filter form (6× slower at sf0.1 in the r4 bench).
+    sorted_tk = F.array_sort(tk)
+    run_scan = F.aggregate(
+        sorted_tk,
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc.getField("best"),
     )
-    top_frac = F.round(top_cnt / n_tok, 4)
+    top_frac = F.round(run_scan / n_tok, 4)
     # bigrams via 1-based index walk; sequence(1, 0) is DESCENDING under
-    # Spark 4 so the n_tok < 2 case must short-circuit to an empty array
+    # Spark 4 so the n_tok < 2 case must short-circuit to an empty array.
+    # Materialized into a column (same reason as __toks): referenced three
+    # times below, and higher-order functions are re-evaluated per
+    # reference, not CSE'd by codegen.
     bigrams = F.when(
         n_tok >= 2,
         F.transform(
@@ -181,18 +203,22 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select(
+    staged = base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         dup_tok.alias("dup_token_frac"),
         top_frac.alias("top_token_frac"),
+        bigrams.alias("__bg"),
+    )
+    bg = F.col("__bg")
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_token_frac",
         F.when(
-            F.size(bigrams) > 0,
-            F.round(
-                (F.size(bigrams) - F.size(F.array_distinct(bigrams)))
-                / F.size(bigrams),
-                4,
-            ),
+            F.size(bg) > 0,
+            F.round((F.size(bg) - F.size(F.array_distinct(bg))) / F.size(bg), 4),
         ).alias("dup_bigram_frac"),
     )
 

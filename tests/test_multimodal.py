@@ -506,3 +506,31 @@ def test_resize_applies_exif_orientation(spark):
     assert not np.array_equal(t0, t1)
     # rotation 6 maps the horizontal gradient to a vertical one
     assert np.ptp(t1.mean(axis=1)) > 10 * max(np.ptp(t1.mean(axis=0)), 1e-9)
+
+
+def test_native_decode_parity_when_pil_present():
+    """When Pillow is importable, the native fast path must agree with
+    the pure-Python reference kernels on the synthetic fixtures (size
+    exactly; mean luma within the quant-table reconstruction error).
+    Skipped where PIL is absent — the fallback is what every other test
+    in this file exercises."""
+    import numpy as np
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_luma,
+        _encode_jpeg_baseline,
+        _PILImage,
+    )
+
+    if _PILImage is None:
+        pytest.skip("Pillow not installed — pure-Python kernels covered elsewhere")
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    gray = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    payload = _encode_jpeg_baseline(gray)
+    w_ref, h_ref, plane_ref = _decode_jpeg(payload)
+    w, h, plane, fmt = _decode_luma(payload)
+    assert (w, h, fmt) == (w_ref, h_ref, "jpeg")
+    assert abs(float(plane.mean()) - float(plane_ref.mean())) < 2.0
