@@ -407,6 +407,7 @@ def simhash_neardup(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs → (doc_a, doc_b, hamming).
 
@@ -430,7 +431,13 @@ def simhash_neardup(
     """
     bands = max_hamming + 1
     width = 64 // bands
-    fp = simhash(df, text_col=text_col, id_col=id_col)
+    # precomputed (doc_id, simhash) lets an audit share one fingerprint
+    # pass between the banded and exact-verification sides
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash(df, text_col=text_col, id_col=id_col)
+    )
     # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
     # the single band is the fingerprint itself
     chunk_exprs = [

@@ -704,6 +704,29 @@ def _recall_audit(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataF
     )
 
 
+def _invariant_recall_audit(
+    exact: DataFrame, approx: DataFrame, keys: list[str]
+) -> DataFrame:
+    """One-row audit (n_missed, recall_pct) for operators whose exact
+    side DuckDB cannot reproduce (seeded xxhash fingerprints): the row
+    carries only the INVARIANT — zero missed pairs, 100% recall — which
+    the oracle states as literals.  An empty exact set reports recall
+    100 (vacuous but not a hash break; fixtures keep it non-vacuous at
+    the driver's check SF)."""
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, keys)
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            (F.col("n_exact") - F.col("n_hit")).alias("n_missed"),
+            F.when(F.col("n_exact") == 0, F.lit(100.0))
+            .otherwise(F.round(F.lit(100.0) * F.col("n_hit") / F.col("n_exact"), 2))
+            .alias("recall_pct"),
+        )
+    )
+
+
 @q(
     "recall_minhash_vs_jaccard",
     f"""WITH {_JACCARD_CTES}
@@ -723,6 +746,41 @@ def recall_minhash_vs_jaccard(spark, sf_dir):
     exact = jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     approx = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     return _recall_audit(exact, approx, ["doc_a", "doc_b"])
+
+
+@q(
+    "recall_simhash_bands_vs_exact",
+    """
+SELECT CAST(0 AS BIGINT) AS n_missed, CAST(100.0 AS DOUBLE) AS recall_pct
+""",
+)
+def recall_simhash_bands_vs_exact(spark, sf_dir):
+    """Driver-checked completeness audit for the banded SimHash path:
+    candidates from the ``max_hamming + 1``-band equi-join must cover
+    EVERY pair the exact all-pairs ``bit_count(a ^ b) <= 3`` scan finds
+    over the same fingerprints — guaranteed by pigeonhole when the
+    banding is implemented correctly, so the invariant row (0 missed,
+    100% recall) is hash-checkable even though the fingerprints
+    themselves use ``xxhash64``, which DuckDB cannot reproduce (hence no
+    data-dependent counts in the row; the exact side is Spark's).  A
+    wrong band width, mask, or chunk count breaks the hash.  The exact
+    scan is O(N²) over (id, int64) pairs — audit-only, like
+    ``cosine_pairs``; the banded operator is the scale path."""
+    from .operators.neardup import simhash, simhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(docs).localCheckpoint(eager=True)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"))
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr("bit_count(fp_a ^ fp_b)") <= 3)
+        .select("doc_a", "doc_b")
+    )
+    approx = simhash_neardup(docs, max_hamming=3, fingerprints=fp).select(
+        "doc_a", "doc_b"
+    )
+    return _invariant_recall_audit(exact, approx, ["doc_a", "doc_b"])
 
 
 @q(
@@ -1334,6 +1392,34 @@ def embed_knn_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, centroids=_ivf_centroids(spark, sf_dir))
+
+
+@q(
+    "recall_ivf_full_probe_vs_exact",
+    f"""SELECT count(*) AS n_exact, count(*) AS n_candidates, count(*) AS n_hit,
+       CAST(100.0 AS DOUBLE) AS recall_pct
+FROM ({_KNN_SQL}) knn""",
+)
+def recall_ivf_full_probe_vs_exact(spark, sf_dir):
+    """Driver-checked IVF machinery audit: with ``nprobe = n_centroids``
+    (probe every list) IVF degenerates to exact brute force, so its
+    (query_id, neighbor_id, rank) triples must equal the exact
+    ``cosine_topk`` result INCLUDING tie order — both rank by (cos DESC,
+    neighbor_id ASC) over the same double-precision cosine expression.
+    The audit row hash-checks against the exact-kNN DuckDB count (the
+    same SQL already hash-proven by ``embed_knn_bruteforce``), so any
+    bug in train/assign/probe/re-rank breaks the hash.  The
+    approximate default (nprobe=8) stays rows-only by design; this
+    pins the machinery, that one trades recall for compute."""
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_topk(
+        emb, queries, k=10, nprobe=16, centroids=_ivf_centroids(spark, sf_dir)
+    )
+    return _recall_audit(exact, approx, ["query_id", "neighbor_id", "rank"])
 
 
 @q("embed_neardup_cosine_lsh", None)  # approximate recall → rows-only check
@@ -2671,6 +2757,64 @@ def stream_windowed_counts_daily(spark, sf_dir):
         name = f"win_stream_{uuid.uuid4().hex[:8]}"
         q = run_to_memory(
             stream_windowed_counts(spark, staged), name, "complete"
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name)
+
+
+@q(
+    "svc_phase2_streaming",
+    _sig(
+        f""",
+phase1 AS (
+  SELECT DISTINCT service_name FROM signals
+  WHERE metricset_name = 'purchase' AND {_win(15)}
+)
+"""
+    )
+    + """
+SELECT event_id, ts, service_name AS name,
+       CASE WHEN container_id IS NOT NULL THEN 'container'
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod'
+            WHEN host_name    IS NOT NULL THEN 'host'
+            WHEN host_hostname IS NOT NULL THEN 'host'
+            ELSE 'unknown' END AS parent_type,
+       CASE WHEN container_id IS NOT NULL THEN 'container:' || container_id
+            WHEN pod_uid      IS NOT NULL THEN 'k8s.pod:' || pod_uid
+            WHEN host_name    IS NOT NULL THEN 'host:' || host_name
+            WHEN host_hostname IS NOT NULL THEN 'host:' || host_hostname
+            ELSE 'unknown:' END AS parent_ean
+FROM signals
+WHERE service_name IN (SELECT service_name FROM phase1)
+  AND (container_id IS NOT NULL OR pod_uid IS NOT NULL
+       OR host_name IS NOT NULL OR host_hostname IS NOT NULL)
+""",
+)
+def svc_phase2_streaming(spark, sf_dir):
+    """§2.9 driver-visible STREAMING query #3: phase-2 parent enrichment
+    as a stream-static join — the live signal stream semi-joins the
+    batch phase-1 service list (broadcast into every micro-batch, J1
+    pattern) and applies the X2 parent cascade, drained with an
+    availableNow trigger.  The oracle is the batch phase-2 SQL over the
+    FULL history (the stream replays everything; phase-1's window still
+    applies to the static service list), so stream and batch phase-2
+    semantics are hash-checked equal, same pattern as phase-1."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .plans.services import batch_search_for_services
+    from .streaming import run_to_memory, stream_service_parents
+
+    services = batch_search_for_services(spark, sf_dir)
+    staged = tempfile.mkdtemp(prefix="p2_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        name = f"p2_stream_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_service_parents(spark, staged, services), name, "append"
         )
         q.stop()
     finally:
