@@ -2765,6 +2765,91 @@ def stream_windowed_counts_daily(spark, sf_dir):
 
 
 @q(
+    "stream_band_join_attrib",
+    """
+SELECT c.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= CAST(86400 AS BIGINT) * 1000000
+GROUP BY c.user_id
+""",
+)
+def stream_band_join_attrib(spark, sf_dir):
+    """§2.9 driver-visible STREAMING query #4: stream-stream interval
+    (band) join — click↔purchase pairs within one day per user over two
+    watermarked file streams, drained availableNow and aggregated.  The
+    oracle is the plain batch inequality-join SQL (same as
+    ``band_join_click_purchase``): streaming symmetric-hash-join
+    semantics hash-check equal to the batch band join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import run_to_memory, stream_band_join
+
+    staged = tempfile.mkdtemp(prefix="band_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        name = f"band_stream_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_band_join(spark, staged, band_seconds=86400), name, "append"
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@q(
+    "stream_asof_enrich_clicks",
+    """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts_asof,
+       p.value AS purchase_value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def stream_asof_enrich_clicks(spark, sf_dir):
+    """§2.9 driver-visible STREAMING query #5: continuous backward as-of
+    enrichment (applyInPandasWithState, O(keys) carried-packet state)
+    drained availableNow over the staged fixture.  A single-run replay
+    sees every right at-or-before its lefts, so the stream equals the
+    batch as-of exactly and DuckDB's native ASOF JOIN (the same oracle
+    as ``asof_enrich_clicks``) hash-checks it."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming import run_to_memory, stream_events_typed
+    from .streaming.stateful import stream_asof_enrich
+
+    staged = tempfile.mkdtemp(prefix="asof_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        name = f"asof_stream_{uuid.uuid4().hex[:8]}"
+        q = run_to_memory(
+            stream_asof_enrich(stream_events_typed(spark, staged)), name, "update"
+        )
+        q.stop()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("right_ts_asof").cast("timestamp_ntz").alias("purchase_ts_asof"),
+        F.col("right_value_asof").alias("purchase_value_asof"),
+    )
+
+
+@q(
     "svc_phase2_streaming",
     _sig(
         f""",
