@@ -749,6 +749,40 @@ def recall_minhash_vs_jaccard(spark, sf_dir):
 
 
 @q(
+    "profile_orders",
+    """
+SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+UNION ALL
+SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+""",
+)
+def profile_orders(spark, sf_dir):
+    """Ingest-hygiene data profile: per-column nonnull/distinct/min/max
+    in ONE wide aggregate job unpivoted to a row per column (the oracle
+    is the naive 4-scan UNION — same values, 4× the reads; the Spark
+    side reads once).  exact=False swaps HLL cardinality in at 100 TB
+    (operators/profile.py)."""
+    from .operators.profile import profile_columns
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@q(
     "recall_simhash_bands_vs_exact",
     """
 SELECT CAST(0 AS BIGINT) AS n_missed, CAST(100.0 AS DOUBLE) AS recall_pct

@@ -340,3 +340,21 @@ def test_zorder_key_hand_computed_and_quadrants(spark):
         zorder_key([], bits=4)
     with pytest.raises(ValueError):
         zorder_key([F.col("x"), F.col("y")], bits=40)
+
+
+def test_profile_columns_nulls_and_approx(spark):
+    from elastic_asset_etl_poc_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert (rows["k"].n_nonnull, rows["k"].n_distinct) == (3, 2)
+    assert (rows["k"].min_s, rows["k"].max_s) == ("1", "2")
+    assert (rows["s"].n_nonnull, rows["s"].n_distinct) == (3, 2)
+    assert (rows["s"].min_s, rows["s"].max_s) == ("a", "b")
+    # approx path: same shape, cardinality within HLL tolerance on tiny data
+    arows = {
+        r.col_name: r for r in profile_columns(df, ["k"], exact=False).collect()
+    }
+    assert arows["k"].n_distinct == 2
