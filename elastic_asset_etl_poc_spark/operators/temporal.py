@@ -227,6 +227,51 @@ def rollup_gapfill(
     return out
 
 
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build SCD-type-2 dimension history from a change log →
+    (key, value, valid_from, valid_to), ``valid_to`` NULL for the open row.
+
+    Consecutive equal attribute values collapse into one validity
+    interval (gaps-and-islands): a change flag via ``lag`` marks island
+    starts, a running sum numbers islands, one aggregate takes each
+    island's start, and ``lead`` closes it with the next island's start.
+    This is the CDC-events → slowly-changing-dimension reconstruction
+    every warehouse ingest needs; the continuous form feeds micro-batches
+    through the same shape via foreachBatch (streaming/services_stream).
+
+    Scale posture: both windows and the aggregate share ONE exchange on
+    ``key`` — the plan is shuffle-once regardless of history length; no
+    global sort, no driver materialization.  ``tiebreak`` makes same-
+    timestamp ordering deterministic (give the CDC sequence number).
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(attr)).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(attr)), 1).otherwise(0)
+    island = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        df.select(F.col(key), F.col(attr), F.col(ts), *( [F.col(tiebreak)] if tiebreak else []))
+        .withColumn("__island", island)
+        .groupBy(key, "__island", attr)
+        .agg(F.min(ts).alias("valid_from"))
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return islands.select(
+        F.col(key),
+        F.col(attr).alias("value"),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,

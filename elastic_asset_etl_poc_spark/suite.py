@@ -749,6 +749,44 @@ def recall_minhash_vs_jaccard(spark, sf_dir):
 
 
 @q(
+    "scd2_user_event_history",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+i AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+),
+g AS (
+  SELECT user_id, island, event_type, min(ts) AS valid_from
+  FROM i GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type AS value, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to
+FROM g
+""",
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD2 dimension-history reconstruction from the event change log:
+    consecutive equal event_type values per user collapse into validity
+    intervals, open row has valid_to NULL (operators/temporal.py:
+    scd2_history — one exchange serves both windows and the aggregate)."""
+    from .operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev, key="user_id", attr="event_type", tiebreak="event_id")
+
+
+@q(
     "profile_orders",
     """
 SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,

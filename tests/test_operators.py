@@ -358,3 +358,33 @@ def test_profile_columns_nulls_and_approx(spark):
         r.col_name: r for r in profile_columns(df, ["k"], exact=False).collect()
     }
     assert arows["k"].n_distinct == 2
+
+
+def test_scd2_history_islands_and_open_row(spark):
+    import datetime as dt
+
+    from elastic_asset_etl_poc_spark.operators.temporal import scd2_history
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (7, "a", t(0), 1),
+        (7, "a", t(1), 2),   # same value: same island
+        (7, "b", t(2), 3),   # change
+        (7, "a", t(3), 4),   # back to a: NEW island, not merged with the first
+        (9, "x", t(0), 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, key="user_id", attr="event_type", tiebreak="event_id")
+    got = sorted(
+        (r.user_id, r.value, r.valid_from.minute,
+         None if r.valid_to is None else r.valid_to.minute)
+        for r in out.collect()
+    )
+    assert got == [
+        (7, "a", 0, 2),
+        (7, "a", 3, None),  # open row
+        (7, "b", 2, 3),
+        (9, "x", 0, None),
+    ]

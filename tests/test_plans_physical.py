@@ -206,3 +206,22 @@ def test_rolling_zscore_single_window_shuffle(spark):
     plan = fmt_plan(e.queries()["rolling_zscore_events"](spark, SF_DIR))
     assert len([l for l in plan.splitlines() if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l]) == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_history_single_shuffle(spark):
+    """Both windows and the island aggregate must share ONE exchange on
+    the key — shuffle-once regardless of history length."""
+    from elastic_asset_etl_poc_spark.operators.temporal import scd2_history
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = scd2_history(ev, key="user_id", attr="event_type", tiebreak="event_id")
+    plan = fmt_plan(df)
+
+    def nodes(name):
+        return [
+            l for l in plan.splitlines()
+            if l.strip().startswith("(") and f") {name}" in l
+        ]
+
+    assert len(nodes("Exchange")) == 1
