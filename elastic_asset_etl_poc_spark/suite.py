@@ -1877,6 +1877,82 @@ def cardinality_sketches(spark, sf_dir):
 
 
 @q(
+    "audit_sketch_error_bounds",
+    """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+       true AS hll_within_5pct, true AS p50_within_1pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def audit_sketch_error_bounds(spark, sf_dir):
+    """Driver-checked sketch-accuracy audit: per group, the HLL++
+    cardinality (rsd=0.01) must land within 5% of the exact distinct
+    count (a 5-sigma bound) and approx_percentile(0.5, acc=10000) within
+    1% of the exact interpolated median.  The row carries the exact
+    count plus the two bound booleans, so the oracle states them as
+    literals — sketch drift breaks the hash instead of hiding behind a
+    rows-only status.  One pass computes exact and approx side by side
+    (same Expand shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("__hll"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__p50"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("__hll") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("__ap50") - F.col("__p50")) <= 0.01 * F.col("__p50")
+        ).alias("p50_within_1pct"),
+    )
+
+
+@q(
+    "audit_heavy_hitters_complete",
+    """
+WITH t AS (SELECT count(*) AS tot FROM documents),
+g AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+SELECT g.source, g.n, true AS found
+FROM g, t WHERE g.n > 0.02 * t.tot
+""",
+)
+def audit_heavy_hitters_complete(spark, sf_dir):
+    """Driver-checked freqItems completeness audit: every TRUE heavy
+    hitter (exact frequency > support) must appear in the sketch result
+    — the one guarantee the frequent-items algorithm makes (false
+    positives allowed, false negatives not).  Rows are the exact heavy
+    hitters with their counts (oracle-computable) plus a found flag the
+    oracle states as literal true; a sketch that drops a real hitter
+    breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("__tot"))
+    exact = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        # fixture sources are uniform at exactly 5%, so audit at 2%
+        # support — all 20 qualify and the completeness check is
+        # non-vacuous at every SF
+        .filter(F.col("n") > 0.02 * F.col("__tot"))
+    )
+    hits = (
+        docs.stat.freqItems(["source"], support=0.02)
+        .select(F.explode(F.col("source_freqItems")).alias("__hit"))
+    )
+    return exact.join(
+        F.broadcast(hits), exact["source"] == hits["__hit"], "left"
+    ).select(
+        "source", "n", F.col("__hit").isNotNull().alias("found")
+    )
+
+
+@q(
     "window_frame_running",
     """
 SELECT o_custkey, o_orderkey,
