@@ -240,3 +240,68 @@ def write_bulk_ndjson(
     df.select(
         F.concat_ws("\n", action, doc).alias("value")
     ).write.mode(mode).text(path)
+
+
+def write_manifest(spark, path: str) -> dict:
+    """Write a `_manifest.json` sidecar for a parquet store: total rows,
+    file inventory with sizes, and an order-insensitive 64-bit content
+    hash (``bit_xor(xxhash64(all columns))`` — one distributed pass, no
+    collect of data).  Returns the manifest dict.
+
+    The trust primitive a 100-TB pipeline needs between stages: a
+    downstream consumer (or a re-run) calls :func:`verify_manifest` to
+    prove the store it sees is the store that was written — lost files,
+    truncated writes, and silent re-writes all change rows/hash.  The
+    underscore prefix keeps Spark/Hadoop readers from treating the
+    sidecar as data.  XOR is self-inverse, so a store differing by an
+    EVEN number of identical rows can collide; the row count catches
+    every cardinality change, which covers the realistic failure modes
+    (lost file, duplicated batch).
+    """
+    import json
+    import os
+
+    df = spark.read.parquet(path)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.xxhash64(*[F.col(f"`{c}`") for c in df.columns])).alias("h"),
+    ).collect()[0]
+    files = sorted(f.replace("file:", "") for f in df.inputFiles())
+    manifest = {
+        "n_rows": agg.n_rows,
+        "content_hash64": agg.h,
+        "n_files": len(files),
+        "files": [
+            {"path": os.path.basename(f), "bytes": os.path.getsize(f)}
+            for f in files
+        ],
+        "columns": df.columns,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest
+
+
+def verify_manifest(spark, path: str) -> tuple[bool, dict]:
+    """Recompute the :func:`write_manifest` invariants and diff them →
+    (ok, {field: (expected, actual), ...} for every mismatch)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        want = json.load(fh)
+    df = spark.read.parquet(path)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.xxhash64(*[F.col(f"`{c}`") for c in df.columns])).alias("h"),
+    ).collect()[0]
+    got = {
+        "n_rows": agg.n_rows,
+        "content_hash64": agg.h,
+        "n_files": len(df.inputFiles()),
+        "columns": df.columns,
+    }
+    diffs = {
+        k: (want[k], got[k]) for k in got if want.get(k) != got[k]
+    }
+    return (not diffs, diffs)

@@ -283,3 +283,25 @@ def test_write_bulk_ndjson_roundtrip(spark, tmp_path):
     # action i must precede its own source line
     for a, s in zip(actions, sources):
         assert a["index"]["_id"] == str(s["doc_id"])
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    import os
+
+    from elastic_asset_etl_poc_spark.sinks import verify_manifest, write_manifest
+
+    store = str(tmp_path / "manifested")
+    spark.range(100).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(
+        store
+    )
+    m = write_manifest(spark, store)
+    assert m["n_rows"] == 100 and m["n_files"] == 4
+    ok, diffs = verify_manifest(spark, store)
+    assert ok, diffs
+
+    # tamper: drop one data file — rows, hash, and file count all drift
+    victim = [f for f in os.listdir(store) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(store, victim))
+    ok, diffs = verify_manifest(spark, store)
+    assert not ok
+    assert "n_rows" in diffs and "n_files" in diffs
