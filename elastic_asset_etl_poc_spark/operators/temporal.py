@@ -227,6 +227,122 @@ def rollup_gapfill(
     return out
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    bucket_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join with time-bucket salting — the skew lever for
+    :func:`asof_join` when ONE key's history outgrows an executor
+    partition (the plain operator windows over (key), so a hot key is a
+    single sort task no matter how many executors exist).
+
+    Two-level plan (the docstring promise in :func:`asof_join` made
+    real):
+
+    1. **local pass** — window over (key, time-bucket): each bucket
+       carries its own rights forward onto its lefts; partition size is
+       bounded by bucket width, not key history.
+    2. **carry pass** — per (key, bucket), take the bucket's LAST right
+       packet (``max_by``), then a window over the tiny (key × bucket)
+       frame carries the latest packet from any EARLIER bucket; a join
+       on (key, bucket) hands it to lefts whose own bucket had no
+       preceding right.
+
+    Equivalent to ``asof_join(direction='backward')`` for every input
+    (differential-tested), at the cost of one extra bounded shuffle —
+    the right trade once a key's history no longer fits one task.
+    ``bucket_seconds`` tunes the bound: pick history_span / parallelism.
+    """
+    payload = payload or [c for c in right.columns if c not in (on, right_ts)]
+    bucket_us = bucket_seconds * 1_000_000
+
+    lcols = left.columns
+    ldt = dict(left.dtypes)
+    rdt = dict(right.dtypes)
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__is_left", F.lit(1))
+    for p in payload:
+        l = l.withColumn(f"__p_{p}", F.lit(None).cast(rdt[p]))
+    r = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(p).alias(f"__p_{p}") for p in payload],
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(ldt[c]))
+    cols = [*lcols, "__ts", "__is_left", *[f"__p_{p}" for p in payload]]
+    u = (
+        l.select(*cols)
+        .unionByName(r.select(*cols))
+        .withColumn("__b", F.floor(_us(F.col("__ts")) / bucket_us))
+    )
+    pkt = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col("__ts").alias("__mts"),
+            *[F.col(f"__p_{p}").alias(p) for p in payload],
+        ),
+    )
+    wb = (
+        Window.partitionBy(on, "__b")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.select(
+        *lcols, "__ts", "__is_left", "__b", pkt.alias("__pkt")
+    ).withColumn("__pb_local", F.last("__pkt", ignorenulls=True).over(wb))
+
+    # per-(key, bucket) last right packet; ties on __ts keep the max __mts
+    # packet which is identical for equal timestamps in the backward frame
+    lastr = (
+        u.filter(F.col("__is_left") == 0)
+        .groupBy(F.col(on), F.col("__b"))
+        .agg(F.max_by("__pkt", F.col("__ts")).alias("__last_r"))
+    )
+    # the carry frame must cover EVERY populated (key, bucket) — a bucket
+    # holding only lefts still needs the packet carried from earlier
+    # buckets, so scaffold with the distinct pairs before the window
+    kb = u.select(F.col(on), F.col("__b")).distinct()
+    wc = (
+        Window.partitionBy(on)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        kb.join(lastr, [on, "__b"], "left")
+        .select(
+            F.col(on),
+            F.col("__b"),
+            F.last("__last_r", ignorenulls=True).over(wc).alias("__carried"),
+        )
+    )
+    out = (
+        u.filter(F.col("__is_left") == 1)
+        .join(carry, [on, "__b"], "left")
+        .withColumn("__m", F.coalesce(F.col("__pb_local"), F.col("__carried")))
+    )
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        delta = F.abs(_us(F.col("__ts")) - _us(F.col("__m").getField("__mts")))
+        out = out.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & (delta <= tol_us), F.col("__m"))
+        )
+    return out.select(
+        *lcols,
+        *[F.col("__m").getField(p).alias(f"{p}{suffix}") for p in payload],
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key: str,

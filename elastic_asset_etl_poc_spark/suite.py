@@ -2913,6 +2913,45 @@ def stream_windowed_counts_daily(spark, sf_dir):
 
 
 @q(
+    "asof_salted_clicks",
+    """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS purchase_ts_asof,
+       p.value AS purchase_value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def asof_salted_clicks(spark, sf_dir):
+    """Time-bucket-salted backward as-of (operators/temporal.py:
+    asof_join_salted): the skew configuration — per-partition work is
+    bounded by bucket width instead of key history, so one hot key can
+    no longer pin a single sort task.  Same DuckDB ASOF oracle as the
+    plain operator: the salting is hash-proven semantics-preserving."""
+    from .operators.temporal import asof_join_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_salted(
+        clicks, purchases, on="user_id", bucket_seconds=7 * 86400,
+        payload=["ts", "value"], suffix="_x",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("purchase_ts_asof"),
+        F.col("value_x").alias("purchase_value_asof"),
+    )
+
+
+@q(
     "stream_band_join_attrib",
     """
 SELECT c.user_id, count(*) AS n_pairs

@@ -388,3 +388,53 @@ def test_scd2_history_islands_and_open_row(spark):
         (7, "b", 2, 3),
         (9, "x", 0, None),
     ]
+
+
+def test_asof_join_salted_equals_plain(spark):
+    """Differential: the two-level time-bucket-salted backward as-of must
+    equal asof_join(direction='backward') — including a hot key whose
+    history spans many buckets, buckets containing only lefts (carry
+    must cross right-less buckets), keys with no rights at all, and a
+    NULL payload that must not fall through to an older right."""
+    import datetime as dt
+    import random
+
+    from elastic_asset_etl_poc_spark.operators.temporal import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    rng = random.Random(0x5A17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hot key 1: 300 events over 30 days; cold keys 2-5: a handful each;
+    # key 6: lefts only (never any right)
+    for key, n in [(1, 300), (2, 8), (3, 8), (4, 8), (5, 8), (6, 6)]:
+        for _ in range(n):
+            eid += 1
+            ts = t0 + dt.timedelta(seconds=rng.randrange(0, 30 * 86400))
+            is_right = key != 6 and rng.random() < 0.4
+            val = None if (is_right and rng.random() < 0.2) else rng.random()
+            rows.append((eid, key, ts, "r" if is_right else "l", val))
+    df = spark.createDataFrame(
+        rows, "event_id long, k long, ts timestamp, side string, value double"
+    )
+    lefts = df.filter("side = 'l'").select("event_id", "k", "ts")
+    rights = df.filter("side = 'r'").select("k", "ts", "value")
+
+    def collect(out):
+        return sorted(
+            (r.event_id, r.ts_x, r.value_x) for r in out.collect()
+        )
+
+    for tol in (None, 86400.0):
+        plain = asof_join(
+            lefts, rights, on="k", payload=["ts", "value"], suffix="_x",
+            tolerance_seconds=tol,
+        )
+        salted = asof_join_salted(
+            lefts, rights, on="k", bucket_seconds=2 * 86400,
+            payload=["ts", "value"], suffix="_x", tolerance_seconds=tol,
+        )
+        assert collect(salted) == collect(plain), f"tol={tol}"
