@@ -131,6 +131,13 @@ def compact_parquet(
     else:
         w = df.repartition(n).write
     w.mode("overwrite").parquet(tmp)
+    # metadata sidecars (_manifest.json etc.) travel with the store —
+    # Spark ignores _-prefixed files, but consumers rely on them
+    for f in os.listdir(path):
+        if f.startswith("_") and f != "_SUCCESS" and os.path.isfile(
+            os.path.join(path, f)
+        ):
+            shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
     shutil.rmtree(path)  # raise on failure — a half-removed store must
     if os.path.exists(path):  # never let move() nest tmp INSIDE it
         raise IOError(f"failed to clear {path} before compaction swap")

@@ -305,3 +305,34 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     ok, diffs = verify_manifest(spark, store)
     assert not ok
     assert "n_rows" in diffs and "n_files" in diffs
+
+
+def test_manifest_content_hash_survives_compaction(spark, tmp_path):
+    """Compaction rewrites the file layout but not the data: rows and the
+    order-insensitive content hash must survive, only the file inventory
+    drifts — exactly the signal split a maintenance job needs (re-stamp
+    the manifest after layout changes; alarm on rows/hash changes)."""
+    from elastic_asset_etl_poc_spark.sinks import (
+        compact_parquet,
+        verify_manifest,
+        write_manifest,
+    )
+
+    store = str(tmp_path / "compactable")
+    spark.range(500).selectExpr("id", "id % 7 AS g").repartition(16).write.parquet(
+        store
+    )
+    before = write_manifest(spark, store)
+    assert before["n_files"] == 16
+
+    n_after = compact_parquet(spark, store, target_file_bytes=1 << 30)
+    assert n_after < 16
+
+    ok, diffs = verify_manifest(spark, store)
+    assert not ok and set(diffs) == {"n_files"}  # data invariants held
+
+    after = write_manifest(spark, store)
+    assert after["n_rows"] == before["n_rows"]
+    assert after["content_hash64"] == before["content_hash64"]
+    ok, _ = verify_manifest(spark, store)
+    assert ok
