@@ -1877,6 +1877,38 @@ def cardinality_sketches(spark, sf_dir):
 
 
 @q(
+    "variant_props_histogram",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1
+""",
+)
+def variant_props_histogram(spark, sf_dir):
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``parse_json`` shreds the payload once, ``variant_get`` extracts
+    typed paths without a declared schema — the open-schema log
+    analytics path (schema'd ``from_json`` stays the closed-schema fast
+    path used by the signal views).  At 100 TB VARIANT's binary encoding
+    beats re-parsing JSON text per extraction; the oracle is plain
+    json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select(k.alias("__k"), "user_id")
+        .filter(F.col("__k").isNotNull())
+        .groupBy((F.col("__k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@q(
     "audit_sketch_error_bounds",
     """
 SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
