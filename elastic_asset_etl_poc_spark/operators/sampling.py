@@ -277,3 +277,42 @@ def cap_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def select_under_token_budget(
+    df: DataFrame,
+    token_budget: int,
+    bucket_col: str = "score_bucket",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget WITHOUT a
+    global sort: admit whole quality-score buckets from best down while
+    their running token total fits the budget.
+
+    The naive formulation (rank all docs by score, running-sum tokens,
+    cut at the budget) is a single-partition window over the corpus — a
+    non-starter at 100 TB.  Two-pass bucket-threshold instead:
+
+    1. per-bucket token sums — one map-side-combined aggregate; the
+       result has #buckets rows (integer score buckets, ~1e3);
+    2. a desc-order running sum over THAT tiny frame picks the admitted
+       buckets (its single-partition window holds #buckets rows, never
+       corpus rows), broadcast back as a semi-join.
+
+    Semantics: whole buckets admit — the selection under-shoots the
+    budget by at most one bucket's tokens, the price of never ordering
+    the corpus globally.  Deterministic given integer buckets (callers
+    derive them with integer arithmetic, e.g. ``(n_stop * 1000) div
+    n_tokens`` — float scores bucketized with float math can differ in
+    the last ulp across engines).
+    """
+    sums = df.groupBy(bucket_col).agg(F.sum(tokens_col).alias("__btok"))
+    w = Window.orderBy(F.col(bucket_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    admitted = (
+        sums.withColumn("__cum", F.sum("__btok").over(w))
+        .filter(F.col("__cum") <= token_budget)
+        .select(bucket_col)
+    )
+    return df.join(F.broadcast(admitted), bucket_col, "left_semi")

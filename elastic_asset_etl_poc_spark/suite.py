@@ -1877,6 +1877,52 @@ def cardinality_sketches(spark, sf_dir):
 
 
 @q(
+    "budget_select_docs",
+    """
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         (len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+            * 1000) // len(string_split(text, ' ')) AS score_bucket
+  FROM documents
+),
+b AS (SELECT score_bucket, sum(n_tokens) AS btok FROM s GROUP BY 1),
+a AS (
+  SELECT score_bucket FROM (
+    SELECT score_bucket,
+           sum(btok) OVER (ORDER BY score_bucket DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM b
+  ) WHERE cum <= 20000
+)
+SELECT s.doc_id, s.n_tokens, s.score_bucket
+FROM s SEMI JOIN a USING (score_bucket)
+""",
+)
+def budget_select_docs(spark, sf_dir):
+    """Token-budget corpus selection (operators/sampling.py:
+    select_under_token_budget): admit whole stopword-permille quality
+    buckets best-first while the running token total fits 20k — the
+    data-selection-under-budget step of an LLM mix, built so the corpus
+    never passes through a single-partition window.  Integer bucket
+    arithmetic keeps Spark and DuckDB bit-identical."""
+    from .operators.sampling import select_under_token_budget
+    from .operators.text import stopword_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_count(F.col("text")).alias("__nstop"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(__nstop * 1000) div n_tokens").alias("score_bucket"),
+    )
+    return select_under_token_budget(base, token_budget=20_000)
+
+
+@q(
     "variant_props_histogram",
     """
 SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
