@@ -15,6 +15,10 @@ PICKS = [
     ("agg_pricing_summary", "TPC-H Q1 shape: partial+final hash aggregation, date filter pushed"),
     ("embed_neardup_cosine", "Blocked all-pairs cosine: ONE exchange on the block-pair key into an Arrow groups kernel"),
     ("asof_nearest_clicks", "Nearest as-of: one exchange, two window sorts over it - never a second shuffle"),
+    ("asof_salted_clicks", "Salted as-of: per-partition work bounded by time bucket; carry window runs on the tiny key-by-bucket frame"),
+    ("scd2_user_event_history", "SCD2 from a change log: both windows and the island aggregate share one exchange on the key"),
+    ("budget_select_docs", "Budget selection: corpus-side aggregate + bucket-frame window + broadcast semi-join - no single-partition window over the corpus"),
+    ("profile_orders", "Data profile: one scan, one Expand for exact multi-distinct, partial+final aggregate"),
 ]
 
 
