@@ -225,3 +225,36 @@ def test_cap_per_key_bounds_and_stability(spark):
     assert hot_after == by_key["hot"]
     with pytest.raises(ValueError):
         cap_per_key(df, "source", 0)
+
+
+def test_select_under_token_budget_invariants(spark):
+    """Admitted set is a best-first prefix of score buckets: total tokens
+    within budget, and the next-best excluded bucket would not fit."""
+    import random
+
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        select_under_token_budget,
+    )
+
+    rng = random.Random(0xB46E7)
+    rows = [
+        (i, rng.randrange(1, 400), rng.randrange(0, 25))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int, score_bucket long")
+    budget = 60_000
+    out = select_under_token_budget(df, budget)
+    got = out.collect()
+    total = sum(r.n_tokens for r in got)
+    assert 0 < total <= budget
+    admitted = {r.score_bucket for r in got}
+    all_buckets = {r[2] for r in rows}
+    # prefix property: every bucket above the worst admitted one is in
+    assert all(b in admitted for b in all_buckets if b > min(admitted))
+    # maximality: the best excluded bucket would blow the budget
+    excluded = all_buckets - admitted
+    if excluded:
+        nxt = max(excluded)
+        nxt_tokens = sum(r[1] for r in rows if r[2] == nxt)
+        assert total + nxt_tokens > budget
