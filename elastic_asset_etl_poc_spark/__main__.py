@@ -2,6 +2,7 @@
 
     python -m elastic_asset_etl_poc_spark --read <name> [--write <name>]
         [--sf-dir PATH] [--now ISO] [--limit N] [--assets-out PATH]
+    python -m elastic_asset_etl_poc_spark --query <name> [--sf-dir PATH] [--limit N]
 
 Mirrors the reference's lifecycle (SURVEY.md §3 steps 1-5):
   1. argv parse with required --read / optional --write (run.ts:23-26);
@@ -30,7 +31,11 @@ from .sinks import to_json_lines, upsert_assets
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="elastic_asset_etl_poc_spark")
-    ap.add_argument("--read", required=True, help="named read source (catalog key)")
+    ap.add_argument("--read", default=None, help="named read source (catalog key)")
+    ap.add_argument(
+        "--query", default=None,
+        help="run one named suite query (see QUERIES.md) and print JSON lines",
+    )
     ap.add_argument("--write", default=None, help="named write target; defaults to --read")
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="data root for the catalog")
     ap.add_argument("--now", default=None, help="pinned ISO timestamp (default: fixture NOW)")
@@ -40,6 +45,25 @@ def main(argv: list[str] | None = None) -> int:
         help="path for the asset upsert store (enables the write step)",
     )
     args = ap.parse_args(argv)
+
+    if args.query:
+        from . import suite
+
+        qs = suite.queries()
+        if args.query not in qs:
+            print(
+                f"unknown query: {args.query} (see QUERIES.md; {len(qs)} available)",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark(app_name=f"query:{args.query}")
+        for line in to_json_lines(qs[args.query](spark, args.sf_dir), limit=args.limit):
+            print(line)
+        return 0
+
+    if not args.read:
+        print("--read is required unless --query is given", file=sys.stderr)
+        return 2
 
     # catalog resolution (run.ts:28-37): known names only, write ?? read
     catalog = Catalog(root=args.sf_dir, write_root=None)

@@ -120,3 +120,22 @@ def test_stale_first_export_order(tmp_path):
     real_seen = suite._last_checked()
     ranks = [real_seen.get(n, -1) for n in names]
     assert ranks == sorted(ranks)  # monotone: stale-first ordering holds
+
+
+def test_cli_query_mode(spark, capsys):
+    """--query runs a named suite query and prints JSON lines; unknown
+    names and a missing --read are argv errors, not tracebacks."""
+    import json
+
+    from conftest import SF_DIR
+    from elastic_asset_etl_poc_spark.__main__ import main
+
+    rc = main(["--query", "profile_orders", "--sf-dir", SF_DIR, "--limit", "10"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(out) == 4
+    assert {json.loads(l)["col_name"] for l in out} == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    }
+
+    assert main(["--query", "no_such_query"]) == 2
+    assert main([]) == 2
