@@ -587,6 +587,84 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_images(
+    df: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Perceptual difference-hash per image → (media_id, dhash int64).
+
+    The standard dHash: decode to luma, area-resample to 9×8 (the
+    antialiased box filter, so the hash keys on structure rather than
+    resolution), then one bit per adjacent-pixel comparison
+    (``left < right``) row-major over the 8×8 difference grid.  Images
+    that survive re-encoding, resizing, or mild noise keep nearly the
+    same hash; undecodable payloads yield NULL (fail-soft, like every
+    decode stage here).
+
+    Feed the result into
+    :func:`operators.neardup.banded_hamming_pairs` for image near-dup —
+    the same Manku-banded candidate join the text SimHash path uses, so
+    the 100-TB posture (equi-join candidates, AQE skew splitting, never
+    all-pairs) carries over unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload) if payload is not None else b""
+                _w, _h, plane, _fmt = _decode_luma(b)
+                if plane is None:
+                    ids.append(mid)
+                    hashes.append(None)
+                    continue
+                g = _area_resample(np.asarray(plane, dtype=np.float64), 9, 8)
+                bits = (g[:, :-1] < g[:, 1:]).reshape(-1)  # 8 rows × 8 diffs
+                h = 0
+                for bit in bits:
+                    h = (h << 1) | int(bit)
+                if h >= 1 << 63:  # pack into signed int64 like simhash
+                    h -= 1 << 64
+                ids.append(mid)
+                hashes.append(h)
+            # nullable Int64, NOT a plain list: None coerces the column
+            # to float64, which cannot represent values near ±2^63 and
+            # fails the Arrow int64 conversion
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_neardup_dhash(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Image near-duplicate pairs → (doc_a, doc_b, hamming) via dHash +
+    banded Hamming join (undecodable payloads drop out on the NULL
+    fingerprint)."""
+    from .neardup import banded_hamming_pairs
+
+    fp = dhash_images(df, id_col=id_col, bin_col=bin_col).filter(
+        F.col("dhash").isNotNull()
+    )
+    return banded_hamming_pairs(
+        fp, max_hamming=max_hamming, id_col="media_id", fp_col="dhash"
+    )
+
+
 def _encode_png_gray(plane) -> bytes:
     """Encode a 2-D uint8 luma plane as an 8-bit grayscale PNG — pure
     ``zlib``/``struct`` (filter type 0 per scanline)."""

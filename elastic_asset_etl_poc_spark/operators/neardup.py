@@ -429,8 +429,6 @@ def simhash_neardup(
     relationally whenever possible is exactly what makes the skew story
     free.
     """
-    bands = max_hamming + 1
-    width = 64 // bands
     # precomputed (doc_id, simhash) lets an audit share one fingerprint
     # pass between the banded and exact-verification sides
     fp = (
@@ -438,10 +436,27 @@ def simhash_neardup(
         if fingerprints is not None
         else simhash(df, text_col=text_col, id_col=id_col)
     )
+    return banded_hamming_pairs(fp, max_hamming, fp_col="simhash")
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Banded Hamming join over any 64-bit fingerprint frame →
+    (doc_a, doc_b, hamming).  The candidate/verify core shared by text
+    SimHash and image dHash near-dup — any fingerprint family that
+    compares by Hamming distance plugs in here.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    fp = fp.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp"))
     # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
     # the single band is the fingerprint itself
     chunk_exprs = [
-        "simhash" if width >= 64 else f"shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+        "__fp" if width >= 64 else f"shiftright(__fp, {b * width}) & {(1 << width) - 1}"
         for b in range(bands)
     ]
     chunks = F.array(
@@ -451,13 +466,13 @@ def simhash_neardup(
         ]
     )
     banded = fp.select(
-        F.col("doc_id"), F.col("simhash"), F.explode(chunks).alias("bc")
-    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+        F.col("doc_id"), F.col("__fp"), F.explode(chunks).alias("bc")
+    ).select("doc_id", "__fp", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
+        F.col("doc_id").alias("doc_a"), F.col("__fp").alias("fp_a"), "band", "chunk"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
+        F.col("doc_id").alias("doc_b"), F.col("__fp").alias("fp_b"), "band", "chunk"
     )
     return (
         a.join(b, ["band", "chunk"])

@@ -1422,6 +1422,53 @@ def stratified_sample_events(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("image_neardup_dhash", None)  # media decode → rows-only check
+def image_neardup_dhash(spark, sf_dir):
+    """Image near-dup: perceptual dHash (decode → 9×8 area resample →
+    adjacent-pixel bits) into the SAME Manku-banded Hamming join the
+    text SimHash path uses — multimodal dedup riding the text-dedup
+    scale machinery (operators/multimodal.py:image_neardup_dhash)."""
+    from .operators.multimodal import image_neardup_dhash as _ind
+    from .operators.multimodal import synthetic_images
+
+    return _ind(synthetic_images(spark, n=128), max_hamming=6)
+
+
+@q(
+    "recall_dhash_bands_vs_exact",
+    """
+SELECT CAST(0 AS BIGINT) AS n_missed, CAST(100.0 AS DOUBLE) AS recall_pct
+""",
+)
+def recall_dhash_bands_vs_exact(spark, sf_dir):
+    """Driver-checked completeness audit for image-dHash banding: the
+    7-band candidate join must recover EVERY pair the exact all-pairs
+    ``bit_count <= 6`` scan finds over the same fingerprints (pigeonhole
+    — 6 differing bits cannot touch all 7 chunks).  Same invariant-row
+    pattern as ``recall_simhash_bands_vs_exact``: decode output is not
+    SQL-reproducible, so the oracle states the invariant as literals and
+    a band-layout bug breaks the hash."""
+    from .operators.multimodal import dhash_images, synthetic_images
+    from .operators.neardup import banded_hamming_pairs
+
+    fp = (
+        dhash_images(synthetic_images(spark, n=128))
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = fp.selectExpr("media_id AS doc_a", "dhash AS fp_a")
+    b = fp.selectExpr("media_id AS doc_b", "dhash AS fp_b")
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr("bit_count(fp_a ^ fp_b)") <= 6)
+        .select("doc_a", "doc_b")
+    )
+    approx = banded_hamming_pairs(
+        fp, max_hamming=6, id_col="media_id", fp_col="dhash"
+    ).select("doc_a", "doc_b")
+    return _invariant_recall_audit(exact, approx, ["doc_a", "doc_b"])
+
+
 @q("multimodal_audio_features", None)  # synthetic binary input → rows-only
 def multimodal_audio_features(spark, sf_dir):
     """REAL WAV/PCM decode (stdlib wave) over an Arrow mapInPandas stage,

@@ -534,3 +534,73 @@ def test_native_decode_parity_when_pil_present():
     w, h, plane, fmt = _decode_luma(payload)
     assert (w, h, fmt) == (w_ref, h_ref, "jpeg")
     assert abs(float(plane.mean()) - float(plane_ref.mean())) < 2.0
+
+
+def test_dhash_scale_invariance_and_neardup_pairs(spark):
+    """dHash keys on structure: the same gradient at two resolutions
+    hashes within a few bits (a near-dup pair); a different pattern and
+    a garbage payload do not pair with it."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        _encode_jpeg_baseline,
+        dhash_images,
+        image_neardup_dhash,
+    )
+
+    def grad(w, h, flip=False):
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = (xx * (256 // w)).astype(np.uint8)
+        return np.fliplr(g) if flip else g
+
+    rows = [
+        (1, _encode_jpeg_baseline(grad(32, 24))),
+        (2, _encode_jpeg_baseline(grad(48, 40))),   # same structure, other size
+        (3, _encode_jpeg_baseline(grad(32, 24, flip=True))),  # mirrored
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r.media_id: r.dhash for r in dhash_images(df).collect()}
+    assert fps[4] is None  # fail-soft
+    assert fps[1] is not None and fps[2] is not None
+    ham12 = bin((fps[1] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((fps[1] ^ fps[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 <= 6 < ham13  # scale-invariant, mirror-sensitive
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in image_neardup_dhash(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and not any(4 in p for p in pairs)
+
+
+def test_banded_hamming_pairs_complete_vs_exact(spark):
+    """Banding must recover every exact Hamming<=k pair (pigeonhole) on
+    an adversarial fingerprint set, including differences confined to
+    the top bits a 64//bands chunk layout leaves uncovered."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.neardup import banded_hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    fps = [
+        (1, base),
+        (2, base ^ 0b111),                      # hamming 3, low bits
+        (3, base ^ (1 << 63)),                  # hamming 1, uncovered top bit
+        (4, base ^ ((1 << 63) | (1 << 62) | 1)),  # hamming 3 spread
+        (5, ~base & ((1 << 64) - 1) - (1 << 63)),  # far away
+    ]
+    fps = [(i, v if v < (1 << 63) else v - (1 << 64)) for i, v in fps]
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(df, max_hamming=3).collect()
+    }
+    a = df.selectExpr("doc_id AS doc_a", "simhash AS fp_a")
+    b = df.selectExpr("doc_id AS doc_b", "simhash AS fp_b")
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", "bit_count(fp_a ^ fp_b) AS hamming")
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert got == want and (1, 3) in got  # top-bit pair recovered
