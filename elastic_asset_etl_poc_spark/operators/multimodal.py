@@ -587,6 +587,110 @@ def extract_image_features(df: DataFrame, id_col: str = "media_id", bin_col: str
     return df.select(id_col, bin_col).mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def _decode_wav_mono(b: bytes):
+    """stdlib WAV decode → (sample_rate, float64 mono signal); raises on
+    non-WAV payloads (callers fail-soft)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x = x - 128.0
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return sr, x
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    frame: int = 256,
+) -> DataFrame:
+    """Perceptual audio fingerprint per payload → (media_id, afp int64),
+    in the spirit of Haitsma-Kalker (ISMIR'02) subband-sign hashing:
+    per non-overlapping frame, the rFFT power spectrum folds into 64
+    linear subbands and each band contributes a bit (band power above
+    the frame's median band power — amplitude-invariant by
+    construction); a majority vote across frames packs the 64 bits.
+    Same content at a different volume or length hashes (near-)equal;
+    different spectral content flips band bits.  NULL for undecodable
+    payloads.  Pairs via :func:`operators.neardup.banded_hamming_pairs`
+    — the third fingerprint family (text SimHash, image dHash, audio
+    AFP) on one banding core.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, fps = [], []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    _sr, x = _decode_wav_mono(b)
+                    n = (len(x) // frame) * frame
+                    if n == 0:
+                        raise ValueError("too short")
+                    frames = x[:n].reshape(-1, frame)
+                    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    bands = spec[:, 1 : 1 + 128].reshape(len(frames), 64, 2).sum(
+                        axis=2
+                    )
+                    med = np.median(bands, axis=1, keepdims=True)
+                    votes = (2 * (bands > med) - 1).sum(axis=0)
+                    h = 0
+                    for bit in votes > 0:
+                        h = (h << 1) | int(bit)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    ids.append(mid)
+                    fps.append(h)
+                except Exception:
+                    ids.append(mid)
+                    fps.append(None)
+            yield pd.DataFrame(
+                {"media_id": ids, "afp": pd.array(fps, dtype="Int64")}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AFP_SCHEMA)
+
+
+def audio_neardup_afp(
+    df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Audio near-duplicate pairs → (doc_a, doc_b, hamming) via subband
+    fingerprint + banded Hamming join (undecodable payloads drop on the
+    NULL fingerprint)."""
+    from .neardup import banded_hamming_pairs
+
+    fp = audio_fingerprint(df, id_col=id_col, bin_col=bin_col).filter(
+        F.col("afp").isNotNull()
+    )
+    return banded_hamming_pairs(
+        fp, max_hamming=max_hamming, id_col="media_id", fp_col="afp"
+    )
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

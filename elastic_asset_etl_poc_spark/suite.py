@@ -1469,6 +1469,51 @@ def recall_dhash_bands_vs_exact(spark, sf_dir):
     return _invariant_recall_audit(exact, approx, ["doc_a", "doc_b"])
 
 
+@q("audio_neardup_afp", None)  # media decode → rows-only check
+def audio_neardup_afp(spark, sf_dir):
+    """Audio near-dup: Haitsma-Kalker-style subband fingerprint (rFFT
+    band power vs frame median, majority across frames) into the shared
+    banded Hamming join — the third fingerprint family on one banding
+    core (operators/multimodal.py:audio_neardup_afp).  The synthetic
+    corpus repeats 4 pitches at varying length/every-8th-garbage, so
+    same-pitch bursts pair and garbage drops on the NULL fingerprint."""
+    from .operators.multimodal import audio_neardup_afp as _ana
+    from .operators.multimodal import synthetic_audio
+
+    return _ana(synthetic_audio(spark, n=64), max_hamming=2)
+
+
+@q(
+    "recall_afp_bands_vs_exact",
+    """
+SELECT CAST(0 AS BIGINT) AS n_missed, CAST(100.0 AS DOUBLE) AS recall_pct
+""",
+)
+def recall_afp_bands_vs_exact(spark, sf_dir):
+    """Driver-checked completeness audit for audio-fingerprint banding
+    (same invariant-row pattern as the SimHash and dHash audits: decode
+    output is not SQL-reproducible, the pigeonhole invariant is)."""
+    from .operators.multimodal import audio_fingerprint, synthetic_audio
+    from .operators.neardup import banded_hamming_pairs
+
+    fp = (
+        audio_fingerprint(synthetic_audio(spark, n=64))
+        .filter(F.col("afp").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = fp.selectExpr("media_id AS doc_a", "afp AS fp_a")
+    b = fp.selectExpr("media_id AS doc_b", "afp AS fp_b")
+    exact = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr("bit_count(fp_a ^ fp_b)") <= 2)
+        .select("doc_a", "doc_b")
+    )
+    approx = banded_hamming_pairs(
+        fp, max_hamming=2, id_col="media_id", fp_col="afp"
+    ).select("doc_a", "doc_b")
+    return _invariant_recall_audit(exact, approx, ["doc_a", "doc_b"])
+
+
 @q("multimodal_audio_features", None)  # synthetic binary input → rows-only
 def multimodal_audio_features(spark, sf_dir):
     """REAL WAV/PCM decode (stdlib wave) over an Arrow mapInPandas stage,

@@ -604,3 +604,56 @@ def test_banded_hamming_pairs_complete_vs_exact(spark):
         .collect()
     }
     assert got == want and (1, 3) in got  # top-bit pair recovered
+
+
+def test_audio_fingerprint_amplitude_invariance(spark):
+    """Same spectral content at different volume/length hashes near-
+    equal; different spectral content is far; garbage is NULL."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_neardup_afp,
+    )
+
+    def tone(freqs, amp, n_samp, sr=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                b"".join(
+                    struct.pack(
+                        "<h",
+                        int(
+                            sum(
+                                amp * math.sin(2 * math.pi * f * t / sr)
+                                for f in freqs
+                            )
+                        ),
+                    )
+                    for t in range(n_samp)
+                )
+            )
+        return buf.getvalue()
+
+    rows = [
+        (1, tone([440, 880], 9000, 2048)),
+        (2, tone([440, 880], 3000, 1792)),   # same content, softer + shorter
+        (3, tone([1500, 3000], 9000, 2048)),  # different spectrum
+        (4, b"never a wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    fps = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert fps[4] is None
+    m = (1 << 64) - 1
+    ham12 = bin((fps[1] ^ fps[2]) & m).count("1")
+    ham13 = bin((fps[1] ^ fps[3]) & m).count("1")
+    assert ham12 <= 2 < ham13
+
+    pairs = {(r.doc_a, r.doc_b) for r in audio_neardup_afp(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
