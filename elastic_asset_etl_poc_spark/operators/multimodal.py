@@ -769,6 +769,83 @@ def image_neardup_dhash(
     )
 
 
+def video_neardup_frames(
+    df: DataFrame,
+    threshold: float = 0.5,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Video near-duplicate pairs → (doc_a, doc_b, jaccard): sample
+    frames (MJPEG structural split), perceptual-dHash each frame, and
+    run the videos' frame-hash SETS through the same inverted-index
+    Jaccard core the text shingle path uses
+    (:func:`operators.neardup.set_similarity_pairs`) — re-encoded,
+    trimmed, or re-muxed copies share most frame hashes.
+
+    Fourth fingerprint family on shared dedup machinery: text shingles,
+    image dHash, audio subbands, video frame-hash sets.  Undecodable
+    frames drop on the NULL hash; the hot-hash cap bounds stills/black
+    frames shared by thousands of videos (the frame-level analog of the
+    stop-phrase shingle blowup).
+    """
+    from .neardup import set_similarity_pairs
+
+    frames = sample_frames(df, every_n=every_n, id_col=id_col, bin_col=bin_col)
+    # composite id carries (video, frame) through the single-id dhash
+    # stage; 1e6 frames per video is far beyond any sampled reality
+    fdf = frames.select(
+        (F.col("media_id") * 1_000_000 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_bytes").alias("payload"),
+    )
+    fh = dhash_images(fdf).filter(F.col("dhash").isNotNull())
+    sets = fh.select(
+        F.expr("media_id div 1000000").alias("doc_id"),
+        F.col("dhash").alias("shingle"),
+    ).distinct()  # set semantics: repeated identical frames count once
+    return set_similarity_pairs(sets, threshold, max_doc_freq=max_doc_freq)
+
+
+def synthetic_videos(spark, n: int = 16, frames_per_video: int = 6) -> DataFrame:
+    """Deterministic MJPEG fixtures: video i concatenates encoded
+    gradient frames [i, i + frames_per_video) from the synthetic image
+    family, so NEIGHBORING videos overlap in all but one frame (jaccard
+    (f-1)/(f+1)) and distant ones share none.  Every 5th payload is
+    garbage (fail-soft path).
+    """
+    import numpy as np
+
+    if ("video", n, frames_per_video) in _SYNTH_CACHE:
+        return spark.createDataFrame(
+            _SYNTH_CACHE[("video", n, frames_per_video)],
+            "media_id long, payload binary",
+        )
+
+    def frame(j):
+        # dHash sees only horizontal-neighbor ORDERING, so frames must
+        # differ in coarse left<right structure: 8 wide column bands
+        # carry a distinct per-j bit pattern (wide enough to survive the
+        # 9-column area resample; a mere slope/offset change hashes
+        # identically)
+        yy, xx = np.mgrid[0:16, 0:24]
+        pattern = (j * 37 + 13) % 256
+        band = xx * 8 // 24
+        bits = (pattern >> band) & 1
+        g = bits * 180 + (xx % 3) * 20 + 10
+        return _encode_jpeg_baseline(g.astype(np.uint8))
+
+    uniq = [frame(j) for j in range(n + frames_per_video)]
+    rows = []
+    for i in range(n):
+        if i % 5 == 4:
+            rows.append((i, b"\x00not mjpeg" + bytes([i] * 32)))
+            continue
+        rows.append((i, b"".join(uniq[i : i + frames_per_video])))
+    _SYNTH_CACHE[("video", n, frames_per_video)] = rows
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
 def _encode_png_gray(plane) -> bytes:
     """Encode a 2-D uint8 luma plane as an 8-bit grayscale PNG — pure
     ``zlib``/``struct`` (filter type 0 per scanline)."""

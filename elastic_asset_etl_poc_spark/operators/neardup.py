@@ -65,29 +65,20 @@ def shingles(
     return tdf.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-def capped_shingles(
-    df: DataFrame,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_doc_freq: int | None = 10_000,
-):
-    """LAZY doc-frequency-capped shingle frame → (sh, staging_cache).
+def capped_sets(sh0: DataFrame, max_doc_freq: int | None = 10_000):
+    """LAZY doc-frequency cap over ANY (doc_id, shingle) set frame →
+    (capped, staging_cache).
 
-    The hot-shingle cap is an aggregate + broadcast anti-join against the
-    (tiny) hot set — a map-side filter, not a per-shingle window sort
-    over the full posting list (plan-asserted in test_plans_physical).
-    Returns the lazily-planned frame so callers/tests can inspect the
-    plan; ``jaccard_pairs`` materializes it with ``localCheckpoint``
-    (which truncates the visible lineage).  ``staging_cache`` is the
-    pre-cap cached frame to unpersist after materialization (None when
-    the cap is off).
+    The hot-element cap is an aggregate + broadcast anti-join against
+    the (tiny) hot set — a map-side filter, not a per-element window
+    sort over the full posting list (plan-asserted in
+    test_plans_physical).  ``staging_cache`` is the pre-cap cached frame
+    to unpersist after materialization (None when the cap is off).
     """
-    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_doc_freq is None:
         return sh0, None
-    # cache the pre-cap shingles: they feed BOTH the hot-set aggregate
-    # and the anti-join probe — uncached, the explode runs twice
+    # cache the pre-cap frame: it feeds BOTH the hot-set aggregate and
+    # the anti-join probe — uncached, the upstream explode runs twice
     sh0 = sh0.cache()
     hot = (
         sh0.groupBy("shingle")
@@ -96,6 +87,65 @@ def capped_shingles(
         .select("shingle")
     )
     return sh0.join(F.broadcast(hot), "shingle", "left_anti"), sh0
+
+
+def capped_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
+):
+    """Text word-n-gram instantiation of :func:`capped_sets` (the lazy
+    frame so callers/tests can inspect the plan; ``jaccard_pairs``
+    materializes it with ``localCheckpoint``)."""
+    return capped_sets(
+        shingles(df, n=n, text_col=text_col, id_col=id_col), max_doc_freq
+    )
+
+
+def set_similarity_pairs(
+    sh0: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Exact Jaccard similarity join over ANY (doc_id, shingle) set
+    frame → (doc_a, doc_b, jaccard) — the inverted-index core shared by
+    text n-gram shingles and video frame-hash sets.  ``shingle`` may be
+    any equatable type.  Input must already be DISTINCT per (doc_id,
+    shingle) — set semantics are the caller's contract (``shingles()``
+    ends in distinct; adding one here would pay a redundant shuffle).
+    See :func:`jaccard_pairs` for the cap rationale.
+    """
+    sh, staging = capped_sets(sh0, max_doc_freq)
+    # Materialize eagerly: the frame feeds 3 branches of one action, and
+    # concurrently-scheduled stages would each recompute a lazy cache.
+    sh = sh.localCheckpoint(eager=True)
+    if staging is not None:
+        staging.unpersist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
 
 
 def jaccard_pairs(
@@ -126,39 +176,10 @@ def jaccard_pairs(
     (tiny) hot-shingle set — a map-side filter, not a per-shingle window
     sort over the full posting list.
     """
-    sh, sh0 = capped_shingles(
-        df, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
-    )
-    # Materialize eagerly: the frame feeds 3 branches of one action, and
-    # concurrently-scheduled stages would each recompute a lazy cache.
-    # localCheckpoint(eager=True) stores the blocks in the materializing
-    # job itself — unlike cache()+count(), which paid one more full scan
-    # of the cached frame just to drive the count.
-    sh = sh.localCheckpoint(eager=True)
-    if sh0 is not None:
-        sh0.unpersist()  # capped frame is materialized; drop the staging copy
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
+    return set_similarity_pairs(
+        shingles(df, n=n, text_col=text_col, id_col=id_col),
+        threshold,
+        max_doc_freq=max_doc_freq,
     )
 
 

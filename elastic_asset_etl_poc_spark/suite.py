@@ -1469,6 +1469,20 @@ def recall_dhash_bands_vs_exact(spark, sf_dir):
     return _invariant_recall_audit(exact, approx, ["doc_a", "doc_b"])
 
 
+@q("video_neardup_frames", None)  # media decode → rows-only check
+def video_neardup_frames(spark, sf_dir):
+    """Video near-dup: MJPEG frame split → per-frame perceptual dHash →
+    the videos' frame-hash SETS through the SAME inverted-index Jaccard
+    core as text shingles (set_similarity_pairs) — trimmed/re-muxed
+    copies share most frame hashes.  Fourth fingerprint family on
+    shared dedup machinery; the set-join core is hash-proven by the
+    text jaccard oracle, the decode side by the multimodal tests."""
+    from .operators.multimodal import synthetic_videos
+    from .operators.multimodal import video_neardup_frames as _vnf
+
+    return _vnf(synthetic_videos(spark, n=24), threshold=0.5)
+
+
 @q("audio_neardup_afp", None)  # media decode → rows-only check
 def audio_neardup_afp(spark, sf_dir):
     """Audio near-dup: Haitsma-Kalker-style subband fingerprint (rFFT

@@ -657,3 +657,38 @@ def test_audio_fingerprint_amplitude_invariance(spark):
 
     pairs = {(r.doc_a, r.doc_b) for r in audio_neardup_afp(df).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_video_neardup_frame_hash_sets(spark):
+    """Neighboring synthetic videos overlap in all but one frame and must
+    pair with the expected Jaccard; distant videos and garbage must not.
+    Also proves distinct frame structures get distinct dHashes (the
+    fixture's point: a constant-offset gradient family would collapse)."""
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        dhash_images,
+        synthetic_videos,
+        video_neardup_frames,
+    )
+
+    vids = synthetic_videos(spark, n=12, frames_per_video=6)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in video_neardup_frames(vids, threshold=0.5).collect()
+    }
+    # adjacent (share 5/6 frames): J = 5/7; distance 2: J = 4/8 = 0.5
+    assert pairs[(0, 1)] == round(5 / 7, 4)
+    assert pairs[(0, 2)] == 0.5
+    assert (0, 3) not in pairs  # 3/9 < threshold
+    assert not any(4 in p or 9 in p for p in pairs)  # garbage payloads
+
+    # fixture sanity: the 6 frames of video 0 hash distinctly
+    import pyspark.sql.functions as F
+
+    frames0 = vids.filter("media_id = 0")
+    from elastic_asset_etl_poc_spark.operators.multimodal import sample_frames
+
+    f = sample_frames(frames0, every_n=1).select(
+        F.col("frame_idx").alias("media_id"), F.col("frame_bytes").alias("payload")
+    )
+    hashes = [r.dhash for r in dhash_images(f).collect()]
+    assert len(set(hashes)) == len(hashes) == 6
