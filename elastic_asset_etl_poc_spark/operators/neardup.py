@@ -468,12 +468,35 @@ def banded_hamming_pairs(
 ) -> DataFrame:
     """Banded Hamming join over any 64-bit fingerprint frame →
     (doc_a, doc_b, hamming).  The candidate/verify core shared by text
-    SimHash and image dHash near-dup — any fingerprint family that
-    compares by Hamming distance plugs in here.
+    SimHash, image dHash, and audio-fingerprint near-dup — any
+    fingerprint family that compares by Hamming distance plugs in here.
+
+    Hot-bucket bound: the banded candidate join runs over DISTINCT
+    fingerprints only.  Identical fingerprints are pre-collapsed to one
+    representative per value (they are Hamming-0 duplicates by
+    definition, no banding needed to find them), so a degenerate corpus
+    — 10k solid-color thumbnails, silent audio, boilerplate docs all
+    hashing to the same 64 bits — contributes ONE row per (band, chunk)
+    bucket instead of k rows → k² candidate pairs in a single task.
+    The full pair set is then reconstituted by plain equi-joins on the
+    fingerprint value: cross-group pairs expand each fingerprint-level
+    match through its member lists, and intra-group (hamming=0) pairs
+    come from a self-equi-join on the fingerprint.  Every join in that
+    re-expansion is relational, so AQE skew-join splitting subdivides
+    any oversized partition at runtime — the output for a k-clone
+    cluster is inherently k(k-1)/2 rows, but no single task ever builds
+    it alone.  Mirrors ``capped_sets``' bound for the Jaccard core
+    (neardup.py:68) and ``cosine_pairs_lsh``'s hot-bucket split
+    (similarity.py).
     """
     bands = max_hamming + 1
     width = 64 // bands
-    fp = fp.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp"))
+    members = fp.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp"))
+    # fingerprints are usually the expensive upstream stage (decode /
+    # shingling); checkpoint lazily so the 4 consumers below (reps +
+    # three re-expansion joins) share one computation
+    members = members.localCheckpoint(eager=False)
+    reps = members.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
     # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
     # the single band is the fingerprint itself
     chunk_exprs = [
@@ -486,26 +509,55 @@ def banded_hamming_pairs(
             for b in range(bands)
         ]
     )
-    banded = fp.select(
+    banded = reps.select(
         F.col("doc_id"), F.col("__fp"), F.explode(chunks).alias("bc")
     ).select("doc_id", "__fp", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("__fp").alias("fp_a"), "band", "chunk"
+        F.col("doc_id").alias("rep_a"), F.col("__fp").alias("fp_a"), "band", "chunk"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("__fp").alias("fp_b"), "band", "chunk"
+        F.col("doc_id").alias("rep_b"), F.col("__fp").alias("fp_b"), "band", "chunk"
     )
-    return (
+    # fingerprint-level matches: one row per unordered pair of DISTINCT
+    # fingerprint values within the radius (distinct() is cheap here —
+    # it dedups band-collisions over |distinct fps|² at most, not |docs|²)
+    fp_pairs = (
         a.join(b, ["band", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("rep_a") < F.col("rep_b"))
         .select(
-            "doc_a",
-            "doc_b",
+            "fp_a",
+            "fp_b",
             F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        fp_pairs.join(
+            members.select(F.col("doc_id").alias("da"), F.col("__fp").alias("fp_a")),
+            "fp_a",
+        )
+        .join(
+            members.select(F.col("doc_id").alias("db"), F.col("__fp").alias("fp_b")),
+            "fp_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "__fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),  # bit_count return type
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def dedup_survivors(

@@ -606,7 +606,59 @@ def test_banded_hamming_pairs_complete_vs_exact(spark):
     assert got == want and (1, 3) in got  # top-bit pair recovered
 
 
-def test_audio_fingerprint_amplitude_invariance(spark):
+def test_banded_hamming_pairs_clone_groups_exact(spark):
+    """Identical-fingerprint pre-collapse must reconstitute the FULL
+    pair set: intra-group hamming-0 pairs, cross-group expansion through
+    both member lists, and far groups excluded."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.neardup import banded_hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = (
+        [(i, base) for i in range(1, 4)]            # 3 clones of A
+        + [(i, base ^ 0b11) for i in range(4, 6)]   # 2 clones of B, hamming 2
+        + [(6, ~base & ((1 << 63) - 1))]            # far singleton
+    )
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(df, max_hamming=3).collect()
+    }
+    a = df.selectExpr("doc_id AS doc_a", "simhash AS fp_a")
+    b = df.selectExpr("doc_id AS doc_b", "simhash AS fp_b")
+    want = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .selectExpr("doc_a", "doc_b", "bit_count(fp_a ^ fp_b) AS hamming")
+        .filter("hamming <= 3")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 3 + 1 + 6  # C(3,2) intra-A + C(2,2) intra-B + 3*2 cross
+
+
+def test_banded_hamming_pairs_degenerate_clone_cluster(spark):
+    """Adversarial hot bucket: 10k IDENTICAL fingerprints (solid-color
+    thumbnails / silent audio / boilerplate).  The banded candidate join
+    sees ONE distinct fingerprint — its per-bucket input is 1 row, not
+    10k rows -> 10k^2 candidate pairs in a single task — and the
+    k(k-1)/2 output is rebuilt by a relational self-equi-join AQE can
+    split.  Plan check: the explode feeding the banded join hangs off
+    the distinct-fingerprint aggregate."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.neardup import banded_hamming_pairs
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(0x5A5A5A5A5A5A5A5A).alias("simhash")
+    )
+    pairs = banded_hamming_pairs(df, max_hamming=3)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    gen_pos = plan.find("Generate explode")
+    agg_pos = plan.find("Aggregate [__fp")
+    assert gen_pos != -1 and agg_pos != -1 and agg_pos > gen_pos  # agg below explode
+    assert pairs.count() == n * (n - 1) // 2
+    assert pairs.filter("hamming != 0").count() == 0
     """Same spectral content at different volume/length hashes near-
     equal; different spectral content is far; garbage is NULL."""
     import io
