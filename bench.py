@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # pin bench (and the driver's correctness gate, which imports through
+    # the same suite) to the pure-Python decode kernels so multimodal
+    # rows don't vary with Pillow's presence across environments
+    os.environ.setdefault("SPARK_GRAFT_PURE_DECODE", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     try:

@@ -503,8 +503,18 @@ try:  # optional native decode fast path: libjpeg/zlib via Pillow.  The
     # libjpeg — correct as a contract, not a production decode.  When
     # Pillow is importable we route through it and keep the pure kernels
     # as the always-available fallback (same schema, same fail-soft).
-    from PIL import Image as _PILImage
-    from PIL import ImageOps as _PILImageOps
+    # SPARK_GRAFT_PURE_DECODE=1 forces the pure kernels even with Pillow
+    # installed, pinning suite/bench/oracle output to one decode path:
+    # PIL decodes formats the pure kernels stub as 'fake' (GIF/TIFF/
+    # progressive JPEG) and rounds JPEG IDCT differently, so feature rows
+    # and dHash pair counts would otherwise vary by environment.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PURE_DECODE", "").strip() in ("1", "true"):
+        _PILImage = None
+    else:
+        from PIL import Image as _PILImage
+        from PIL import ImageOps as _PILImageOps
 except ImportError:  # container has no PIL — pure-Python kernels serve
     _PILImage = None
 
@@ -638,6 +648,17 @@ def audio_fingerprint(
     import numpy as np
     import pandas as pd
 
+    # rfft of a length-`frame` window yields frame//2+1 bins; dropping DC
+    # leaves frame//2, folded evenly into 64 subbands.  Validate OUTSIDE
+    # the fail-soft decode try — a bad `frame` is a caller bug, not an
+    # undecodable payload, and must not read as NULL fingerprints.
+    bins_per_band = (frame // 2) // 64
+    if bins_per_band < 1:
+        raise ValueError(
+            f"frame={frame} too small: rfft yields {frame // 2} non-DC bins, "
+            "need >= 64 for the subband fold (frame >= 128)"
+        )
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             ids, fps = [], []
@@ -650,9 +671,9 @@ def audio_fingerprint(
                         raise ValueError("too short")
                     frames = x[:n].reshape(-1, frame)
                     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-                    bands = spec[:, 1 : 1 + 128].reshape(len(frames), 64, 2).sum(
-                        axis=2
-                    )
+                    bands = spec[:, 1 : 1 + 64 * bins_per_band].reshape(
+                        len(frames), 64, bins_per_band
+                    ).sum(axis=2)
                     med = np.median(bands, axis=1, keepdims=True)
                     votes = (2 * (bands > med) - 1).sum(axis=0)
                     h = 0
@@ -794,14 +815,30 @@ def video_neardup_frames(
 
     frames = sample_frames(df, every_n=every_n, id_col=id_col, bin_col=bin_col)
     # composite id carries (video, frame) through the single-id dhash
-    # stage; 1e6 frames per video is far beyond any sampled reality
+    # stage; 1e6 frames per video is far beyond any sampled reality, and
+    # the guard turns a silent neighbor-id collision into a loud error
+    frame_ok = F.when(
+        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 1_000_000),
+        F.col("frame_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("frame_idx outside packing range [0, 1e6): "),
+                F.col("frame_idx").cast("string"),
+            )
+        )
+    )
     fdf = frames.select(
-        (F.col("media_id") * 1_000_000 + F.col("frame_idx")).alias("media_id"),
+        (F.col("media_id") * 1_000_000 + frame_ok).alias("media_id"),
         F.col("frame_bytes").alias("payload"),
     )
     fh = dhash_images(fdf).filter(F.col("dhash").isNotNull())
+    # pmod-based unpack is exact for NEGATIVE video ids too: `div`
+    # truncates toward zero, which would fold video -1's frames onto
+    # video 0; subtracting the non-negative pmod first makes the
+    # quotient exact integer floor division at any sign.
     sets = fh.select(
-        F.expr("media_id div 1000000").alias("doc_id"),
+        F.expr("(media_id - pmod(media_id, 1000000)) div 1000000").alias("doc_id"),
         F.col("dhash").alias("shingle"),
     ).distinct()  # set semantics: repeated identical frames count once
     return set_similarity_pairs(sets, threshold, max_doc_freq=max_doc_freq)

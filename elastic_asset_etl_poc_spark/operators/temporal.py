@@ -369,7 +369,15 @@ def scd2_history(
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     prev = F.lag(F.col(attr)).over(w)
-    chg = F.when(prev.isNull() | (prev != F.col(attr)), 1).otherwise(0)
+    # null-safe change detection (IS DISTINCT FROM semantics, matching
+    # the SQL oracle): a NULL attribute value opens a new island when it
+    # follows a non-NULL value and continues the island when it follows
+    # NULL — plain `!=` is NULL (falsy) whenever either side is NULL,
+    # which would never open an island on a NULL value.  First row per
+    # key: lag is NULL, so ~eqNullSafe is true for non-NULL values (new
+    # island) and the all-NULL leading run lands in island 0 — a group
+    # id is a group id.
+    chg = F.when(~prev.eqNullSafe(F.col(attr)), 1).otherwise(0)
     island = F.sum(chg).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -138,6 +138,30 @@ def compact_parquet(
             os.path.join(path, f)
         ):
             shutil.copy2(os.path.join(path, f), os.path.join(tmp, f))
+    # re-stamp the manifest's file inventory: compaction changes the
+    # file layout but not the content, and n_rows/content_hash64 are
+    # layout-invariant by construction (bit_xor over rows), so only
+    # n_files/files need refreshing — carrying them stale would make
+    # verify_manifest raise a guaranteed false tamper alarm.
+    mf = os.path.join(tmp, "_manifest.json")
+    if os.path.exists(mf):
+        import json
+
+        with open(mf) as fh:
+            manifest = json.load(fh)
+        pq = sorted(
+            os.path.join(dirpath, f)
+            for dirpath, _dirs, fnames in os.walk(tmp)
+            for f in fnames
+            if f.endswith(".parquet")
+        )
+        manifest["n_files"] = len(pq)
+        manifest["files"] = [
+            {"path": os.path.basename(f), "bytes": os.path.getsize(f)}
+            for f in pq
+        ]
+        with open(mf, "w") as fh:
+            json.dump(manifest, fh, indent=1)
     shutil.rmtree(path)  # raise on failure — a half-removed store must
     if os.path.exists(path):  # never let move() nest tmp INSIDE it
         raise IOError(f"failed to clear {path} before compaction swap")

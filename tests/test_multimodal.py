@@ -744,3 +744,55 @@ def test_video_neardup_frame_hash_sets(spark):
     )
     hashes = [r.dhash for r in dhash_images(f).collect()]
     assert len(set(hashes)) == len(hashes) == 6
+
+
+def test_video_neardup_negative_media_ids(spark):
+    """The (video, frame) packing must keep NEGATIVE media ids intact:
+    truncating `div` would fold video -1's frames onto video 0.  Shift a
+    fixture's ids negative and demand the identical pair graph shifted."""
+    import pyspark.sql.functions as F
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        synthetic_videos,
+        video_neardup_frames,
+    )
+
+    vids = synthetic_videos(spark, n=8, frames_per_video=6)
+    pos = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in video_neardup_frames(vids, threshold=0.5).collect()
+    }
+    shifted = vids.select(
+        (F.col("media_id") - 4).alias("media_id"), "payload"
+    )
+    neg = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in video_neardup_frames(shifted, threshold=0.5).collect()
+    }
+    assert neg == {
+        (a - 4, b - 4): j for (a, b), j in pos.items()
+    } and len(neg) > 0
+
+
+def test_audio_fingerprint_frame_parameter(spark):
+    """`frame` folds the spectrum from its own rfft bin count — frame=128
+    (64 usable bins) must produce real fingerprints, not blanket NULLs
+    masked as 'undecodable'; frame < 128 is a caller error that raises."""
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthetic_audio,
+    )
+
+    audio = synthetic_audio(spark, n=16)
+    for frame in (128, 256):  # fixture bursts are >= 400 samples
+        fps = {
+            r.media_id: r.afp
+            for r in audio_fingerprint(audio, frame=frame).collect()
+        }
+        decodable = [v for k, v in fps.items() if k % 8 != 7]  # non-garbage
+        assert decodable and all(v is not None for v in decodable)
+
+    with pytest.raises(ValueError, match="frame"):
+        audio_fingerprint(audio, frame=64)

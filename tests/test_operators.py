@@ -390,6 +390,46 @@ def test_scd2_history_islands_and_open_row(spark):
     ]
 
 
+def test_scd2_history_null_values_distinct_from(spark):
+    """NULL attribute values follow IS DISTINCT FROM semantics (matching
+    the SQL oracle): non-NULL→NULL opens a new island, NULL→NULL
+    continues it, NULL→non-NULL opens again.  Plain `!=` is NULL (falsy)
+    against a NULL side and would never open an island on NULL."""
+    import datetime as dt
+
+    from elastic_asset_etl_poc_spark.operators.temporal import scd2_history
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "a", t(0), 1),
+        (1, None, t(1), 2),  # a → NULL: new island
+        (1, None, t(2), 3),  # NULL → NULL: same island
+        (1, "a", t(3), 4),   # NULL → a: new island
+        (2, None, t(0), 5),  # leading NULL run
+        (2, None, t(1), 6),
+        (2, "z", t(2), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = scd2_history(df, key="user_id", attr="event_type", tiebreak="event_id")
+    got = sorted(
+        (
+            (r.user_id, r.value, r.valid_from.minute,
+             None if r.valid_to is None else r.valid_to.minute)
+            for r in out.collect()
+        ),
+        key=lambda x: (x[0], x[2]),
+    )
+    assert got == [
+        (1, "a", 0, 1),
+        (1, None, 1, 3),
+        (1, "a", 3, None),
+        (2, None, 0, 2),
+        (2, "z", 2, None),
+    ]
+
+
 def test_asof_join_salted_equals_plain(spark):
     """Differential: the two-level time-bucket-salted backward as-of must
     equal asof_join(direction='backward') — including a hot key whose

@@ -309,9 +309,12 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
 
 def test_manifest_content_hash_survives_compaction(spark, tmp_path):
     """Compaction rewrites the file layout but not the data: rows and the
-    order-insensitive content hash must survive, only the file inventory
-    drifts — exactly the signal split a maintenance job needs (re-stamp
-    the manifest after layout changes; alarm on rows/hash changes)."""
+    order-insensitive content hash survive unchanged, and compact_parquet
+    re-stamps the manifest's file inventory in the same swap — so the
+    carried sidecar verifies clean immediately, no false tamper alarm."""
+    import json
+    import os
+
     from elastic_asset_etl_poc_spark.sinks import (
         compact_parquet,
         verify_manifest,
@@ -329,10 +332,9 @@ def test_manifest_content_hash_survives_compaction(spark, tmp_path):
     assert n_after < 16
 
     ok, diffs = verify_manifest(spark, store)
-    assert not ok and set(diffs) == {"n_files"}  # data invariants held
-
-    after = write_manifest(spark, store)
-    assert after["n_rows"] == before["n_rows"]
-    assert after["content_hash64"] == before["content_hash64"]
-    ok, _ = verify_manifest(spark, store)
-    assert ok
+    assert ok, diffs  # inventory re-stamped, data invariants held
+    with open(os.path.join(store, "_manifest.json")) as fh:
+        carried = json.load(fh)
+    assert carried["n_files"] == n_after
+    assert carried["n_rows"] == before["n_rows"]
+    assert carried["content_hash64"] == before["content_hash64"]
