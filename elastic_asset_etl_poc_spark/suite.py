@@ -675,10 +675,20 @@ def jaccard_neardup_docs(spark, sf_dir):
     return jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@q("minhash_neardup_docs", None)  # xxhash64 has no DuckDB twin → rows-only check
+@q(
+    "minhash_neardup_docs",
+    f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp",
+)
 def minhash_neardup_docs(spark, sf_dir):
     """MinHash+LSH candidates, exact-verified — the 100 TB near-dup path.
-    Same output contract as jaccard_neardup_docs (recall ≈ 0.9996 @ J=0.8)."""
+
+    Hash-checked against the EXACT Jaccard oracle (same SQL as
+    jaccard_neardup_docs): candidates are exact-verified, so precision
+    is 1 by construction, and the s-curve at 64 hashes / 16 bands gives
+    P[candidate] ≈ 0.9996 at J=0.8 — measured recall is exactly 1.0 at
+    sf0.001/0.01/0.1 with the fixed signature seeds.  A genuine LSH
+    recall miss would surface as a driver row-count mismatch; at these
+    corpora that is the signal we want (banding drift), not noise."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
@@ -1124,13 +1134,44 @@ def embed_knn_bruteforce(spark, sf_dir):
     return cosine_topk(emb, queries, k=10)
 
 
-@q("embed_knn_lsh", None)  # approximate by design → rows-only check
+@q(
+    "embed_knn_lsh",
+    """
+SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(1 AS BOOLEAN) AS recall_at_k_ge_090
+""",
+)
 def embed_knn_lsh(spark, sf_dir):
     """Multi-probe banded sign-LSH ANN (scale path; recall tunable via
-    bands — measured 1.0 @ k=10 on these fixtures, but < 1 by design)."""
+    bands — < 1 by design, unlike the exact bruteforce twin).
+
+    Driver-checked as an invariant-row audit (pattern:
+    recall_simhash_bands_vs_exact): ANN output is approximate, so exact
+    row equality is the wrong contract — instead the query computes
+    recall@10 against the exact ``cosine_topk`` in-plan and states the
+    ≥ 0.9 bound as literal rows.  A bucketing/probe regression drops
+    recall and breaks the driver hash; the neighbor-triple surface
+    stays covered by tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=10)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count_distinct("query_id").alias("n_queries"))
+        .crossJoin(
+            exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_queries",
+            F.lit(10).alias("k"),
+            (F.col("__n_hit") >= F.lit(0.9) * F.col("__n_exact")).alias(
+                "recall_at_k_ge_090"
+            ),
+        )
+    )
 
 
 def _last_checked(root: str | None = None) -> dict[str, int]:
@@ -1184,9 +1225,10 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-@q(
-    "embed_neardup_cosine",
-    """
+#: exact all-pairs cosine near-dup SQL — shared by the exact block-pair
+#: query and the LSH-bucketed variant (whose emitted pair set equals the
+#: exact set at suite corpora; see embed_neardup_cosine_lsh).
+_COS_NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
@@ -1194,8 +1236,10 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
-""",
-)
+"""
+
+
+@q("embed_neardup_cosine", _COS_NEARDUP_SQL)
 def embed_neardup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact, distributed block-pair
     matmul (no driver materialization; see similarity.cosine_pairs)."""
@@ -1600,13 +1644,18 @@ def recall_ivf_full_probe_vs_exact(spark, sf_dir):
     return _recall_audit(exact, approx, ["query_id", "neighbor_id", "rank"])
 
 
-@q("embed_neardup_cosine_lsh", None)  # approximate recall → rows-only check
+@q("embed_neardup_cosine_lsh", _COS_NEARDUP_SQL)
 def embed_neardup_cosine_lsh(spark, sf_dir):
     """LSH-bucketed cosine near-dup pairs — the 100 TB all-pairs path:
     banded sign-LSH buckets bound the candidate set (hot buckets split
     into block-pair sub-tasks, so no task exceeds ~2·max_bucket rows);
-    the numpy kernel runs per bucket; emitted cosines are exact
-    (recall ≈ 0.998 @ 0.45, measured 1.0 on these fixtures)."""
+    the numpy kernel runs per bucket; emitted cosines are exact.
+
+    Hash-checked against the SAME exact all-pairs oracle as
+    embed_neardup_cosine: precision is 1 (cosines computed, not
+    estimated) and measured recall is exactly 1.0 at sf0.001/0.01/0.1
+    with the seed-fixed hyperplanes — a recall regression now breaks
+    the driver hash instead of hiding in a docstring estimate."""
     from .operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
@@ -1700,14 +1749,27 @@ def multimodal_image_features(spark, sf_dir):
     return extract_image_features(media)
 
 
-@q("multimodal_resize_thumbnails", None)  # synthetic media, rows-only check
+@q("multimodal_resize_thumbnails", None)  # literal oracle via fixture_oracles
 def multimodal_resize_thumbnails(spark, sf_dir):
     """Image resize: decode (stdlib JPEG/PNG/BMP) → area-average resample
     → re-encode REAL grayscale PNG thumbnails, one Arrow stage, binary
-    never shuffled; undecodable payloads fail soft to format='fake'."""
+    never shuffled; undecodable payloads fail soft to format='fake'.
+
+    The driver-checked surface carries the thumbnail as (png_len,
+    png_xxh64) rather than raw bytes — deterministic PNG encode means
+    the 64-bit content hash pins every byte while keeping the compared
+    rows literal-friendly; the raw-bytes surface stays covered by
+    tests/test_multimodal.py's decode round-trip."""
     from .operators.multimodal import resize_images, synthetic_images
 
-    return resize_images(synthetic_images(spark, n=128), out_w=16, out_h=16)
+    return resize_images(synthetic_images(spark, n=128), out_w=16, out_h=16).select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("png_len"),
+        F.xxhash64("payload").alias("png_xxh64"),
+        "format",
+    )
 
 
 @q("multimodal_frame_sample", None)  # synthetic media, rows-only check
@@ -1866,9 +1928,11 @@ def distinct_parts_counts(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_survivors_docs",
-    f"""WITH RECURSIVE {_JACCARD_CTES},
+#: recursive min-label connected-components over the exact Jaccard pair
+#: set — shared by the exact and MinHash survivor queries (the MinHash
+#: path's pair set equals the exact set at suite corpora; see
+#: dedup_survivors_minhash).
+_SURVIVORS_SQL = f"""WITH RECURSIVE {_JACCARD_CTES},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM jp
   UNION ALL
@@ -1882,8 +1946,10 @@ cc(node, label) AS (
 SELECT node AS doc_id, min(label) AS cluster,
        min(label) = node AS is_survivor
 FROM cc GROUP BY node
-""",
-)
+"""
+
+
+@q("dedup_survivors_docs", _SURVIVORS_SQL)
 def dedup_survivors_docs(spark, sf_dir):
     """End-to-end near-dup dedup: exact Jaccard pairs → connected
     components → survivor per cluster (keep-min-id policy).  The DuckDB
@@ -1896,12 +1962,17 @@ def dedup_survivors_docs(spark, sf_dir):
     return dedup_survivors(docs, pairs)
 
 
-@q("dedup_survivors_minhash", None)  # xxhash64 signatures → rows-only check
+@q("dedup_survivors_minhash", _SURVIVORS_SQL)
 def dedup_survivors_minhash(spark, sf_dir):
     """Same end-to-end dedup on the MinHash-LSH candidate path — the
     100 TB configuration (banded candidates, no all-pairs shingle join).
-    Pair recall ≈ 0.9996 at J=0.8, so rows-only by design; the jaccard
-    twin above is the hash-checked oracle of the same cluster logic."""
+
+    Hash-checked against the SAME recursive-CC oracle as the exact twin:
+    the LSH pair set equals the exact Jaccard pair set at the suite's
+    corpora (s-curve P[candidate] ≈ 0.9996 @ J=0.8, measured recall
+    exactly 1.0 at sf0.001/0.01/0.1 with fixed seeds), so survivor sets
+    must coincide — a banding/signature drift now breaks the driver
+    hash instead of hiding behind a rows-only check."""
     from .operators.neardup import dedup_survivors, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3733,3 +3804,21 @@ def length_histogram_docs(spark, sf_dir):
         "lang",
         (F.floor(F.col("n_chars") / 50).cast("long") * 50).alias("bin_lo"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Literal fixture oracles.  The synthetic-media queries are deterministic
+# pure functions of seed-fixed fixtures (no sf_dir dependence), so their
+# exact expected rows are stated as VALUES literals generated once by
+# tools/gen_fixture_oracles.py — the same invariant-row idea as the
+# recall_*_bands_vs_exact audits, extended to full row sets.  Regenerate
+# after any INTENTIONAL fixture/kernel change; an unintentional change
+# breaks the driver hash, which is the point.
+# ---------------------------------------------------------------------------
+try:
+    from .fixture_oracles import FIXTURE_ORACLES as _FIXTURE_ORACLES
+except ImportError:  # pragma: no cover - module is generated
+    _FIXTURE_ORACLES = {}
+for _name, _sql in _FIXTURE_ORACLES.items():
+    if _name in SUITE:
+        SUITE[_name] = (SUITE[_name][0], _sql)
