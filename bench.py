@@ -74,22 +74,28 @@ def main() -> None:
                 spark.catalog.clearCache()
         if samples:
             cold[name] = round(samples[0], 3)
-            medians[name] = round(statistics.median(samples), 3)
+            medians[name] = round(statistics.median(samples), 2)
         else:
             cold[name] = medians[name] = -1.0
 
-    total = round(sum(t for t in medians.values() if t >= 0), 3)
+    total = round(sum(t for t in medians.values() if t >= 0), 2)
+    # cold-run detail goes to stderr only — the driver captures a bounded
+    # TAIL of stdout, so the one JSON line is kept compact: no cold dict,
+    # 2-decimal medians, queries sorted by name (stable round-over-round
+    # alignment even under truncation), scalar fields LAST so they
+    # survive a clipped head.
+    print(f"cold: {json.dumps(cold)}", file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "cold": cold,
+                "queries": dict(sorted(medians.items())),
                 "runs": runs,
                 "sf": sf,
-            }
+                "metric": "suite_wall_sec",
+                "unit": "sec",
+                "value": total,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -170,9 +170,19 @@ def compact_parquet(
     return len(out.inputFiles())
 
 
-def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
+def upsert_assets(
+    spark, path: str, new_assets: DataFrame, verify: bool = False
+) -> None:
     """Batch upsert: latest asset document wins per EAN, touching only the
     ``asset.type`` partitions present in the new batch.
+
+    ``verify=True`` closes the store-integrity loop: after the write the
+    manifest sidecar is re-stamped (:func:`write_manifest`) and
+    immediately re-verified (:func:`verify_manifest`) — a torn write,
+    lost file, or concurrent mutation between stamp and check raises
+    instead of poisoning downstream readers.  Costs one extra
+    distributed hash pass over the store; at 100 TB run it on the
+    ingest cadence, not per micro-batch.
 
     The reference's write step is stubbed ("TBA", run.ts:12-15) but its
     intended semantics are an ES bulk index keyed by document — each run
@@ -214,6 +224,8 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
         latest_per_ean(new_assets).write.mode("overwrite").partitionBy(
             "asset.type"
         ).parquet(path)
+        if verify:
+            _stamp_and_verify(spark, path)
         return
     touched = [
         r[0] for r in new_assets.select(F.col("`asset.type`")).distinct().collect()
@@ -233,6 +245,17 @@ def upsert_assets(spark, path: str, new_assets: DataFrame) -> None:
         .partitionBy("asset.type")
         .parquet(path)
     )
+    if verify:
+        _stamp_and_verify(spark, path)
+
+
+def _stamp_and_verify(spark, path: str) -> None:
+    """Post-write integrity check: re-stamp the manifest, then re-verify
+    it against an independent read of the store."""
+    write_manifest(spark, path)
+    ok, diffs = verify_manifest(spark, path)
+    if not ok:
+        raise IOError(f"post-upsert manifest verification failed for {path}: {diffs}")
 
 
 def write_bulk_ndjson(

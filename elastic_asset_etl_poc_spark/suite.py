@@ -3103,6 +3103,28 @@ def zorder_key_events(spark, sf_dir):
     return ev.select("event_id", zorder_key(dims, bits=16).alias("zkey"))
 
 
+#: per-(process, sf_dir) staged events directory shared by ALL streaming
+#: suite queries.  Each query previously copied events.parquet into its
+#: own mkdtemp per INVOCATION (bench = 3 runs × 5 queries = 15 copies) —
+#: pure harness cost misread as streaming cost.  The staged dir is
+#: read-only to the file-stream source (each run gets a fresh memory
+#: sink + checkpoint), so sharing is safe; cleanup at process exit.
+_STREAM_STAGED: dict[str, str] = {}
+
+
+def _staged_events(sf_dir: str) -> str:
+    if sf_dir not in _STREAM_STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        staged = tempfile.mkdtemp(prefix="suite_stream_")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+        _STREAM_STAGED[sf_dir] = staged
+    return _STREAM_STAGED[sf_dir]
+
+
 @q(
     "svc_phase1_streaming",
     _sig()
@@ -3121,24 +3143,15 @@ def svc_phase1_streaming(spark, sf_dir):
     events fixture, collected from the memory sink.  The oracle is the
     equivalent batch SQL — streaming and batch semantics are
     hash-checked equal, not just pytest-asserted."""
-    import shutil
-    import tempfile
     import uuid
 
     from .streaming import run_to_memory, stream_services_phase1
 
-    staged = tempfile.mkdtemp(prefix="svc_stream_")
-    try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-        name = f"svc_stream_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(
-            stream_services_phase1(spark, staged), name, "complete"
-        )
-        q.stop()
-    finally:
-        # the run has fully drained into the memory sink; the staged
-        # copy is dead weight (bench invokes this 3×)
-        shutil.rmtree(staged, ignore_errors=True)
+    name = f"svc_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_services_phase1(spark, _staged_events(sf_dir)), name, "complete"
+    )
+    q.stop()
     return spark.table(name)
 
 
@@ -3160,22 +3173,15 @@ def stream_windowed_counts_daily(spark, sf_dir):
     tumbling '1 day' windows coincide with date_trunc('day') in UTC, so
     the batch SQL is an exact oracle — the streaming window operator is
     hash-checked, not just pytest-asserted."""
-    import shutil
-    import tempfile
     import uuid
 
     from .streaming import run_to_memory, stream_windowed_counts
 
-    staged = tempfile.mkdtemp(prefix="win_stream_")
-    try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-        name = f"win_stream_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(
-            stream_windowed_counts(spark, staged), name, "complete"
-        )
-        q.stop()
-    finally:
-        shutil.rmtree(staged, ignore_errors=True)
+    name = f"win_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_windowed_counts(spark, _staged_events(sf_dir)), name, "complete"
+    )
+    q.stop()
     return spark.table(name)
 
 
@@ -3236,22 +3242,17 @@ def stream_band_join_attrib(spark, sf_dir):
     oracle is the plain batch inequality-join SQL (same as
     ``band_join_click_purchase``): streaming symmetric-hash-join
     semantics hash-check equal to the batch band join."""
-    import shutil
-    import tempfile
     import uuid
 
     from .streaming import run_to_memory, stream_band_join
 
-    staged = tempfile.mkdtemp(prefix="band_stream_")
-    try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-        name = f"band_stream_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(
-            stream_band_join(spark, staged, band_seconds=86400), name, "append"
-        )
-        q.stop()
-    finally:
-        shutil.rmtree(staged, ignore_errors=True)
+    name = f"band_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_band_join(spark, _staged_events(sf_dir), band_seconds=86400),
+        name,
+        "append",
+    )
+    q.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -3277,23 +3278,18 @@ def stream_asof_enrich_clicks(spark, sf_dir):
     sees every right at-or-before its lefts, so the stream equals the
     batch as-of exactly and DuckDB's native ASOF JOIN (the same oracle
     as ``asof_enrich_clicks``) hash-checks it."""
-    import shutil
-    import tempfile
     import uuid
 
     from .streaming import run_to_memory, stream_events_typed
     from .streaming.stateful import stream_asof_enrich
 
-    staged = tempfile.mkdtemp(prefix="asof_stream_")
-    try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-        name = f"asof_stream_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(
-            stream_asof_enrich(stream_events_typed(spark, staged)), name, "update"
-        )
-        q.stop()
-    finally:
-        shutil.rmtree(staged, ignore_errors=True)
+    name = f"asof_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_asof_enrich(stream_events_typed(spark, _staged_events(sf_dir))),
+        name,
+        "update",
+    )
+    q.stop()
     return spark.table(name).select(
         "event_id",
         "user_id",
@@ -3340,24 +3336,19 @@ def svc_phase2_streaming(spark, sf_dir):
     FULL history (the stream replays everything; phase-1's window still
     applies to the static service list), so stream and batch phase-2
     semantics are hash-checked equal, same pattern as phase-1."""
-    import shutil
-    import tempfile
     import uuid
 
     from .plans.services import batch_search_for_services
     from .streaming import run_to_memory, stream_service_parents
 
     services = batch_search_for_services(spark, sf_dir)
-    staged = tempfile.mkdtemp(prefix="p2_stream_")
-    try:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
-        name = f"p2_stream_{uuid.uuid4().hex[:8]}"
-        q = run_to_memory(
-            stream_service_parents(spark, staged, services), name, "append"
-        )
-        q.stop()
-    finally:
-        shutil.rmtree(staged, ignore_errors=True)
+    name = f"p2_stream_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(
+        stream_service_parents(spark, _staged_events(sf_dir), services),
+        name,
+        "append",
+    )
+    q.stop()
     return spark.table(name)
 
 

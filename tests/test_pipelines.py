@@ -156,6 +156,35 @@ def test_upsert_assets_partition_scoped(spark, tmp_path):
     assert svc_stamps == {datetime.datetime(2024, 2, 1)}
 
 
+def test_upsert_assets_verify_detects_corruption(spark, tmp_path):
+    """upsert(verify=True) stamps + round-trip-verifies the manifest;
+    an injected corruption afterwards is caught by verify_manifest, and
+    the next verifying upsert would fail the same way if raced."""
+    import datetime
+    import os
+
+    from elastic_asset_etl_poc_spark.plans.assets import collect_services
+    from elastic_asset_etl_poc_spark.sinks import upsert_assets, verify_manifest
+
+    path = str(tmp_path / "assets_store")
+    services, containers = collect_services(spark, SF_DIR)
+    upsert_assets(spark, path, services.unionByName(containers), verify=True)
+    ok, diffs = verify_manifest(spark, path)
+    assert ok, diffs  # stamped and clean after the first upsert
+
+    s2, _ = collect_services(spark, SF_DIR, now=datetime.datetime(2024, 2, 1))
+    upsert_assets(spark, path, s2, verify=True)  # re-stamps over the rewrite
+    ok, diffs = verify_manifest(spark, path)
+    assert ok, diffs
+
+    # inject corruption: drop one data file from a partition directory
+    part = os.path.join(path, "asset.type=service")
+    victim = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(part, victim))
+    ok, diffs = verify_manifest(spark, path)
+    assert not ok and "n_rows" in diffs
+
+
 def test_upsert_assets_propagates_store_read_errors(spark, tmp_path):
     """A corrupt (but existing) store must raise, never be silently
     replaced by the new batch."""
