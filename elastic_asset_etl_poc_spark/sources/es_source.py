@@ -4,11 +4,13 @@ SURVEY.md §4: attaching a live ES source needs a DataSourceV2 with
 ``SupportsPushDownFilters`` mapping Spark filters back onto the Query DSL
 (``range``/``term``/``terms``/``exists``) — the exact *inverse* of the
 reference's server-side query building (§2.2).  This module implements
-that contract with Spark 4's Python Data Source API against a directory
-of JSON-lines "indices" (the container has no live ES; the pushdown
-surface, DSL translation, and partition model are the real deliverable —
-swapping the line reader for an ES scroll client changes nothing above
-`read()`).
+that contract with Spark 4's Python Data Source API against either a
+directory of JSON-lines "indices" (``option("path", dir)``) or an HTTP
+``_search`` endpoint speaking the ES wire shape (``option("url", ...)``
+— sliced-scroll partitions, ``_source:false`` + fields-API reads, DSL
+filtering server-side).  The container has no live ES; the HTTP path is
+exercised end-to-end against a stdlib stub server in
+tests/test_es_source.py, and a real cluster differs only in pagination.
 
 Pushdown mapping (the §2.2 table, inverted):
     EqualTo(f, v)           → {"term":  {f: {"value": v}}}           (F2)
@@ -106,6 +108,18 @@ class _ShardPartition(InputPartition):
     path: str
 
 
+@dataclass
+class _SlicePartition(InputPartition):
+    """One ES *slice* of a ``_search`` — the sliced-scroll parallelism
+    model: each Spark task asks the server for ``slice {id, max}`` so N
+    tasks stream N disjoint document subsets concurrently."""
+
+    url: str
+    index: str
+    slice_id: int
+    n_slices: int
+
+
 class SignalsESReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
@@ -117,6 +131,17 @@ class SignalsESReader(DataSourceReader):
         yield from unsupported
 
     def partitions(self):
+        if "url" in self.options:
+            n = int(self.options.get("n_slices", "2"))
+            return [
+                _SlicePartition(
+                    self.options["url"],
+                    self.options.get("index", "signals"),
+                    i,
+                    n,
+                )
+                for i in range(n)
+            ]
         root = self.options["path"]
         # one partition per shard file — the ES slice/shard parallelism model
         return [
@@ -125,15 +150,50 @@ class SignalsESReader(DataSourceReader):
             if f.endswith(".jsonl")
         ]
 
-    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+    def read(self, partition) -> Iterator[tuple]:
         if partition is None:  # empty index: Spark calls read(None) once
             return
         names = self.schema.fieldNames()
+        if isinstance(partition, _SlicePartition):
+            yield from self._read_http(partition, names)
+            return
         with open(partition.path) as fh:
             for line in fh:
                 doc = json.loads(line)
                 if _matches(doc, self.dsl):
                     yield tuple(doc.get(n) for n in names)
+
+    def _read_http(self, p: _SlicePartition, names: list[str]) -> Iterator[tuple]:
+        """POST the pushed DSL to ``{url}/{index}/_search`` and stream the
+        hits — the reference's read shape exactly: ``_source: false`` +
+        the *fields API* (every value comes back as an array,
+        `lib/collectServicesFromSummaries.ts:23-28`), unwrapped with
+        singleItem semantics (`:114-119`).  Filtering happens SERVER-side
+        via the pushed ``query``; this client does not re-filter."""
+        import urllib.request
+
+        body = json.dumps(
+            {
+                "query": self.dsl,
+                "slice": {"id": p.slice_id, "max": p.n_slices},
+                "_source": False,
+                "fields": names,
+                "size": int(self.options.get("page_size", "10000")),
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{p.url}/{p.index}/_search",
+            data=body,
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = json.loads(resp.read())
+        for hit in payload.get("hits", {}).get("hits", []):
+            fields = hit.get("fields", {})
+            yield tuple(
+                (fields.get(n) or [None])[0] for n in names  # singleItem
+            )
 
 
 class SignalsESDataSource(DataSource):

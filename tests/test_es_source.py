@@ -81,3 +81,120 @@ def test_es_source_unsupported_filter_still_correct(spark, es_index):
     # contains() is not DSL-mappable -> Spark must re-apply it post-scan
     out = df.filter(df.service_name.contains("svc-1") & (df.ts < 200))
     assert [r.event_id for r in out.collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# HTTP transport: end-to-end against a stdlib stub ES server
+# ---------------------------------------------------------------------------
+
+_HTTP_DOCS = [
+    {"event_id": 1, "ts": 100, "service_name": "svc-1", "metricset_name": "purchase", "container_id": "c1"},
+    {"event_id": 2, "ts": 150, "service_name": "svc-2", "metricset_name": "click", "container_id": None},
+    {"event_id": 3, "ts": 250, "service_name": "svc-1", "metricset_name": "purchase", "container_id": None},
+    {"event_id": 4, "ts": 300, "service_name": "svc-3", "metricset_name": "purchase", "container_id": "c2"},
+    {"event_id": 5, "ts": 350, "service_name": "svc-2", "metricset_name": "purchase", "container_id": "c3"},
+]
+
+
+@pytest.fixture()
+def es_http_server():
+    """Stub ES ``_search`` endpoint (stdlib http.server): evaluates the
+    posted Query DSL server-side over _HTTP_DOCS, honors sliced scroll
+    (event_id % max == id), answers in fields-API shape, and records
+    every request body so tests can assert what was pushed."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from elastic_asset_etl_poc_spark.sources.es_source import _matches
+
+    requests: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            requests.append({"path": self.path, "body": body})
+            sl = body.get("slice", {"id": 0, "max": 1})
+            fields = body.get("fields") or []
+            hits = [
+                {"fields": {n: [d[n]] for n in fields if d.get(n) is not None}}
+                for d in _HTTP_DOCS
+                if d["event_id"] % sl["max"] == sl["id"]
+                and _matches(d, body.get("query", {}))
+            ]
+            out = json.dumps({"hits": {"hits": hits}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", requests
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_es_source_http_pushdown_round_trip(spark, es_http_server):
+    """The full wire path: Spark filters → Query DSL → HTTP _search →
+    sliced fields-API hits → rows.  The stub filters SERVER-side only,
+    so a translation bug yields wrong rows, and the recorded request
+    bodies prove range/term/exists reached the wire."""
+    url, requests = es_http_server
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema("event_id bigint, ts bigint, service_name string, metricset_name string, container_id string")
+        .option("url", url)
+        .option("index", "signals-test")
+        .option("n_slices", "2")
+        .load()
+    )
+    out = df.filter(
+        (df.metricset_name == "purchase") & (df.ts >= 150) & df.container_id.isNotNull()
+    )
+    assert sorted(r.event_id for r in out.collect()) == [4, 5]
+
+    # two slices → two _search calls, each carrying the full pushed DSL
+    assert len(requests) == 2
+    assert {r["body"]["slice"]["id"] for r in requests} == {0, 1}
+    for r in requests:
+        assert r["path"] == "/signals-test/_search"
+        assert r["body"]["_source"] is False  # fields API, reference shape
+        clauses = r["body"]["query"]["bool"]["filter"]
+        assert {"term": {"metricset_name": {"value": "purchase"}}} in clauses
+        assert {"range": {"ts": {"gte": 150}}} in clauses
+        assert {"exists": {"field": "container_id"}} in clauses
+
+
+def test_es_source_http_terms_and_unsupported(spark, es_http_server):
+    """IN-list pushes as terms; a contains() predicate is NOT mappable,
+    so Spark re-applies it post-scan — rows stay correct either way."""
+    url, requests = es_http_server
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema("event_id bigint, ts bigint, service_name string, metricset_name string, container_id string")
+        .option("url", url)
+        .option("n_slices", "3")
+        .load()
+    )
+    out = df.filter(
+        df.service_name.isin("svc-1", "svc-2") & df.service_name.contains("-2")
+    )
+    assert sorted(r.event_id for r in out.collect()) == [2, 5]
+    terms = [
+        c
+        for r in requests
+        for c in r["body"]["query"]["bool"]["filter"]
+        if "terms" in c
+    ]
+    assert terms and all(
+        sorted(t["terms"]["service_name"]) == ["svc-1", "svc-2"] for t in terms
+    )
