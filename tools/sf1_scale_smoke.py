@@ -1,0 +1,217 @@
+#!/usr/bin/env python3
+"""sf1 scale smoke: do the heavy paths scale ~linearly from sf0.1 to sf1?
+
+sf0.1 (the bench SF) is too small to surface skew, spill, and
+quadratic-blowup behavior that 100-TB claims rest on.  This tool builds a
+DETERMINISTIC 10× corpus from the sf0.1 fixtures (driver testdata is
+read-only, so the scaled copy lives in /tmp), times the heaviest
+sf-dependent suite queries once per SF, and reports the wall-time slope.
+
+Scaling construction (seedless, fully deterministic):
+  * region/nation/customer/supplier/part — copied verbatim (dimensions
+    don't grow 10× in a real warehouse either).
+  * orders/lineitem/events — 10 key-shifted copies (order keys, event
+    ids, user ids offset per copy; timestamps kept, so time windows get
+    10× denser — the realistic growth mode for a log stream).
+  * documents — 10 copies with every 8th token rewritten per copy
+    (~37% of 3-gram shingles change, Jaccard between copies ≈ 0.48 <
+    the 0.8 suite threshold), so the near-dup pair structure scales
+    ~10× instead of degenerating into 10-clone clusters.
+  * embeddings — 10 copies with a per-copy dimension rotation (norms
+    and intra-copy geometry exact, cross-copy cosines scrambled).
+
+Usage::
+
+    python3 tools/sf1_scale_smoke.py [--runs 2] [--out SCALE_r6.md]
+
+Linear-class queries assert slope <= MAX_LINEAR_SLOPE (default 15 ≈
+10× data + constant factors); inherently super-linear queries
+(all-pairs cosine semantics) are reported with their expected
+complexity instead of asserted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_PURE_DECODE", "1")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sparkgraft_sf1"
+COPIES = 10
+KEY_OFFSET = 100_000_000
+
+#: (query, class) — 'linear' slopes are asserted, others annotated
+HEAVY = [
+    ("jaccard_neardup_docs", "linear"),
+    ("minhash_neardup_docs", "linear"),
+    ("dedup_survivors_minhash", "linear"),
+    ("simhash_neardup_docs", "linear"),
+    ("embed_knn_bruteforce", "linear"),  # fixed query set, corpus x10
+    ("embed_neardup_cosine_lsh", "quadratic: all-pairs output semantics"),
+    ("asof_salted_clicks", "linear"),
+    ("scd2_user_event_history", "linear"),
+    ("budget_select_docs", "linear"),
+    ("profile_orders", "linear"),
+    ("rolling_zscore_events", "linear"),
+    ("svc_phase1_streaming", "linear"),
+    ("stream_band_join_attrib", "quadratic-in-density: 10x denser 1-day bands"),
+]
+MAX_LINEAR_SLOPE = 15.0
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    done = os.path.join(SF1, "_DONE")
+    if os.path.exists(done):
+        return
+    shutil.rmtree(SF1, ignore_errors=True)
+    os.makedirs(SF1)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+
+    def shifted_union(df, shift_cols, extra=None):
+        parts = []
+        for c in range(COPIES):
+            off = c * KEY_OFFSET
+            out = df
+            for col in shift_cols:
+                out = out.withColumn(col, F.col(col) + F.lit(off))
+            if extra is not None:
+                out = extra(out, c)
+            parts.append(out)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    shifted_union(orders, ["o_orderkey"]).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{SF1}/orders.parquet")
+
+    lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
+    shifted_union(lineitem, ["l_orderkey"]).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{SF1}/lineitem.parquet")
+
+    events = spark.read.parquet(f"{SF01}/events.parquet")  # ts stays bigint ns
+    shifted_union(events, ["event_id", "user_id"]).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{SF1}/events.parquet")
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+
+    def perturb_text(out, c):
+        return out.withColumn(
+            "text",
+            F.array_join(
+                F.expr(
+                    f"transform(split(text, ' '), (t, i) -> "
+                    f"IF(i % 8 = 0, concat('c{c}x', t), t))"
+                ),
+                " ",
+            ),
+        ).withColumn("n_chars", F.length("text"))
+
+    shifted_union(docs, ["doc_id"], perturb_text).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{SF1}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    def rotate(out, c):
+        if c == 0:
+            return out
+        # deterministic per-copy rotation: cyclic shift by 7c dims
+        k = (7 * c) % dim
+        return out.withColumn(
+            "embedding",
+            F.concat(F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)),
+        )
+
+    shifted_union(emb, ["vec_id"], rotate).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{SF1}/embeddings.parquet")
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default="SCALE_r6.md")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+    from elastic_asset_etl_poc_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1_scale_smoke")
+    t0 = time.time()
+    build_sf1(spark)
+    print(f"sf1 fixtures ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = e.queries()
+    results: dict[str, dict] = {}
+    for name, klass in HEAVY:
+        row: dict = {"class": klass}
+        for label, sf_dir in (("t_sf01", SF01), ("t_sf1", SF1)):
+            best = None
+            for _ in range(args.runs):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            row[label] = round(best, 2)
+        row["slope"] = round(row["t_sf1"] / max(row["t_sf01"], 1e-9), 1)
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    failures = [
+        n
+        for n, r in results.items()
+        if r["class"] == "linear" and r["slope"] > MAX_LINEAR_SLOPE
+    ]
+    lines = [
+        "# SCALE smoke: sf0.1 → sf1 (10× rows), local[32]",
+        "",
+        "Generated by `tools/sf1_scale_smoke.py` (deterministic 10× corpus",
+        "in /tmp — key-shifted facts, token-perturbed documents, dimension-",
+        "rotated embeddings; see the tool docstring).  `slope` is best-of-"
+        f"{args.runs}",
+        f"wall-time ratio; linear-class queries assert slope ≤ {MAX_LINEAR_SLOPE}.",
+        "",
+        "| query | class | sf0.1 s | sf1 s | slope |",
+        "|---|---|---|---|---|",
+    ]
+    for n, r in results.items():
+        lines.append(
+            f"| {n} | {r['class']} | {r['t_sf01']} | {r['t_sf1']} | {r['slope']}× |"
+        )
+    lines.append("")
+    lines.append(
+        f"**Result: {'PASS' if not failures else 'FAIL ' + str(failures)}** — "
+        f"{len([r for r in results.values() if r['class'] == 'linear'])} linear-class "
+        "queries asserted."
+    )
+    lines.append("")
+    with open(args.out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({"results": results, "failures": failures}))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
