@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(32, cpus)))
+        # Local-mode heap: Spark's 1g default thrashes GC on shuffle-heavy
+        # work long before this box's RAM matters (the sf1 smoke OOM'd the
+        # driver JVM at 1g).  Only honored at JVM launch — a pre-existing
+        # session (driver-owned harness) keeps its own setting.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
         # Dims (region/nation/customer at test SF) should broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
