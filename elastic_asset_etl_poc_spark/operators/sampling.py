@@ -154,6 +154,62 @@ def stratified_hash_sample(
     return df.filter(h8 < thr)  # NULL threshold (unlisted stratum) drops the row
 
 
+def mixture_resample(
+    df: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Resample to an explicit target domain mixture (DoReMi-style static
+    weights) → the largest exactly-proportioned sub-corpus achievable
+    WITHOUT upsampling.
+
+    With observed stratum sizes n_s and target shares t_s, that corpus
+    has B = min_s(n_s / t_s) rows; stratum s keeps keep_s = B·t_s / n_s
+    (exactly 1 for the binding stratum).  Membership uses the same
+    md5-uniform hash as :func:`hash_sample` compared NUMERICALLY
+    (hash32 < keep·2³²) because keep here is a computed Column, not a
+    Python float.
+
+    Everything is in-plan — one tiny per-stratum count aggregate, a
+    broadcast join of thresholds, and a map-side filter — so unlike
+    :func:`temperature_fractions` (a driver-side dict convenience) this
+    needs no ``collect`` of stratum counts at 100 TB.  Strata absent
+    from ``targets`` are dropped (explicit keep-list semantics).
+    """
+    if not targets:
+        raise ValueError("targets must not be empty")
+    for k, v in targets.items():
+        if v <= 0:
+            raise ValueError(f"target share for {k!r} must be > 0, got {v}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        list(targets.items()), f"`{strata_col}` string, __t double"
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = counts.join(F.broadcast(tgt), strata_col)
+    budget = joined.agg(F.min(F.col("__n") / F.col("__t")).alias("__B"))
+    plan = joined.crossJoin(F.broadcast(budget)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.col("__B") * F.col("__t") / F.col("__n")
+        ).alias("__keep"),
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(plan), strata_col)
+        .filter(h32 < F.col("__keep") * F.lit(4294967296.0))
+        .drop("__keep")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,

@@ -1466,6 +1466,40 @@ def stratified_sample_events(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q(
+    "mixture_resample_docs",
+    """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tgt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2))
+        t(source, tshare)),
+b AS (SELECT min(n / tshare) AS bud FROM counts JOIN tgt USING (source)),
+plan AS (
+  SELECT source, least(1.0, bud * tshare / n) AS keep
+  FROM counts JOIN tgt USING (source) CROSS JOIN b
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN plan USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mixture'), 1, 8))::BIGINT
+      < keep * 4294967296.0
+""",
+)
+def mixture_resample_docs(spark, sf_dir):
+    """Target-mixture resampling (DoReMi-style static domain weights):
+    the largest exactly-proportioned sub-corpus without upsampling —
+    per-stratum keep fractions computed IN-PLAN from the observed
+    counts (no driver collect), membership by the md5-uniform hash
+    compared numerically.  The oracle replays the identical double
+    arithmetic (min(n/t) budget, least(1, B·t/n) keep, hash32 <
+    keep·2³²), so thresholds match bit-exactly."""
+    from .operators.sampling import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_resample(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, strata_col="source"
+    )
+    return out.select("doc_id", "source")
+
+
 @q("image_neardup_dhash", None)  # media decode → rows-only check
 def image_neardup_dhash(spark, sf_dir):
     """Image near-dup: perceptual dHash (decode → 9×8 area resample →

@@ -258,3 +258,45 @@ def test_select_under_token_budget_invariants(spark):
         nxt = max(excluded)
         nxt_tokens = sum(r[1] for r in rows if r[2] == nxt)
         assert total + nxt_tokens > budget
+
+
+def test_mixture_resample_proportions_and_binding_stratum(spark):
+    """Target-mixture resampling: the binding stratum (largest n/t ratio
+    deficit) is kept wholly, other strata are thinned to match, the
+    realized mixture approximates the targets, membership is
+    deterministic, and unlisted strata drop."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.sampling import mixture_resample
+
+    rows = (
+        [(i, "a") for i in range(4000)]
+        + [(i + 10_000, "b") for i in range(1000)]
+        + [(i + 20_000, "c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # targets: b is binding (n_b/t_b = 1000/0.4 = 2500 = B):
+    # keep_a = 2500*0.4/4000 = 0.25, keep_b = 1.0, keep_c = 2500*0.2/1000 = 0.5
+    out = mixture_resample(df, {"a": 0.4, "b": 0.4, "c": 0.2})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["b"] == 1000  # binding stratum fully kept
+    assert abs(counts["a"] - 1000) < 120  # ~0.25 of 4000, hash-approximate
+    assert abs(counts["c"] - 500) < 90
+    assert set(counts) == {"a", "b", "c"}
+
+    # deterministic: identical second run
+    again = {r["source"]: r["n"] for r in
+             mixture_resample(df, {"a": 0.4, "b": 0.4, "c": 0.2})
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+
+    # unlisted stratum drops; bad targets raise
+    only_ab = mixture_resample(df, {"a": 0.5, "b": 0.5})
+    assert only_ab.filter("source = 'c'").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_resample(df, {})
+    with _pytest.raises(ValueError):
+        mixture_resample(df, {"a": 0.0})
