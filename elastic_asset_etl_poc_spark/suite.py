@@ -1467,6 +1467,40 @@ def stratified_sample_events(spark, sf_dir):
 
 
 @q(
+    "simhash_fixture_fingerprints",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash
+FROM (VALUES
+  (1, -7573889167326994222),
+  (2, -7573326217371541038),
+  (3, 2495353224988115078),
+  (4, 4762906711925119524),
+  (5, -7573889167326994222)
+) t(doc_id, simhash)
+""",
+)
+def simhash_fixture_fingerprints(spark, sf_dir):
+    """Bit-exact pin of the SimHash kernel: fingerprints of five fixed
+    strings stated as literals (same invariant-row idea as the frozen
+    media oracles).  The corpus queries (simhash_docs,
+    simhash_neardup_docs) stay rows-only — xxhash64 has no DuckDB twin —
+    but any drift in tokenization, shingling, vote packing, or Spark's
+    xxhash64 itself breaks THIS hash; identical texts (docs 1/5) must
+    collide exactly, the one-word edit (doc 2) lands Hamming-3 away."""
+    from .operators.neardup import simhash as _simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return _simhash(df)
+
+
+@q(
     "mixture_resample_docs",
     """
 WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
@@ -3234,11 +3268,18 @@ def _stream_shuffle(spark, n: str = "8"):
 def _staged_events(sf_dir: str) -> str:
     if sf_dir not in _STREAM_STAGED:
         import atexit
+        import os
         import shutil
         import tempfile
 
         staged = tempfile.mkdtemp(prefix="suite_stream_")
-        shutil.copy(f"{sf_dir}/events.parquet", f"{staged}/part-000.parquet")
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):  # Spark-written table: stage its data files
+            for i, f in enumerate(sorted(os.listdir(src))):
+                if f.endswith(".parquet"):
+                    shutil.copy(f"{src}/{f}", f"{staged}/part-{i:03d}.parquet")
+        else:  # single-file fixture
+            shutil.copy(src, f"{staged}/part-000.parquet")
         atexit.register(shutil.rmtree, staged, ignore_errors=True)
         _STREAM_STAGED[sf_dir] = staged
     return _STREAM_STAGED[sf_dir]
