@@ -1192,7 +1192,7 @@ def _last_checked(root: str | None = None) -> dict[str, int]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: dict[str, int] = {}
+    seen: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
         if not m:
@@ -1204,12 +1204,23 @@ def _last_checked(root: str | None = None) -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(data, dict):
-            for name in data:
-                seen[name] = max(seen.get(name, 0), rnd)
-    return seen
+            for name, rec in data.items():
+                ok = not isinstance(rec, dict) or (
+                    rec.get("err") in (None, "no_oracle")
+                    and rec.get("rows_match") is not False
+                    and rec.get("hash_match") is not False
+                )
+                if name not in seen or rnd > seen[name][0]:
+                    seen[name] = (rnd, ok)
+    return {n: (rnd if ok else -2) for n, (rnd, ok) in seen.items()}
 
 
 def _ordered() -> list[str]:
+    """Stale-first export order, with two priority overrides: a query
+    whose MOST RECENT driver record was a failure exports first of all
+    (a repair must re-certify even if a later sample happened to skip
+    it — the r5 lesson: four r4-FAIL repairs waited a full round), then
+    never-checked queries (new this round), then oldest-checked."""
     seen = _last_checked()
     reg_index = {n: i for i, n in enumerate(SUITE)}
     return sorted(SUITE, key=lambda n: (seen.get(n, -1), reg_index[n]))
