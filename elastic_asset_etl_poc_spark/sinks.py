@@ -359,3 +359,104 @@ def verify_manifest(spark, path: str) -> tuple[bool, dict]:
         k: (want[k], got[k]) for k in got if want.get(k) != got[k]
     }
     return (not diffs, diffs)
+
+
+WDS_MANIFEST_SCHEMA = "shard string, n_members int, n_bytes bigint"
+
+
+def write_wds_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    payload_col: str,
+    meta_cols: list[str] | None = None,
+    rows_per_shard: int = 10_000,
+    ext: str = "bin",
+) -> DataFrame:
+    """WebDataset-style tar shards → manifest DataFrame (shard,
+    n_members, n_bytes).
+
+    The de-facto loader format for large-scale multimodal training:
+    each sample becomes two adjacent tar members, ``{key}.{ext}`` (the
+    binary payload) and ``{key}.json`` (the metadata columns), grouped
+    per shard so a dataloader streams samples sequentially with no
+    random I/O.  Fully distributed: every task tars its own partition
+    with stdlib ``tarfile`` into ``shard-{partition:05d}-{seq:04d}.tar``
+    files (caller controls shard count/ordering by repartitioning
+    first), and yields one manifest row per shard — the returned frame
+    IS the write action, so ``collect()`` it (tiny: one row per shard)
+    or persist it next to the shards.  Member timestamps are pinned to
+    epoch for byte-reproducible shards.
+
+    The binary column never shuffles through the driver; at 100 TB this
+    is a map-only export whose parallelism equals the input partitions.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    meta_cols = list(meta_cols or [])
+    cols = [key_col, payload_col, *meta_cols]
+
+    def shards(it):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        tar = None
+        name = None
+        members = 0
+
+        def open_shard():
+            nonlocal tar, name, members
+            name = f"shard-{pid:05d}-{seq:04d}.tar"
+            tar = tarfile.open(os.path.join(path, name), "w")
+            members = 0
+
+        def add(tar_, member_name, data: bytes):
+            info = tarfile.TarInfo(member_name)
+            info.size = len(data)
+            info.mtime = 0  # pinned: identical input -> identical bytes
+            tar_.addfile(info, io.BytesIO(data))
+
+        def close_shard(out):
+            nonlocal tar, seq
+            if tar is not None and members:
+                tar.close()
+                out.append(
+                    (name, members, os.path.getsize(os.path.join(path, name)))
+                )
+                seq += 1
+                tar = None
+            elif tar is not None:
+                tar.close()
+                os.remove(os.path.join(path, name))
+                tar = None
+
+        out: list[tuple] = []
+        open_shard()
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                key = str(d[key_col])
+                payload = d[payload_col]
+                payload = bytes(payload) if payload is not None else b""
+                meta = {c: d[c] for c in meta_cols}
+                add(tar, f"{key}.{ext}", payload)
+                add(
+                    tar,
+                    f"{key}.json",
+                    _json.dumps(meta, default=str).encode(),
+                )
+                members += 1
+                if members >= rows_per_shard:
+                    close_shard(out)
+                    open_shard()
+        close_shard(out)
+        yield pd.DataFrame(out, columns=["shard", "n_members", "n_bytes"])
+
+    return df.select(*cols).mapInPandas(shards, WDS_MANIFEST_SCHEMA)

@@ -86,3 +86,42 @@ def test_resample_preserves_global_mean(img, ow, oh):
     thumb = _area_resample(src, ow, oh)
     assert thumb.shape == (oh, ow)
     assert abs(float(thumb.mean()) - float(src.mean())) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    picks=st.lists(st.integers(0, 5), min_size=2, max_size=20),
+    extras=st.lists(
+        st.integers(-(1 << 63), (1 << 63) - 1), min_size=0, max_size=6
+    ),
+    k=st.integers(0, 4),
+)
+def test_banded_hamming_pairs_equals_exact_property(spark, picks, extras, k):
+    """Property: the pre-collapsed banded Hamming join emits EXACTLY the
+    all-pairs popcount<=k set, for corpora mixing clone clusters (values
+    from a 6-element pool -> guaranteed identical fingerprints) with
+    arbitrary 64-bit outliers, at every band layout k=0..4."""
+    from elastic_asset_etl_poc_spark.operators.neardup import banded_hamming_pairs
+
+    pool = [
+        0x0123456789ABCDEF,
+        0x0123456789ABCDE0,          # hamming 4 from pool[0]
+        -0x7FEDCBA987654321,
+        0x00000000FFFFFFFF,
+        -1,
+        1 << 62,
+    ]
+    fps = [pool[p] for p in picks] + extras
+    rows = [(i, v) for i, v in enumerate(fps)]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in banded_hamming_pairs(df, max_hamming=k).collect()
+    }
+    want = {}
+    for a in range(len(fps)):
+        for b in range(a + 1, len(fps)):
+            h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if h <= k:
+                want[(a, b)] = h
+    assert got == want
