@@ -1478,6 +1478,49 @@ def stratified_sample_events(spark, sf_dir):
 
 
 @q(
+    "price_quartiles_lineitem",
+    """
+WITH t AS (
+  SELECT l_returnflag,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pr,
+         l_extendedprice
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+)
+SELECT l_returnflag, quartile, count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi,
+       round(avg(pr), 4) AS avg_pr
+FROM t GROUP BY 1, 2
+""",
+)
+def price_quartiles_lineitem(spark, sf_dir):
+    """Rank-window breadth: ntile quartiles + percent_rank per return
+    flag, folded to a 12-row profile.  The window ORDER BY carries a
+    unique tiebreak (orderkey, linenumber) so tile boundaries and ranks
+    are total-order deterministic and DuckDB agrees bit-exactly — the
+    discipline any rank-window needs to be testable at all."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    t = l.select(
+        "l_returnflag",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        "l_extendedprice",
+    )
+    return t.groupBy("l_returnflag", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 4).alias("avg_pr"),
+    )
+
+
+@q(
     "simhash_fixture_fingerprints",
     """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(simhash AS BIGINT) AS simhash
