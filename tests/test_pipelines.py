@@ -391,6 +391,10 @@ def test_wds_shards_roundtrip_and_determinism(spark, tmp_path):
             (F.col("id") % 3).alias("label"),
         )
         .repartition(2, "media_id")
+        # pin within-partition order: shuffle fetch order is not
+        # contractually stable, and the determinism assertion below is
+        # about the SINK (pinned mtimes), not about shuffle internals
+        .sortWithinPartitions("media_id")
     )
 
     out1 = str(tmp_path / "wds1")
