@@ -1,0 +1,102 @@
+"""BM25 full-text retrieval: rank documents per query with the Okapi
+BM25 function (the exact scoring family the reference's Elasticsearch
+backend runs server-side — `lib/es_client.ts` issues `query_string`
+searches and ES scores them with BM25; here the scoring itself is a
+Spark plan, so it works corpus-side at 100 TB with no search cluster).
+
+idf follows Lucene's non-negative variant:
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+Scale shape:
+  * The query set is tiny and literal → its distinct term set is pushed
+    INTO the token array filter before the explode, so row blowup is the
+    matching-postings count, not the corpus token count.
+  * Document length (dl) is computed in the same projection as the
+    filtered explode and carried through the tf aggregate — no second
+    corpus scan and no doc_id join to attach lengths.
+  * N and avgdl are a one-row aggregate, broadcast; per-term df is a
+    |terms|-row aggregate, broadcast.  The only wide exchanges are the
+    (doc, term) tf hash-agg and the per-query top-k window — the window
+    partitions on query_id, and its input is only docs that matched ≥ 1
+    term.
+  * Ranking orders by the ROUNDED score with a doc_id tiebreak so the
+    top-k frontier is reproducible across engines (float summation order
+    differs by ~1e-15; the 4-dp grain absorbs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a literal list of (query_id, query_text); terms are
+    whitespace tokens.  Returns (query_id, doc_id, score, rank) with
+    ``score`` rounded to 4 dp and ``rank`` dense from 1 by (score desc,
+    doc_id asc).
+    """
+    qterms = [
+        (qid, t) for qid, qtext in queries for t in dict.fromkeys(qtext.split())
+    ]
+    all_terms = sorted({t for _, t in qterms})
+    term_arr = F.array(*[F.lit(t) for t in all_terms])
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg(F.size("__t")).alias("__avgdl")
+    )
+    exploded = base.select(
+        "doc_id",
+        F.size("__t").alias("dl"),
+        F.explode(
+            F.filter(F.col("__t"), lambda t: F.array_contains(term_arr, t))
+        ).alias("term"),
+    )
+    tf = exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    qdf = F.broadcast(
+        df.sparkSession.createDataFrame(qterms, "query_id int, term string")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (1.0 + k1)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(qdf, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

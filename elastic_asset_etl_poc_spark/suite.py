@@ -2285,6 +2285,48 @@ def decontam_docs(spark, sf_dir):
     return decontaminate(tr, ev, n=4, min_hits=1)
 
 
+#: the three fixed BM25 probe queries over the corpus vocabulary
+_BM25_QUERIES = [(1, "spark hash join"), (2, "window merge sort"), (3, "table scan batch")]
+
+
+@q(
+    "bm25_topk_docs",
+    """
+WITH q(query_id, term) AS (VALUES
+  (1,'spark'),(1,'hash'),(1,'join'),
+  (2,'window'),(2,'merge'),(2,'sort'),
+  (3,'table'),(3,'scan'),(3,'batch')),
+base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(t)) AS avgdl FROM base),
+tok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN q USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT scored.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Okapi-BM25 top-10 per query (operators/retrieval.py): the exact
+    scoring function the reference's ES backend applies server-side
+    (es_client.ts query_string searches), re-expressed as a corpus-side
+    Spark plan — query terms pushed into the token-array filter before
+    the explode, one (doc, term) tf agg, broadcast df/N/avgdl, per-query
+    top-k window over matching docs only."""
+    from .operators.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
 @q(
     "variant_props_histogram",
     """
