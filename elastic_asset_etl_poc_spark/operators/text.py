@@ -399,3 +399,73 @@ def chunk_documents(
         .select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_text")
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    seg_len: int = 5,
+    max_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet-style, segment grain):
+    drop every fixed-length token segment whose text appears in more
+    than ``max_df`` distinct documents (headers, footers, license
+    blocks, nav chrome), then reassemble each document from its
+    surviving segments in order.
+
+    Returns (doc_id, clean_text, n_removed) — one row per input doc;
+    a fully-boilerplate doc survives with ``clean_text = ''``.
+
+    Scale shape: one segment explode (blow-up = n_tokens / seg_len),
+    one hash-agg for segment doc-frequency, then a **broadcast anti-
+    join** against the (tiny, by Zipf) hot-segment set — the same
+    hot-element pattern as ``neardup.capped_sets`` but with a distinct-
+    doc count, since a segment can legitimately repeat inside one doc.
+    Reassembly is a per-doc ``array_sort(collect_list(struct))`` — no
+    window, no corpus-wide sort.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    nseg = F.ceil(F.size(t) / F.lit(seg_len)).cast("int")
+    idxs = F.when(
+        F.size(t) >= 1, F.sequence(F.lit(0), nseg - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    segs = base.select(
+        "doc_id",
+        F.explode(idxs).alias("i"),
+        t.alias("__t"),
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", F.slice(F.col("__t"), F.col("i") * seg_len + 1, seg_len)
+        ).alias("seg"),
+    )
+    # segs feeds both the df-aggregate and the anti-join probe
+    segs = segs.cache()
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(hot), "seg", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = base.select("doc_id", nseg.alias("__n_segs"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("__n_segs") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

@@ -2285,6 +2285,42 @@ def decontam_docs(spark, sf_dir):
     return decontaminate(tr, ev, n=4, min_hits=1)
 
 
+@q(
+    "boilerplate_segments_docs",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id, i,
+         array_to_string(t[i*5+1 : least((i+1)*5, len(t))], ' ') AS seg
+  FROM (SELECT doc_id, t,
+               unnest(range(0, cast(ceil(len(t) / 5.0) AS INT))) AS i
+        FROM base)),
+hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 3),
+kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hot)),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, cast(ceil(len(t) / 5.0) AS INT) AS n_segs FROM base)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       t.n_segs - coalesce(r.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+""",
+)
+def boilerplate_segments_docs(spark, sf_dir):
+    """Cross-document boilerplate removal (operators/text.py:
+    remove_boilerplate_segments): 5-token segments appearing in > 3
+    distinct docs are dropped corpus-wide and each doc is reassembled
+    from its surviving segments — the CCNet-style cleanup step between
+    exact dedup and near-dup in a pretraining pipeline.  The hot-segment
+    set is Zipf-tiny → broadcast anti-join, no corpus-wide window."""
+    from .operators.text import remove_boilerplate_segments
+
+    return remove_boilerplate_segments(
+        load_table(spark, sf_dir, "documents"), seg_len=5, max_df=3
+    )
+
+
 #: the three fixed BM25 probe queries over the corpus vocabulary
 _BM25_QUERIES = [(1, "spark hash join"), (2, "window merge sort"), (3, "table scan batch")]
 

@@ -417,3 +417,38 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert two == [(0, 2, "a b")]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_remove_boilerplate_segments(spark):
+    from elastic_asset_etl_poc_spark.operators.text import remove_boilerplate_segments
+
+    # "x1 x2" is a 2-token boilerplate segment present in 3 distinct docs
+    boil = "x1 x2"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boil} a b"),
+            (2, f"{boil} c d"),
+            (3, f"e f {boil}"),
+            (4, boil),            # fully boilerplate -> empty clean_text
+            (5, "g h i"),         # untouched; odd tail segment "i" kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_segments(df, seg_len=2, max_df=2).collect()}
+    assert len(out) == 5
+    assert out[1].clean_text == "a b" and out[1].n_removed == 1
+    assert out[2].clean_text == "c d"
+    assert out[3].clean_text == "e f"
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+    assert out[5].clean_text == "g h i" and out[5].n_removed == 0
+
+
+def test_remove_boilerplate_within_doc_repeat_not_hot(spark):
+    from elastic_asset_etl_poc_spark.operators.text import remove_boilerplate_segments
+
+    # "p q" repeats 3x inside ONE doc: df(distinct docs) = 1, stays
+    df = spark.createDataFrame(
+        [(1, "p q p q p q"), (2, "r s t u")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_segments(df, seg_len=2, max_df=2).collect()}
+    assert out[1].clean_text == "p q p q p q" and out[1].n_removed == 0
