@@ -372,3 +372,35 @@ def select_under_token_budget(
         .select(bucket_col)
     )
     return df.join(F.broadcast(admitted), bucket_col, "left_semi")
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free train/val/test split: near-duplicate CLUSTERS move as
+    one unit, so no eval split ever holds a near-copy of a training doc.
+
+    Composes :func:`~..operators.neardup.dedup_survivors` (connected
+    components over a near-dup pair frame — exact Jaccard or the LSH
+    candidate path at scale) with :func:`deterministic_split` keyed on
+    the CLUSTER representative instead of the row id: every member
+    inherits its cluster's hash draw.  Returns (id_col, cluster,
+    out_col).
+
+    Scale shape: the pair frame is tiny relative to the corpus (that is
+    what dedup is for), components resolve via the bounded driver
+    union-find with a distributed fallback, and the split itself is one
+    md5 projection — no extra shuffle beyond the component join.
+    """
+    from .neardup import dedup_survivors
+
+    cc = dedup_survivors(df, pairs, id_col=id_col)
+    labeled = deterministic_split(
+        cc, id_col="cluster", weights=weights, salt=salt, out_col=out_col
+    )
+    return labeled.select(id_col, "cluster", out_col)

@@ -2103,6 +2103,111 @@ FROM cc GROUP BY node
 """
 
 
+#: cluster-aware split oracle: survivors CC + md5 split on the cluster
+#: representative (thresholds must match sampling._hex_threshold(0.9/0.95))
+_CLUSTER_SPLIT_SQL = f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, c.label FROM edges e JOIN cc c ON c.node = e.dst
+),
+clusters AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node)
+SELECT doc_id, cluster,
+       CASE WHEN substr(md5(cluster::VARCHAR || ':split'), 1, 8) < 'e6666666'
+              THEN 'train'
+            WHEN substr(md5(cluster::VARCHAR || ':split'), 1, 8) < 'f3333333'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
+@q("cluster_split_docs", _CLUSTER_SPLIT_SQL)
+def cluster_split_docs(spark, sf_dir):
+    """Leakage-free split (operators/sampling.py: cluster_split):
+    connected near-dup components inherit ONE deterministic 90/5/5 hash
+    draw from their min-id representative, so a training doc's near-copy
+    can never land in val/test.  Hash-checked end to end: the oracle
+    re-derives components recursively AND replays the md5 split."""
+    from .operators.sampling import cluster_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_split(docs, jaccard_pairs(docs, threshold=0.8))
+
+
+@q(
+    "audit_split_leakage",
+    f"""WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jp
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, c.label FROM edges e JOIN cc c ON c.node = e.dst
+),
+clusters AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+cs AS (SELECT doc_id,
+  CASE WHEN substr(md5(cluster::VARCHAR || ':split'), 1, 8) < 'e6666666' THEN 'train'
+       WHEN substr(md5(cluster::VARCHAR || ':split'), 1, 8) < 'f3333333' THEN 'val'
+       ELSE 'test' END AS split FROM clusters),
+nv AS (SELECT doc_id,
+  CASE WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'e6666666' THEN 'train'
+       WHEN substr(md5(doc_id::VARCHAR || ':split'), 1, 8) < 'f3333333' THEN 'val'
+       ELSE 'test' END AS split FROM documents)
+SELECT count(*) AS n_pairs,
+       coalesce(sum(CASE WHEN ca.split <> cb.split THEN 1 ELSE 0 END), 0) AS n_cross_cluster,
+       coalesce(sum(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END), 0) AS n_cross_naive
+FROM jp
+JOIN cs ca ON ca.doc_id = jp.doc_a JOIN cs cb ON cb.doc_id = jp.doc_b
+JOIN nv na ON na.doc_id = jp.doc_a JOIN nv nb ON nb.doc_id = jp.doc_b
+""",
+)
+def audit_split_leakage(spark, sf_dir):
+    """Hash-checked leakage audit: near-dup pairs crossing the
+    cluster-aware split must be ZERO while the naive per-doc split
+    demonstrably leaks (4 crossing pairs at sf0.01) — the invariant is
+    stated as literal aggregate rows so any drift in the split or the
+    component resolution breaks the driver hash."""
+    from .operators.sampling import cluster_split, deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
+    cs = cluster_split(docs, pairs).select("doc_id", F.col("split").alias("c_split"))
+    nv = deterministic_split(docs.select("doc_id")).select(
+        "doc_id", F.col("split").alias("n_split")
+    )
+    lab = cs.join(nv, "doc_id")
+    # the PAIR side is the tiny one — broadcast it and stream the corpus
+    # labels past it twice (never broadcast corpus-sized label frames)
+    half = lab.join(
+        F.broadcast(pairs), lab["doc_id"] == pairs["doc_a"]
+    ).select(
+        "doc_b", F.col("c_split").alias("ca"), F.col("n_split").alias("na")
+    )
+    both = lab.join(F.broadcast(half), lab["doc_id"] == half["doc_b"]).select(
+        "ca", "na", F.col("c_split").alias("cb"), F.col("n_split").alias("nb")
+    )
+    return (
+        both.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("ca") != F.col("cb")).cast("long")), F.lit(0)
+            ).alias("n_cross_cluster"),
+            F.coalesce(
+                F.sum((F.col("na") != F.col("nb")).cast("long")), F.lit(0)
+            ).alias("n_cross_naive"),
+        )
+    )
+
+
 @q("dedup_survivors_docs", _SURVIVORS_SQL)
 def dedup_survivors_docs(spark, sf_dir):
     """End-to-end near-dup dedup: exact Jaccard pairs → connected

@@ -300,3 +300,32 @@ def test_mixture_resample_proportions_and_binding_stratum(spark):
         mixture_resample(df, {})
     with _pytest.raises(ValueError):
         mixture_resample(df, {"a": 0.0})
+
+
+def test_cluster_split_members_inherit_representative(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        cluster_split,
+        deterministic_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id long"
+    )
+    # two clusters: {1,2,3} (chain) and {7,8}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in cluster_split(docs, pairs).collect()}
+    assert len(out) == 10
+    assert {out[i].cluster for i in (1, 2, 3)} == {1}
+    assert {out[i].cluster for i in (7, 8)} == {7}
+    # every member carries its representative's draw, not its own
+    assert len({out[i].split for i in (1, 2, 3)}) == 1
+    assert len({out[i].split for i in (7, 8)}) == 1
+    rep_draw = {
+        r.cluster: r.split
+        for r in deterministic_split(
+            spark.createDataFrame([(1,), (7,)], "cluster long"), id_col="cluster"
+        ).collect()
+    }
+    assert out[3].split == rep_draw[1] and out[8].split == rep_draw[7]
