@@ -1,20 +1,23 @@
-"""Benchmark decontamination: remove training documents that overlap an
+"""Benchmark decontamination: DROP training documents that overlap an
 evaluation/benchmark set by exact word n-grams.
 
-The standard contamination check (GPT-3 App. C / PaLM / Llama style): a
-training document is contaminated when it shares at least ``min_hits``
-distinct word n-grams with any document in the held-out evaluation set.
+This is the *action* step of pre-training eval hygiene (GPT-3 App. C /
+PaLM / Llama style): remove from the corpus every document sharing at
+least ``min_hits`` distinct word n-grams with the benchmark.  Its
+*audit* twin is :func:`..operators.neardup.contamination_check`, which
+reports per-doc contamination fractions without filtering; use the
+audit to pick ``n``/``min_hits``, then this to produce the clean corpus.
 
 Scale posture (100 TB train corpus, MB-scale benchmark):
   * The eval side is tiny by construction — benchmarks are thousands of
     documents, not billions.  Its distinct-shingle set is aggregated once
-    and **broadcast**, so the train side never shuffles for the probe:
-    shingle-explode → broadcast hash join → per-doc count-agg (map-side
-    partial combine).  The only full-width exchange is the per-doc hit
-    aggregation on ``doc_id`` — unavoidable and linear.
-  * Train shingles are NOT materialized distinct-globally (that would be
-    a corpus-wide shuffle); distinctness is per-document, established
-    inside the explode pipeline.
+    and **broadcast**, so the train side never shuffles on shingle: the
+    probe is shingle-explode → broadcast hash join → per-doc hit agg
+    (map-side partial combine).
+  * The contaminated-id set that feeds the final anti-join is a small
+    fraction of any sane corpus; it is left to AQE to demote that join
+    to broadcast at runtime (a hygiene run that flags half the corpus
+    should hurt — that is a data problem, not a plan problem).
   * No Python UDFs — shingling is the shared JVM ``transform`` kernel
     from :mod:`.neardup`.
 
@@ -39,12 +42,11 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Flag training docs sharing ≥ ``min_hits`` distinct word ``n``-grams
-    with the evaluation set.
+    """Return ``train`` minus documents sharing ≥ ``min_hits`` distinct
+    word ``n``-grams with the evaluation set (all columns preserved).
 
-    Returns one row per TRAIN document: (doc_id, n_hits, contaminated)
-    where ``n_hits`` counts the distinct train-doc shingles found in the
-    eval shingle set.  Callers drop ``contaminated`` rows (or audit them).
+    Documents shorter than one n-gram cannot be contaminated and are
+    always retained.
     """
     ev_sh = (
         shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
@@ -52,14 +54,11 @@ def decontaminate(
         .distinct()
     )
     tr_sh = shingles(train, n=n, text_col=text_col, id_col=id_col)
-    hits = (
+    bad = (
         tr_sh.join(F.broadcast(ev_sh), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+        .filter(F.col("__n_hits") >= min_hits)
+        .select(F.col("doc_id").alias(id_col))
     )
-    ids = train.select(F.col(id_col).alias("doc_id"))
-    return ids.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
-    )
+    return train.join(bad, id_col, "left_anti")

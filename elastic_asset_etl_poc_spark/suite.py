@@ -2363,31 +2363,35 @@ def budget_select_docs(spark, sf_dir):
     """
 WITH ev AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
             WHERE doc_id % 13 = 7),
-tr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-       WHERE doc_id % 13 <> 7),
+tr AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 7),
+trt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 13 <> 7),
 evs AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
         FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 1))) AS i FROM ev)),
 trs AS (SELECT DISTINCT doc_id,
                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
-        FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1))) AS i FROM tr)),
-hits AS (SELECT doc_id, count(*) AS n_hits FROM trs JOIN evs USING (s) GROUP BY 1)
-SELECT tr.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-       coalesce(h.n_hits, 0) >= 1 AS contaminated
-FROM tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+        FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 1))) AS i FROM trt)),
+bad AS (SELECT doc_id FROM trs JOIN evs USING (s) GROUP BY doc_id HAVING count(*) >= 1)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN tr USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
 """,
 )
 def decontam_docs(spark, sf_dir):
-    """Benchmark decontamination (operators/decontam.py): flag training
-    docs sharing any word 4-gram with a held-out eval slice (doc_id %
-    13 == 7 stands in for the benchmark).  The eval shingle set is
-    broadcast — the 100-TB train side is probed map-side with no
-    corpus-wide shuffle beyond the per-doc hit aggregation."""
+    """Benchmark decontamination (operators/decontam.py): the CLEANED
+    training corpus after dropping docs sharing any word 4-gram with a
+    held-out eval slice (doc_id % 13 == 7 stands in for the benchmark).
+    The eval shingle set is broadcast — the 100-TB train side is probed
+    map-side with no shuffle on shingle; the per-doc audit twin is
+    contamination_docs (neardup.contamination_check)."""
     from .operators.decontam import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 13 == 7)
     tr = docs.filter(F.col("doc_id") % 13 != 7)
-    return decontaminate(tr, ev, n=4, min_hits=1)
+    return decontaminate(tr, ev, n=4, min_hits=1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @q(

@@ -1,20 +1,18 @@
 """Benchmark-decontamination operator tests (literal frames)."""
 
-from pyspark.sql import functions as F
-
 from elastic_asset_etl_poc_spark.operators.decontam import decontaminate
 
 
 def _frames(spark):
     train = spark.createDataFrame(
         [
-            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 4-gram
-            (2, "one two three four five six seven"),  # clean
-            (3, "alpha beta gamma delta"),  # exactly one eval 4-gram
-            (4, "beta gamma delta alpha"),  # same words, different order: clean
-            (5, "tiny"),  # shorter than one 4-gram: clean
+            (1, "alpha beta gamma delta epsilon zeta", "en"),  # 2 eval 4-grams
+            (2, "one two three four five six seven", "en"),  # clean
+            (3, "alpha beta gamma delta", "de"),  # exactly one eval 4-gram
+            (4, "beta gamma delta alpha", "de"),  # same words, other order: clean
+            (5, "tiny", "fr"),  # shorter than one 4-gram: always retained
         ],
-        "doc_id long, text string",
+        "doc_id long, text string, lang string",
     )
     eval_df = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon")],
@@ -23,28 +21,24 @@ def _frames(spark):
     return train, eval_df
 
 
-def test_decontaminate_flags_ngram_overlap(spark):
+def test_decontaminate_drops_overlapping_docs(spark):
     train, eval_df = _frames(spark)
-    out = {r.doc_id: r for r in decontaminate(train, eval_df, n=4).collect()}
-    assert len(out) == 5  # every train doc gets a verdict row
-    # eval has two 4-grams: "alpha beta gamma delta", "beta gamma delta epsilon"
-    assert out[1].n_hits == 2 and out[1].contaminated
-    assert out[3].n_hits == 1 and out[3].contaminated
-    for clean in (2, 4, 5):
-        assert out[clean].n_hits == 0 and not out[clean].contaminated
+    out = decontaminate(train, eval_df, n=4).collect()
+    assert sorted(r.doc_id for r in out) == [2, 4, 5]
+    # all original columns survive the filter
+    assert {r.doc_id: r.lang for r in out} == {2: "en", 4: "de", 5: "fr"}
 
 
 def test_decontaminate_min_hits_threshold(spark):
     train, eval_df = _frames(spark)
-    out = {r.doc_id: r.contaminated for r in decontaminate(train, eval_df, n=4, min_hits=2).collect()}
-    assert out[1] and not out[3]  # doc 3 has only 1 hit
+    # doc 1 has 2 eval 4-grams, doc 3 only 1 -> min_hits=2 keeps doc 3
+    out = sorted(r.doc_id for r in decontaminate(train, eval_df, n=4, min_hits=2).collect())
+    assert out == [2, 3, 4, 5]
 
 
 def test_decontaminate_eval_side_is_broadcast(spark):
     train, eval_df = _frames(spark)
     plan = decontaminate(train, eval_df, n=4)._jdf.queryExecution().executedPlan().toString()
     # the eval-shingle probe is the only Inner join and must be broadcast;
-    # the one allowed shuffle join is the final LeftOuter back to train ids
-    # (tiny hits side — AQE demotes it to broadcast at runtime)
+    # the final anti-join on contaminated ids is AQE's call at runtime
     assert "BroadcastHashJoin" in plan and "Inner, BuildRight" in plan
-    assert plan.count("SortMergeJoin") <= 1 and "SortMergeJoin" not in plan.split("LeftOuter")[-1]
