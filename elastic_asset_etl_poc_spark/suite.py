@@ -2430,6 +2430,90 @@ def boilerplate_segments_docs(spark, sf_dir):
     )
 
 
+@q(
+    "pretrain_pipeline_docs",
+    """
+WITH RECURSIVE
+pb AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+segs AS (
+  SELECT doc_id, i, array_to_string(t[i*5+1 : least((i+1)*5, len(t))], ' ') AS seg
+  FROM (SELECT doc_id, t, unnest(range(0, cast(ceil(len(t) / 5.0) AS INT))) AS i FROM pb)),
+hotseg AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 3),
+keptseg AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM hotseg)),
+clean AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY i) AS ctext FROM keptseg GROUP BY doc_id),
+qual AS (SELECT doc_id, ctext, len(string_split(ctext, ' ')) AS n_tokens
+         FROM clean WHERE len(string_split(ctext, ' ')) >= 10),
+ev AS (SELECT doc_id, string_split(ctext, ' ') AS t FROM qual WHERE doc_id % 13 = 7),
+tr AS (SELECT doc_id, ctext FROM qual WHERE doc_id % 13 <> 7),
+evs AS (SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT t, unnest(range(1, greatest(len(t) - 2, 1))) AS i FROM ev)),
+trs AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        FROM (SELECT doc_id, string_split(ctext, ' ') AS t,
+                     unnest(range(1, greatest(len(string_split(ctext, ' ')) - 2, 1))) AS i
+              FROM tr)),
+bad AS (SELECT doc_id FROM trs JOIN evs USING (s) GROUP BY doc_id HAVING count(*) >= 1),
+td AS (SELECT doc_id, ctext FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+toks AS (SELECT doc_id, string_split(ctext, ' ') AS t FROM td),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10000),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM td
+  UNION
+  SELECT e.src, c.label FROM edges e JOIN cc c ON c.node = e.dst),
+clusters AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node)
+SELECT c.doc_id, q.n_tokens,
+       CASE WHEN substr(md5(c.doc_id::VARCHAR || ':split'), 1, 8) < 'e6666666' THEN 'train'
+            WHEN substr(md5(c.doc_id::VARCHAR || ':split'), 1, 8) < 'f3333333' THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters c JOIN qual q USING (doc_id)
+WHERE c.cluster = c.doc_id
+""",
+)
+def pretrain_pipeline_docs(spark, sf_dir):
+    """Flagship composition — the full pretraining data pipeline fused
+    as ONE lazy plan: cross-doc boilerplate removal → min-length quality
+    filter → benchmark decontamination (broadcast eval shingles) →
+    exact-Jaccard near-dup survivors → leakage-free cluster split.
+    Every stage is the already-oracled operator, composed over DERIVED
+    text (each stage reads the previous stage's output column, not the
+    fixture) — and the DuckDB oracle replays the whole chain, so the
+    five-stage composition is hash-checked end to end."""
+    from .operators.decontam import decontaminate
+    from .operators.sampling import cluster_split
+    from .operators.text import remove_boilerplate_segments, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = remove_boilerplate_segments(docs, seg_len=5, max_df=3)
+    base = clean.filter(F.col("clean_text") != "").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    qual = base.select(
+        "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    ev = qual.filter(F.col("doc_id") % 13 == 7)
+    tr = qual.filter(F.col("doc_id") % 13 != 7)
+    td = decontaminate(tr, ev, n=4, min_hits=1)
+    pairs = jaccard_pairs(td, threshold=0.8)
+    cs = cluster_split(td, pairs)
+    return (
+        cs.filter(F.col("cluster") == F.col("doc_id"))
+        .join(qual.select("doc_id", "n_tokens"), "doc_id")
+        .select("doc_id", "n_tokens", "split")
+    )
+
+
 #: the three fixed BM25 probe queries over the corpus vocabulary
 _BM25_QUERIES = [(1, "spark hash join"), (2, "window merge sort"), (3, "table scan batch")]
 
