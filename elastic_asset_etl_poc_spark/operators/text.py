@@ -469,3 +469,62 @@ def remove_boilerplate_segments(
             "n_removed"
         ),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", lam: float = 0.7
+) -> DataFrame:
+    """Interpolated-bigram LM score per document — the step up from
+    :func:`unigram_logprob` toward the KenLM n-gram scoring CCNet uses:
+    mean over in-doc bigram positions of
+    ``ln( lam·p(w_i | w_{i-1}) + (1−lam)·p(w_i) )``, both distributions
+    self-trained on the corpus (a production pipeline swaps in a fixed
+    reference-corpus table; the plan shape is identical).  Interpolation
+    with the unigram floor means unseen-in-context tokens degrade the
+    score smoothly instead of −inf.  Docs with < 2 tokens have no
+    bigrams and are omitted.
+
+    Scale shape: the unigram table is vocabulary-sized → broadcast
+    (twice: context and current token); the bigram count table is
+    vocab²-bounded and NOT broadcast — it joins on (prev, cur) as a
+    plain shuffle join AQE can size at runtime.  One explode, three
+    hash-aggs, no Python, no window.
+
+    Returns (doc_id, n_bigrams, avg_logprob) with the score at 4 dp.
+    """
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("prev"),
+                F.element_at(t, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    bg = base.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
+    )
+    exploded = base.select(F.explode(t).alias("tok"))
+    uni = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("__ucnt"))
+    total = exploded.agg(F.count(F.lit(1)).alias("__total"))
+    big = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("__bcnt"))
+    up = F.broadcast(uni.select(F.col("tok").alias("prev"), F.col("__ucnt").alias("__pcnt")))
+    uc = F.broadcast(uni.select(F.col("tok").alias("cur"), F.col("__ucnt").alias("__ccnt")))
+    p = (
+        F.lit(lam) * (F.col("__bcnt") / F.col("__pcnt"))
+        + F.lit(1.0 - lam) * (F.col("__ccnt") / F.col("__total"))
+    )
+    return (
+        bg.join(big, ["prev", "cur"])
+        .join(up, "prev")
+        .join(uc, "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )

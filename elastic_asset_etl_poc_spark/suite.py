@@ -2502,6 +2502,11 @@ def pretrain_pipeline_docs(spark, sf_dir):
     qual = base.select(
         "doc_id", "text", token_count(F.col("text")).alias("n_tokens")
     ).filter(F.col("n_tokens") >= 10)
+    # the cleaned+filtered corpus feeds FIVE consumers (eval branch,
+    # decontam probe + anti-join, near-dup shingles, final n_tokens
+    # join); uncheckpointed, the segment explode + reassembly re-runs
+    # for each — measured 8.7s → ~3s warm at sf0.1
+    qual = qual.localCheckpoint(eager=True)
     ev = qual.filter(F.col("doc_id") % 13 == 7)
     tr = qual.filter(F.col("doc_id") % 13 != 7)
     td = decontaminate(tr, ev, n=4, min_hits=1)
@@ -3333,6 +3338,38 @@ def unigram_logprob_docs(spark, sf_dir):
     from .operators.text import unigram_logprob
 
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "bigram_logprob_docs",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+uni AS (SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(t) AS tok FROM base) GROUP BY 1),
+tot AS (SELECT count(*) AS total FROM (SELECT unnest(t) FROM base)),
+big AS (SELECT prev, cur, count(*) AS cnt FROM bg GROUP BY 1, 2)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(0.7 * big.cnt * 1.0 / up.cnt
+                    + 0.3 * uc.cnt * 1.0 / tt.total)), 4) AS avg_logprob
+FROM bg
+JOIN big USING (prev, cur)
+JOIN uni up ON up.tok = bg.prev
+JOIN uni uc ON uc.tok = bg.cur
+CROSS JOIN tot tt
+GROUP BY bg.doc_id
+""",
+)
+def bigram_logprob_docs(spark, sf_dir):
+    """Interpolated-bigram LM quality score (operators/text.py:
+    bigram_logprob) — the KenLM-direction upgrade of the unigram score:
+    mean ln(0.7·p(w|prev) + 0.3·p(w)) per doc.  Unigram tables
+    broadcast; the vocab²-bounded bigram table joins as a plain shuffle
+    join AQE sizes at runtime."""
+    from .operators.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
 @q(

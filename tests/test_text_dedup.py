@@ -452,3 +452,25 @@ def test_remove_boilerplate_within_doc_repeat_not_hot(spark):
     )
     out = {r.doc_id: r for r in remove_boilerplate_segments(df, seg_len=2, max_df=2).collect()}
     assert out[1].clean_text == "p q p q p q" and out[1].n_removed == 0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # corpus: tokens a×4 b×2 c×1 (total 7); bigrams: ab×2, ba×1, aa×1
+    total, ua, ub = 7, 4, 2
+    # context counts are UNIGRAM counts in the interpolation denominator
+    p_ab = 0.7 * (2 / ua) + 0.3 * (ub / total)
+    p_ba = 0.7 * (1 / ub) + 0.3 * (ua / total)
+    p_aa = 0.7 * (1 / ua) + 0.3 * (ua / total)
+    exp1 = round((math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3, 4)
+    exp2 = round(math.log(p_aa), 4)
+    assert out[1].n_bigrams == 3 and abs(out[1].avg_logprob - exp1) < 1e-9
+    assert out[2].n_bigrams == 1 and abs(out[2].avg_logprob - exp2) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams

@@ -62,6 +62,11 @@ HEAVY = [
     ("rolling_zscore_events", "linear"),
     ("svc_phase1_streaming", "linear"),
     ("stream_band_join_attrib", "quadratic-in-density: 10x denser 1-day bands"),
+    ("pretrain_pipeline_docs", "linear"),
+    ("bm25_topk_docs", "linear"),  # fixed query set, corpus x10
+    ("boilerplate_segments_docs", "linear"),
+    ("decontam_docs", "linear"),
+    ("cluster_split_docs", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
