@@ -404,3 +404,38 @@ def cluster_split(
         cc, id_col="cluster", weights=weights, salt=salt, out_col=out_col
     )
     return labeled.select(id_col, "cluster", out_col)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards →
+    (id, shard, pos): the order a trainer should stream examples in
+    epoch ``epoch``.  Two independent md5 draws: one buckets rows into
+    shards, one orders rows WITHIN each shard — so each epoch is a
+    fresh pseudo-random permutation, yet any (corpus, epoch) pair is
+    byte-identical on re-run and across engines (pure md5 arithmetic,
+    no engine RNG).
+
+    Scale shape: no global sort — the only ordering is a row_number
+    window partitioned by shard, i.e. ``n_shards``-way parallel with
+    ~corpus/n_shards rows per partition.  Size ``n_shards`` so a shard
+    fits an executor (10k+ shards for a 100 TB corpus); the trainer
+    reads shards in any order, so global shuffle quality comes from the
+    shard draw, not shard count.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h_shard = F.conv(_hash8(id_col, f"shard{epoch}"), 16, 10).cast("long") % n_shards
+    h_pos = _hash8(id_col, f"pos{epoch}")
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h2").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), h_shard.alias("shard"), h_pos.alias("__h2"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

@@ -2519,6 +2519,32 @@ def pretrain_pipeline_docs(spark, sf_dir):
     )
 
 
+@q(
+    "epoch_shuffle_docs",
+    """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR || ':shard1'), 1, 8)) AS BIGINT)
+           % 8 AS shard,
+         substr(md5(doc_id::VARCHAR || ':pos1'), 1, 8) AS h2
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h2, doc_id) AS pos
+FROM h
+""",
+)
+def epoch_shuffle_docs(spark, sf_dir):
+    """Deterministic epoch-1 training shuffle (operators/sampling.py:
+    epoch_shuffle): md5 shard draw + independent md5 within-shard order
+    — a fresh permutation per epoch, byte-identical across engines and
+    re-runs, no global sort (the only window partitions by shard)."""
+    from .operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), n_shards=8, epoch=1
+    )
+
+
 #: the three fixed BM25 probe queries over the corpus vocabulary
 _BM25_QUERIES = [(1, "spark hash join"), (2, "window merge sort"), (3, "table scan batch")]
 

@@ -329,3 +329,23 @@ def test_cluster_split_members_inherit_representative(spark):
         ).collect()
     }
     assert out[3].split == rep_draw[1] and out[8].split == rep_draw[7]
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = epoch_shuffle(df, n_shards=4, epoch=0).collect()
+    b = epoch_shuffle(df, n_shards=4, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    # every row exactly once; positions contiguous from 1 per shard
+    assert sorted(r.doc_id for r in a) == list(range(100))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different epoch is a different permutation
+    c = epoch_shuffle(df, n_shards=4, epoch=1).collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
