@@ -438,3 +438,75 @@ def band_join(
         _us(F.col(left_ts)) - _us(F.col(f"{right_ts}_r"))
     ) <= band_us
     return joined.filter(band).drop(f"{on}_r")
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step funnel analysis → one row per step:
+    (step_idx, step, n_users, pct) where ``n_users`` counts users whose
+    events contain the step prefix IN STRICT TIME ORDER (each step
+    strictly after the previous one) and ``pct`` is conversion relative
+    to step 1.
+
+    Spark-first shape — ONE shuffle total: events are filtered to the
+    step types (map-side, pushed to the scan), grouped per user into a
+    time-sorted array, and the funnel state machine runs as an
+    ``F.aggregate`` fold over that array — a JVM codegen lambda, not a
+    Python UDF and not k sequential self-joins (the classic SQL funnel
+    pays k−1 extra shuffles; the fold pays zero).  Per-user state is two
+    fields (stage, last_ts): memory is bounded by events-per-user for
+    the array, the usual behavioral-analytics envelope; a user with
+    pathological event counts caps at the executor array limit, not the
+    shuffle.
+    """
+    if not steps:
+        raise ValueError("steps must not be empty")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user"),
+        _us(F.col(ts_col)).alias("__us"),
+        F.col(type_col).alias("__et"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.array_sort(F.collect_list(F.struct("__us", "__et"))).alias("__evs")
+    )
+    LOW = -(2**62)
+
+    def fold_step(acc, x):
+        advance = (
+            (acc["stage"] < F.lit(k))
+            & (x["__et"] == F.element_at(step_arr, acc["stage"] + 1))
+            & (x["__us"] > acc["last"])
+        )
+        return F.struct(
+            F.when(advance, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
+            F.when(advance, x["__us"]).otherwise(acc["last"]).alias("last"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(LOW).cast("long").alias("last")
+    )
+    stages = per_user.select(
+        F.aggregate(F.col("__evs"), init, fold_step)["stage"].alias("stage")
+    )
+    counts = stages.agg(
+        *[
+            F.sum((F.col("stage") >= i).cast("long")).alias(f"__s{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    # 100.0 is a DECIMAL literal in Spark SQL — double-ify explicitly or
+    # pct comes out DECIMAL(…) and engine comparisons format-drift
+    triples = ", ".join(
+        f"{i}, '{s}', __s{i}, round(__s{i} * CAST(100.0 AS DOUBLE) / __s1, 2)"
+        for i, s in enumerate(steps, 1)
+    )
+    return counts.selectExpr(
+        f"stack({k}, {triples}) AS (step_idx, step, n_users, pct)"
+    )

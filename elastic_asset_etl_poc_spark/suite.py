@@ -2520,6 +2520,37 @@ def pretrain_pipeline_docs(spark, sf_dir):
 
 
 @q(
+    "funnel_fold_events",
+    """
+WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1),
+c AS (SELECT (SELECT count(*) FROM t1) AS c1,
+             (SELECT count(*) FROM t2) AS c2,
+             (SELECT count(*) FROM t3) AS c3)
+SELECT 1 AS step_idx, 'view' AS step, c1 AS n_users, round(100.0, 2) AS pct FROM c
+UNION ALL SELECT 2, 'click', c2, round(c2 * 100.0 / c1, 2) FROM c
+UNION ALL SELECT 3, 'purchase', c3, round(c3 * 100.0 / c1, 2) FROM c
+""",
+)
+def funnel_fold_events(spark, sf_dir):
+    """Ordered-step funnel view→click→purchase (operators/temporal.py:
+    funnel): the state machine folds over each user's time-sorted event
+    array with ONE shuffle (JVM aggregate lambda) — the scale
+    formulation of the k-stage sequential-min self-join that
+    funnel_events (signup-based) demonstrates and this query's oracle
+    replays: same semantics, k−1 fewer exchanges over the corpus."""
+    from .operators.temporal import funnel
+
+    return funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
     "epoch_shuffle_docs",
     """
 WITH h AS (

@@ -478,3 +478,31 @@ def test_asof_join_salted_equals_plain(spark):
             payload=["ts", "value"], suffix="_x", tolerance_seconds=tol,
         )
         assert collect(salted) == collect(plain), f"tol={tol}"
+
+
+def test_funnel_strict_order_hand_computed(spark):
+    from datetime import datetime
+
+    from elastic_asset_etl_poc_spark.operators.temporal import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes A -> B -> C in order
+        (1, T(1), "A"), (1, T(2), "B"), (1, T(3), "C"),
+        # u2: B before A -> only reaches A (the later B is gone)
+        (2, T(1), "B"), (2, T(2), "A"),
+        # u3: A then C (no B) -> stage 1 only
+        (3, T(1), "A"), (3, T(5), "C"),
+        # u4: simultaneous A and B -> strict ordering rejects the B
+        (4, T(1), "A"), (4, T(1), "B"),
+        # u5: never enters
+        (5, T(1), "C"),
+        # u6: A, B, then B again, then C -> completes
+        (6, T(1), "A"), (6, T(2), "B"), (6, T(3), "B"), (6, T(4), "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step_idx: r for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert [out[i].step for i in (1, 2, 3)] == ["A", "B", "C"]
+    assert out[1].n_users == 5  # u1, u2, u3, u4, u6 all have an A
+    assert out[2].n_users == 2  # u1, u6: B strictly after A
+    assert out[3].n_users == 2 and out[3].pct == 40.0
