@@ -2550,6 +2550,66 @@ def funnel_fold_events(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank oracle — aggregates are illegal
+    in a recursive CTE term, so the fixed ``iters`` recurrence is emitted
+    as r0..r{iters} CTEs (deterministic by construction, same as the
+    Spark loop)."""
+    ctes = [
+        """eb AS (SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS a,
+                        's' || l.l_suppkey::VARCHAR AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT a AS src, b AS dst FROM eb UNION ALL SELECT b, a FROM eb),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+od AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         CAST({1.0 - d} AS DOUBLE) / nn.n
+           + CAST({d} AS DOUBLE) * coalesce(s.m, 0) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(r{i-1}.rank / od.outd) AS m
+             FROM e JOIN r{i-1} ON r{i-1}.node = e.src
+             JOIN od ON od.node = e.src GROUP BY 1) s USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank * nn.n, 6) AS rank_scaled"
+        f"\nFROM r{iters} CROSS JOIN nn"
+    )
+
+
+@q("pagerank_cust_supp", _pagerank_oracle(iters=5))
+def pagerank_cust_supp(spark, sf_dir):
+    """PageRank importance over the symmetrized customer↔supplier
+    co-transaction graph (operators/graph.py: pagerank) — the
+    crawl-frontier/source-weighting signal of web-corpus curation, run
+    as 5 deterministic power iterations (edge frame checkpointed once,
+    per-round rank shares broadcast so edges never re-shuffle).  The
+    oracle unrolls the identical recurrence as r0..r5 CTEs."""
+    from .operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    e = eb.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(e, iters=5, damping=0.85)
+
+
 @q(
     "epoch_shuffle_docs",
     """

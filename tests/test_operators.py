@@ -506,3 +506,22 @@ def test_funnel_strict_order_hand_computed(spark):
     assert out[1].n_users == 5  # u1, u2, u3, u4, u6 all have an A
     assert out[2].n_users == 2  # u1, u6: B strictly after A
     assert out[3].n_users == 2 and out[3].pct == 40.0
+
+
+def test_pagerank_star_graph_hand_computed(spark):
+    from elastic_asset_etl_poc_spark.operators.graph import pagerank
+
+    # undirected star: hub h <-> leaves a,b,c (symmetrized edges)
+    edges = [("h", x) for x in "abc"] + [(x, "h") for x in "abc"]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.rank_scaled for r in pagerank(df, iters=40).collect()}
+    # closed form at convergence (n=4, d=0.85): hub = (1+3d)/(n(1+d)),
+    # leaf = (1+d)/(n(1+d)); scaled by n.  Power iteration converges as
+    # d^k: 0.85^40 ~ 1.5e-3, so tolerance sits just above that envelope.
+    hub = (1 + 3 * 0.85) / (1 + 0.85)
+    leaf = (4 - hub) / 3  # mass conservation over the 3 leaves
+    assert abs(out["h"] - hub) < 5e-3
+    for x in "abc":
+        assert abs(out[x] - leaf) < 5e-3
+    # total rank mass is conserved EXACTLY each round (teleport + d*total)
+    assert abs(sum(out.values()) - 4.0) < 1e-6

@@ -35,6 +35,10 @@ EXCLUDE_SUBSTRINGS = (
     "neardup",
     "cluster_docs",
     "multimodal",
+    "pagerank",          # iterative: per-round checkpoints truncate lineage
+    "cluster_split",     # dedup_survivors collects pairs at build time
+    "audit_split_leakage",
+    "pretrain_pipeline",  # mid-plan localCheckpoint truncates lineage
 )
 
 SF_DIR = "/root/testdata/sf0.001"
