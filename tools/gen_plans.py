@@ -19,6 +19,9 @@ PICKS = [
     ("scd2_user_event_history", "SCD2 from a change log: both windows and the island aggregate share one exchange on the key"),
     ("budget_select_docs", "Budget selection: corpus-side aggregate + bucket-frame window + broadcast semi-join - no single-partition window over the corpus"),
     ("profile_orders", "Data profile: one scan, one Expand for exact multi-distinct, partial+final aggregate"),
+    ("bm25_topk_docs", "BM25 retrieval: term filter inside the token array pre-explode; dl carried through tf agg; broadcast df/N/avgdl; per-query top-k window"),
+    ("decontam_docs", "Decontamination: broadcast eval-shingle probe + per-doc hit agg + anti-join - the corpus never shuffles on shingle"),
+    ("funnel_fold_events", "Funnel: one per-user shuffle; the step state machine is an aggregate-fold lambda, not k self-joins"),
 ]
 
 
