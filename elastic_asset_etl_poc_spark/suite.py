@@ -2520,6 +2520,87 @@ def pretrain_pipeline_docs(spark, sf_dir):
 
 
 @q(
+    "embed_knn_pq",
+    """
+SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(1 AS BOOLEAN) AS recall_at_k_ge_060
+""",
+)
+def embed_knn_pq(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_topk) — the memory tier
+    below IVF-Flat: vectors scan as m=8 one-byte codes (32× smaller than
+    raw float32), ADC table-gather scoring, refine=8 exact re-rank of
+    the candidate sliver inside the same pass.
+
+    Invariant-row audit (same pattern as embed_knn_ivf/lsh): random
+    fixtures are PQ's worst case — neighbor gaps sit below quantization
+    distortion, measured recall@10 = 0.68-0.92 across sf with refine=8
+    — so the stated bound is ≥ 0.6: a broken train/encode/ADC path
+    scores ~0 and breaks the hash.  The exact-machinery twin
+    (recall_pq_lossless_vs_exact) pins correctness at 100% separately."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, queries, k=10, refine=8).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count_distinct("query_id").alias("n_queries"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_queries",
+            F.lit(10).alias("k"),
+            (F.col("__n_hit") >= F.lit(0.6) * F.col("__n_exact")).alias(
+                "recall_at_k_ge_060"
+            ),
+        )
+    )
+
+
+@q(
+    "recall_pq_lossless_vs_exact",
+    """
+SELECT CAST(1 AS BOOLEAN) AS pq_equals_exact, CAST(50 AS BIGINT) AS n_pairs
+""",
+)
+def recall_pq_lossless_vs_exact(spark, sf_dir):
+    """Exact-machinery audit for the PQ path: over a 500-vector slice
+    with ksub ≥ |corpus|, per-subspace k-means converges to one centroid
+    per training point — the quantizer is LOSSLESS, so pure-ADC ranking
+    must equal exact cosine top-k pair-for-pair (both rank by the same
+    inner product on unit vectors, ties broken by id).  Encode/table/
+    gather bugs surface as a hash break here even when the lossy audit's
+    0.6 bound would absorb them."""
+    from .operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = pq_topk(
+        emb, queries, k=10, ksub=512, max_train_sample=512, refine=0
+    ).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("__n_approx")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .select(
+            (
+                (F.col("n_pairs") == F.col("__n_exact"))
+                & (F.col("__n_approx") == F.col("__n_exact"))
+            ).alias("pq_equals_exact"),
+            "n_pairs",
+        )
+    )
+
+
+@q(
     "funnel_fold_events",
     """
 WITH t1 AS (SELECT user_id, min(ts) AS t FROM events

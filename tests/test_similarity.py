@@ -268,3 +268,48 @@ def test_cluster_assign_two_obvious_clusters(spark):
     # assignment is deterministic across invocations
     again = {r.vec_id: r.cluster_id for r in cluster_assign(df, C).collect()}
     assert again == out
+
+
+def _rand_emb(spark, n=60, d=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.standard_normal(d)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_lossless_when_ksub_covers_corpus(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = _rand_emb(spark)
+    q = emb.filter("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id, r.rank) for r in cosine_topk(emb, q, k=5).collect()}
+    pq = {(r.query_id, r.neighbor_id, r.rank) for r in
+          pq_topk(emb, q, k=5, m=4, ksub=64, max_train_sample=64).collect()}
+    assert pq == exact  # one centroid per training point -> lossless ADC
+
+
+def test_pq_refine_recovers_recall(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = _rand_emb(spark, n=120, d=16, seed=11)
+    q = emb.filter("vec_id < 3")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(refine):
+        got = {(r.query_id, r.neighbor_id) for r in
+               pq_topk(emb, q, k=5, m=4, ksub=8, refine=refine).collect()}
+        return len(got & exact) / len(exact)
+
+    r0, r8 = recall(0), recall(8)
+    assert r8 >= r0  # exact re-rank never hurts
+    assert r8 >= 0.8  # with 8x candidates the lossy tier recovers
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.similarity import pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(_rand_emb(spark, n=10, d=10), m=4, ksub=4)
