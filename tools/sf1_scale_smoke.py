@@ -67,6 +67,10 @@ HEAVY = [
     ("boilerplate_segments_docs", "linear"),
     ("decontam_docs", "linear"),
     ("cluster_split_docs", "linear"),
+    ("pagerank_cust_supp", "linear"),  # fixed iterations, edges x10
+    ("embed_knn_pq", "linear"),  # fixed query set, corpus x10
+    ("funnel_fold_events", "linear"),
+    ("bigram_logprob_docs", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
