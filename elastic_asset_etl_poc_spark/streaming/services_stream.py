@@ -252,3 +252,44 @@ def stream_dedup_documents(
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
     )
+
+
+def stream_dedup_keys(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Streaming ingest-time dedup: first-seen (user, event_type) keys
+    via ``dropDuplicatesWithinWatermark`` — the bounded-state streaming
+    twin of batch ``SELECT DISTINCT`` (and of the batch digest-store
+    dedup in ``neardup.dedup_incremental``).
+
+    State for a key is held only ``watermark`` past its event time, so
+    a production stream's memory is bounded by key arrival rate × the
+    window, not by stream lifetime — the trade being that a key
+    recurring LATER than the watermark re-emits (accepted in ingest
+    dedup: late replays are rare and downstream exact dedup catches
+    them).  The suite query sizes the watermark past the fixture's
+    30-day span, so the drained output is exactly the distinct key set
+    and hash-checks against the batch oracle.
+
+    Output (append mode): one row per first-seen key — key columns
+    only, because WHICH physical row arrives first is a scheduling
+    artifact; the key set is the deterministic contract.
+    """
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        ev.select(
+            F.col("ts").cast("timestamp").alias("@timestamp"),
+            "user_id",
+            "event_type",
+        )
+        .withWatermark("`@timestamp`", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

@@ -3943,6 +3943,32 @@ def svc_phase1_streaming(spark, sf_dir):
 
 
 @q(
+    "stream_dedup_events",
+    """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_events(spark, sf_dir):
+    """§2.9 streaming ingest-time dedup: dropDuplicatesWithinWatermark
+    over (user_id, event_type) drained availableNow (streaming/
+    services_stream.py: stream_dedup_keys).  The watermark outspans the
+    fixture's 30-day range, so bounded-state streaming dedup must equal
+    batch DISTINCT — hash-checked, same pattern as the other streaming
+    twins."""
+    import uuid
+
+    from .streaming.services_stream import run_to_memory, stream_dedup_keys
+
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = run_to_memory(
+            stream_dedup_keys(spark, _staged_events(sf_dir)), name, "append"
+        )
+        q.stop()
+    return spark.table(name)
+
+
+@q(
     "stream_windowed_counts_daily",
     _sig()
     + """

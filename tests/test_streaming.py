@@ -603,3 +603,26 @@ def test_stream_file_sink_exactly_once_resume(spark, tmp_path):
 
     run_once()  # no new input → no duplicates
     assert sink_rows() == [(1, "A"), (2, "B"), (3, "C")]
+
+
+def test_stream_dedup_keys_matches_batch_distinct(spark, tmp_path):
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        run_to_memory,
+        stream_dedup_keys,
+    )
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+    from conftest import SF_DIR
+    import shutil, os
+
+    staged = str(tmp_path / "ev")
+    os.makedirs(staged)
+    src = f"{SF_DIR}/events.parquet"
+    shutil.copy(src, f"{staged}/part-000.parquet")
+    q = run_to_memory(stream_dedup_keys(spark, staged), "sd_test", "append")
+    q.stop()
+    got = {(r.user_id, r.event_type) for r in spark.table("sd_test").collect()}
+    exp = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_DIR, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == exp
