@@ -502,9 +502,14 @@ def funnel(
         ]
     )
     # 100.0 is a DECIMAL literal in Spark SQL — double-ify explicitly or
-    # pct comes out DECIMAL(…) and engine comparisons format-drift
+    # pct comes out DECIMAL(…) and engine comparisons format-drift.
+    # Guard the empty funnel: an empty corpus aggregates counts to NULL
+    # and zero step-1 entrants would divide by zero under ANSI — both
+    # normalize to n_users=0, pct=0.0
     triples = ", ".join(
-        f"{i}, '{s}', __s{i}, round(__s{i} * CAST(100.0 AS DOUBLE) / __s1, 2)"
+        f"{i}, '{s}', coalesce(__s{i}, 0), "
+        f"CASE WHEN coalesce(__s1, 0) = 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE round(coalesce(__s{i}, 0) * CAST(100.0 AS DOUBLE) / __s1, 2) END"
         for i, s in enumerate(steps, 1)
     )
     return counts.selectExpr(
