@@ -903,3 +903,34 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def save_codebooks(spark, codebooks, path: str) -> None:
+    """Persist :func:`pq_train` codebooks as a tiny parquet table
+    (subspace, centroid_id, vector) — engine-portable, so a static
+    corpus trains once per ingest (the :func:`save_centroids` pattern
+    extended to the PQ tier)."""
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid_id int, vector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_codebooks(spark, path: str):
+    """Load a :func:`save_codebooks` table back as numpy (m, ksub, dsub)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("subspace", "centroid_id").collect()
+    if not rows:
+        return np.empty((0, 0, 0), dtype=np.float64)
+    m = rows[-1].subspace + 1
+    ksub = rows[-1].centroid_id + 1
+    dsub = len(rows[0].vector)
+    B = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        B[r.subspace][r.centroid_id] = r.vector
+    return B

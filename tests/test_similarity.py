@@ -313,3 +313,26 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(_rand_emb(spark, n=10, d=10), m=4, ksub=4)
+
+
+def test_pq_codebooks_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        load_codebooks,
+        pq_topk,
+        pq_train,
+        save_codebooks,
+    )
+
+    emb = _rand_emb(spark, n=40, d=16, seed=3)
+    B = pq_train(emb, m=4, ksub=8)
+    path = str(tmp_path / "books")
+    save_codebooks(spark, B, path)
+    B2 = load_codebooks(spark, path)
+    assert B2.shape == B.shape and np.allclose(B, B2)
+    # identical results through the persisted books (train jobs skipped)
+    q = emb.filter("vec_id < 2")
+    a = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=B).collect()))
+    b = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=B2).collect()))
+    assert a == b
