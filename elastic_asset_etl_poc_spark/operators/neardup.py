@@ -222,11 +222,37 @@ def minhash_lsh_pairs(
     be length-truncated upstream (quality filters do this anyway) or run
     with ``vectorized=False``, which streams the aggregation.
     """
-    rows_per_band = num_hashes // bands
-    # int64 shingles: xxhash64 over the n token columns directly — no
-    # string concat, 8-byte join/shuffle keys instead of ~50-byte strings.
-    # Collision probability ~n²/2⁶⁴ (≈1e-9 at 1M shingles) is the standard
-    # accepted trade for near-dup candidate generation.
+    buckets, sh = _minhash_buckets(
+        df,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        text_col=text_col,
+        id_col=id_col,
+        vectorized=vectorized,
+    )
+    ca = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    cb = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    candidates = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_candidates(sh, sh, candidates, threshold)
+
+
+def hashed_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct int64-hashed word n-gram shingles per doc → (doc_id,
+    shingle BIGINT): xxhash64 over the n token columns directly — no
+    string concat, 8-byte join/shuffle keys instead of ~50-byte strings.
+    Collision probability ~n²/2⁶⁴ (≈1e-9 at 1M shingles) is the standard
+    accepted trade for near-dup candidate generation.  The MinHash
+    self-join and incremental-store paths MUST share this exact hashing
+    (a stored bucket table is only join-compatible with batches hashed
+    the same way)."""
     tdf = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
     t = F.col("__t")
     hashed = F.when(
@@ -236,13 +262,29 @@ def minhash_lsh_pairs(
             lambda i: F.xxhash64(*[F.element_at(t, i + F.lit(j)) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    return tdf.select("doc_id", F.explode(hashed).alias("shingle")).distinct()
+
+
+def _minhash_buckets(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vectorized: bool | None = None,
+):
+    """Shared MinHash signature + banded-bucket stage →
+    (buckets(doc_id, band, bucket), sh(doc_id, shingle)) — the exact
+    kernel of :func:`minhash_lsh_pairs`, factored out so the incremental
+    store path reuses identical integer math (same PRNG seed, same
+    banding; a stored bucket table stays join-compatible forever)."""
+    rows_per_band = num_hashes // bands
     # eager: 4 branches of one action would race a lazy cache;
     # localCheckpoint materializes in one job without cache+count's
     # extra full re-scan of the cached frame
-    sh = (
-        tdf.select("doc_id", F.explode(hashed).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sh = hashed_shingles(df, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
     )
 
     # Affine permutation family over one base hash: mh_i = min over shingles
@@ -311,26 +353,27 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ca = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    cb = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    candidates = (
-        ca.join(cb, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return buckets, sh
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+def _verify_candidates(
+    sh_a: DataFrame, sh_b: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair frame against the
+    (doc_id, shingle) set frames of each side → (doc_a, doc_b, jaccard)
+    at ``threshold``.  Shared by the self-join and incremental paths."""
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_a.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_b.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(candidates, "doc_a")
         .join(b, ["shingle", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sa = sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -798,3 +841,100 @@ def dedup_incremental(
     return novel.join(
         new_df.select(F.col(id_col), F.col(text_col)), id_col
     ).select(id_col, "__digest", text_col)
+
+
+def minhash_store_init(
+    docs: DataFrame,
+    store_path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's MinHash band-bucket table to parquet —
+    (doc_id, band, bucket) — partitioned by band so an incremental probe
+    prunes to matching band partitions.  Built ONCE per corpus; daily
+    batches then join against this store instead of re-shingling 100 TB
+    (the signature constants are fixed-seed, so stored buckets stay
+    join-compatible with every future batch)."""
+    buckets, _ = _minhash_buckets(
+        docs, n=n, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    buckets.write.mode("overwrite").partitionBy("band").parquet(store_path)
+
+
+def minhash_neardup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    store_path: str,
+    threshold: float,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = False,
+) -> DataFrame:
+    """Incremental MinHash near-dup: new-batch pairs against a standing
+    corpus WITHOUT re-shingling the corpus → (doc_a, doc_b, jaccard)
+    covering batch×corpus and batch×batch pairs at ``threshold``
+    (corpus×corpus pairs are historical — found when those docs were
+    themselves the batch).
+
+    The 100-TB maintenance shape (the banded twin of
+    ``dedup_incremental``'s digest store):
+      * ONLY the batch is shingled and signed (O(batch), not O(corpus));
+      * candidates come from the batch's buckets joined against the
+        parquet band store — the scan prunes to the batch's (band,
+        bucket) space, and the corpus text is touched ONLY for candidate
+        docs, via a semi-join pushed into the corpus scan;
+      * exact-Jaccard verification reuses the shared kernel, so output
+        precision is exact, same as the self-join path.
+    ``update_store=True`` appends the batch's buckets afterward (the
+    daily-ingest step); leave False for replayable audits.
+    """
+    spark = batch.sparkSession
+    b_buckets, b_sh = _minhash_buckets(
+        batch, n=n, num_hashes=num_hashes, bands=bands,
+        text_col=text_col, id_col=id_col,
+    )
+    b_buckets = b_buckets.localCheckpoint(eager=True)
+    store = spark.read.parquet(store_path)
+    cross = (
+        store.withColumnRenamed("doc_id", "corpus_id")
+        .join(b_buckets.withColumnRenamed("doc_id", "batch_id"), ["band", "bucket"])
+        .filter(F.col("corpus_id") != F.col("batch_id"))
+        .select(
+            F.least("corpus_id", "batch_id").alias("doc_a"),
+            F.greatest("corpus_id", "batch_id").alias("doc_b"),
+        )
+    )
+    bb = (
+        b_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            b_buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    candidates = cross.union(bb).distinct().localCheckpoint(eager=True)
+    # corpus shingles ONLY for candidate docs: the semi-join keeps the
+    # corpus scan pruned to matched ids (plus the batch's own ids, which
+    # the union with b_sh covers anyway)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    corpus_sh = hashed_shingles(
+        corpus.join(cand_ids, id_col, "left_semi"),
+        n=n, text_col=text_col, id_col=id_col,
+    )
+    sh_all = b_sh.union(corpus_sh).distinct().localCheckpoint(eager=True)
+    out = _verify_candidates(sh_all, sh_all, candidates, threshold)
+    if update_store:
+        b_buckets.write.mode("append").partitionBy("band").parquet(store_path)
+    return out

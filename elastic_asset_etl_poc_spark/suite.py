@@ -692,6 +692,56 @@ def minhash_neardup_docs(spark, sf_dir):
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+#: per-sf_dir staged MinHash band store (corpus = doc_id % 5 != 0) — the
+#: store is built once per process like the streaming fixture staging;
+#: the incremental query never mutates it (update_store=False) so every
+#: invocation replays identically
+_MINHASH_STORES: dict = {}
+
+
+def _minhash_store(spark, sf_dir: str) -> str:
+    if sf_dir not in _MINHASH_STORES:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .operators.neardup import minhash_store_init
+
+        path = tempfile.mkdtemp(prefix="suite_mhstore_")
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 != 0
+        )
+        minhash_store_init(corpus, path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _MINHASH_STORES[sf_dir] = path
+    return _MINHASH_STORES[sf_dir]
+
+
+@q(
+    "minhash_incremental_docs",
+    f"""WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, jaccard FROM jp
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+""",
+)
+def minhash_incremental_docs(spark, sf_dir):
+    """Incremental MinHash near-dup (neardup.minhash_neardup_incremental):
+    the 20% batch (doc_id % 5 == 0) probes the standing corpus's parquet
+    band store — only the batch is shingled/signed, corpus text is read
+    solely for candidate docs via a pushed semi-join.  Hash-checked
+    against the exact Jaccard oracle restricted to batch-involving pairs
+    (LSH recall is exactly 1.0 at these fixtures, as with the self-join
+    twin)."""
+    from .operators.neardup import minhash_neardup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_neardup_incremental(
+        batch, corpus, _minhash_store(spark, sf_dir), threshold=0.8
+    )
+
+
 def _recall_audit(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
     """One-row recall audit (n_exact, n_candidates, n_hit, recall_pct):
     how much of the exact pair set the approximate operator recovered.

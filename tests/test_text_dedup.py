@@ -474,3 +474,42 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[1].n_bigrams == 3 and abs(out[1].avg_logprob - exp1) < 1e-9
     assert out[2].n_bigrams == 1 and abs(out[2].avg_logprob - exp2) < 1e-9
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_minhash_incremental_store_lifecycle(spark, tmp_path):
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        jaccard_pairs,
+        minhash_neardup_incremental,
+        minhash_store_init,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words occupy this document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog today")],  # dup of 10
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "mh_store")
+    minhash_store_init(corpus, store)
+
+    p1 = {(r.doc_a, r.doc_b) for r in
+          minhash_neardup_incremental(batch1, corpus, store, 0.5, update_store=True).collect()}
+    assert p1 == {(1, 10)}  # batch finds its corpus near-dup, not (1,2)
+
+    # batch2 must now ALSO see batch1's doc through the updated store
+    full = corpus.union(batch1)
+    p2 = {(r.doc_a, r.doc_b) for r in
+          minhash_neardup_incremental(batch2, full, store, 0.5).collect()}
+    exact = {(r.doc_a, r.doc_b) for r in
+             jaccard_pairs(full.union(batch2), 0.5).collect()
+             if 20 in (r.doc_a, r.doc_b)}
+    assert p2 == exact and (10, 20) in p2 and (1, 20) in p2
