@@ -742,6 +742,67 @@ def minhash_incremental_docs(spark, sf_dir):
     )
 
 
+@q(
+    "recall_simhash_incremental_vs_full",
+    """
+SELECT CAST(1 AS BOOLEAN) AS sets_equal
+""",
+)
+def recall_simhash_incremental_vs_full(spark, sf_dir):
+    """Hash-checked equivalence audit for the incremental SimHash store
+    (neardup.simhash_neardup_incremental): the batch-probe path over a
+    staged fingerprint store must emit EXACTLY the full self-join's
+    pairs restricted to batch-involving docs — stated as a literal
+    boolean row so any drift in store layout, banding, or the
+    pre-collapse bound breaks the driver hash (SimHash itself is
+    xxhash64-based, so this in-plan equality IS its oracle)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.neardup import (
+        banded_hamming_pairs,
+        simhash,
+        simhash_neardup_incremental,
+        simhash_store_init,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    key = ("simhash_store", sf_dir)
+    if key not in _MINHASH_STORES:
+        path = tempfile.mkdtemp(prefix="suite_shstore_")
+        simhash_store_init(corpus, path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _MINHASH_STORES[key] = path
+    inc = simhash_neardup_incremental(
+        batch, _MINHASH_STORES[key], max_hamming=3
+    ).select("doc_a", "doc_b", "hamming")
+    full = banded_hamming_pairs(simhash(docs), max_hamming=3)
+    bids = batch.select(F.col("doc_id").alias("__bid"))
+    full_b = (
+        full.join(bids, full["doc_a"] == bids["__bid"], "left_semi")
+        .unionByName(full.join(bids, full["doc_b"] == bids["__bid"], "left_semi"))
+        .distinct()
+        .select("doc_a", "doc_b", "hamming")
+    )
+    inc = inc.localCheckpoint(eager=True)
+    full_b = full_b.localCheckpoint(eager=True)
+    both = inc.intersect(full_b)
+    return (
+        inc.agg(F.count(F.lit(1)).alias("__n_inc"))
+        .crossJoin(full_b.agg(F.count(F.lit(1)).alias("__n_full")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("__n_both")))
+        .select(
+            (
+                (F.col("__n_inc") == F.col("__n_full"))
+                & (F.col("__n_both") == F.col("__n_full"))
+            ).alias("sets_equal")
+        )
+    )
+
+
 def _recall_audit(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
     """One-row recall audit (n_exact, n_candidates, n_hit, recall_pct):
     how much of the exact pair set the approximate operator recovered.

@@ -513,3 +513,35 @@ def test_minhash_incremental_store_lifecycle(spark, tmp_path):
              jaccard_pairs(full.union(batch2), 0.5).collect()
              if 20 in (r.doc_a, r.doc_b)}
     assert p2 == exact and (10, 20) in p2 and (1, 20) in p2
+
+
+def test_simhash_incremental_store_lifecycle(spark, tmp_path):
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        simhash_neardup_incremental,
+        simhash_store_init,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words occupy this document body here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight")],  # exact dup of 1
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sh_store")
+    simhash_store_init(corpus, store)
+    p1 = {(r.doc_a, r.doc_b): r.hamming for r in
+          simhash_neardup_incremental(batch1, store, max_hamming=3, update_store=True).collect()}
+    assert p1 == {(1, 10): 0}  # identical text -> hamming 0 vs corpus only
+    # second batch duplicating batch1's doc is found through the UPDATED store
+    batch2 = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    p2 = {(r.doc_a, r.doc_b) for r in
+          simhash_neardup_incremental(batch2, store, max_hamming=3).collect()}
+    assert p2 == {(1, 20), (10, 20)}
