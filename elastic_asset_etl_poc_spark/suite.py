@@ -4728,6 +4728,145 @@ def length_histogram_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py) — the tokenizer-learning step
+# of an LLM data pipeline, distributed on the Zipf-tiny word-count table.
+# The oracle replays the IDENTICAL recurrence as an unrolled CTE chain
+# (the pagerank precedent): per merge round, pair counts → deterministic
+# argmax (count desc, pair asc) → greedy left-to-right non-overlapping
+# \b-anchored regexp merge, whose scan semantics Java regex and RE2 share
+# (verified: "a a a" + (a,a) → "aa a" on both engines).
+# ---------------------------------------------------------------------------
+
+_BPE_N = 10
+
+_BPE_W0 = (
+    "w0 AS (SELECT syms, count(*) AS cnt FROM ("
+    "SELECT array_to_string(string_split(w, ''), ' ') AS syms "
+    "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS w"
+    " FROM documents) WHERE w <> '') GROUP BY syms)"
+)
+
+
+def _bpe_iter_ctes(n: int) -> str:
+    """Unrolled merge rounds: p{i} pair counts, b{i} winner, w{i} merged."""
+    parts = []
+    for i in range(1, n + 1):
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+                                 j -> a[j] || ' ' || a[j + 1])) AS pr, cnt
+    FROM (SELECT string_split(syms, ' ') AS a, cnt
+          FROM w{i - 1} WHERE len(string_split(syms, ' ')) >= 2)
+  ) GROUP BY pr
+),
+b{i} AS (SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1),
+w{i} AS (
+  SELECT regexp_replace(syms,
+           '\\b' || split_part(pair, ' ', 1) || ' ' ||
+                    split_part(pair, ' ', 2) || '\\b',
+           replace(pair, ' ', ''), 'g') AS syms, cnt
+  FROM w{i - 1} CROSS JOIN b{i}
+)"""
+        )
+    return ",".join(parts)
+
+
+@q(
+    "bpe_train_docs",
+    "WITH "
+    + _BPE_W0
+    + ","
+    + _bpe_iter_ctes(_BPE_N)
+    + "\nSELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, split_part(pair, ' ', 1) AS lhs,"
+        f" split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,"
+        f" c AS pair_count FROM b{i}"
+        for i in range(1, _BPE_N + 1)
+    )
+    + ")",
+)
+def bpe_train_docs(spark, sf_dir):
+    """Distributed BPE vocabulary training (operators/bpe.py): corpus →
+    one word-count shuffle, then each merge round touches only the
+    Zipf-tiny word table (pair agg + TakeOrdered(1) + broadcast 1-row
+    merge application) — at 100 TB the corpus is read exactly once.
+    Trains live on every invocation (the distributed path IS what this
+    query certifies); vocab reuse is ``bpe_tokenize_docs``."""
+    from .operators.bpe import bpe_train, word_symbol_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(word_symbol_counts(docs), _BPE_N)
+
+
+#: memoized (sf_dir → merge rows): train once per process, tokenize many —
+#: the production vocab-reuse shape (same precedent as PQ codebooks).
+_BPE_MERGES: dict[str, list] = {}
+
+
+def _bpe_merge_rows(spark, sf_dir: str) -> list:
+    if sf_dir not in _BPE_MERGES:
+        from .operators.bpe import bpe_train, word_symbol_counts
+
+        docs = load_table(spark, sf_dir, "documents")
+        mt = bpe_train(word_symbol_counts(docs), _BPE_N)
+        _BPE_MERGES[sf_dir] = mt.orderBy("merge_rank").collect()
+    return _BPE_MERGES[sf_dir]
+
+
+@q(
+    "bpe_tokenize_docs",
+    "WITH "
+    + _BPE_W0
+    + ","
+    + _bpe_iter_ctes(_BPE_N)
+    + """,
+t0 AS (SELECT doc_id,
+              array_to_string(list_transform(
+                regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+                w -> array_to_string(string_split(w, ''), ' ')), '  ') AS syms
+       FROM documents),
+"""
+    + ",".join(
+        f"""
+t{i} AS (SELECT doc_id, regexp_replace(syms,
+            '\\b' || split_part(pair, ' ', 1) || ' ' ||
+                     split_part(pair, ' ', 2) || '\\b',
+            replace(pair, ' ', ''), 'g') AS syms
+         FROM t{i - 1} CROSS JOIN b{i})"""
+        for i in range(1, _BPE_N + 1)
+    )
+    + f"""
+SELECT doc_id,
+       CAST(CASE WHEN syms = '' THEN 0
+                 ELSE len(string_split_regex(syms, ' +')) END AS INTEGER)
+         AS bpe_tokens,
+       replace(split_part(syms, '  ', 1), ' ', '|') AS bpe_tokens_sample
+FROM t{_BPE_N}
+""",
+)
+def bpe_tokenize_docs(spark, sf_dir):
+    """BPE segmentation with the learned vocab (operators/bpe.py
+    bpe_segment): merge table collected once per process (bounded —
+    it's a vocab, {n} rows) and baked into a chained map-only
+    regexp_replace; per-doc BPE token count + first-word segmentation
+    witness.  The oracle replays training AND segmentation from
+    scratch, so a drifted cached vocab breaks the hash."""
+    from .operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = spark.createDataFrame(
+        _bpe_merge_rows(spark, sf_dir),
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+    seg = bpe_segment(docs, merges)
+    return seg.select("doc_id", "bpe_tokens", "bpe_tokens_sample")
+
+
+# ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
 # exact expected rows are stated as VALUES literals generated once by
