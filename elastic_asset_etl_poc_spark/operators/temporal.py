@@ -440,6 +440,57 @@ def band_join(
     return joined.filter(band).drop(f"{on}_r")
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    bucket_seconds: int,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+) -> DataFrame:
+    """Interval-overlap join: pairs whose ``[start, end]`` intervals
+    intersect (closed ends) while sharing a key — the interval×interval
+    generalization of :func:`band_join`'s point-in-band.
+
+    Scale-safe formulation: both sides explode onto the fixed-width
+    epoch buckets their interval covers and equi-join on
+    ``(key, bucket)``; overlapping intervals necessarily share their
+    FIRST common bucket ``max(floor(l.start/w), floor(r.start/w))``, and
+    emitting a pair only from that bucket makes the output exact with
+    no ``distinct`` pass.  A naive theta-join
+    ``ON l.start <= r.end AND r.start <= l.end`` is a per-key cross
+    product; this stays one equi-join shuffle with fan-out bounded by
+    ``interval_length / bucket_seconds`` per row — pick
+    ``bucket_seconds`` near the median interval length (fan-out ~2).
+
+    The overlap predicate evaluates on microsecond epochs (sub-second
+    exact, same rationale as band_join).  Right columns come back
+    suffixed ``_r``; rows with ``end < start`` are dropped as malformed.
+    """
+    w_us = bucket_seconds * 1_000_000
+
+    def covered(s: Column, e: Column) -> Column:
+        return F.sequence(F.floor(s / w_us), F.floor(e / w_us))
+
+    ls, le = _us(F.col(left_start)), _us(F.col(left_end))
+    l = left.filter(le >= ls).withColumn("__b", F.explode(covered(ls, le)))
+    r = right.filter(_us(F.col(right_end)) >= _us(F.col(right_start)))
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    rs, re = _us(F.col(f"{right_start}_r")), _us(F.col(f"{right_end}_r"))
+    r = r.withColumn("__b", F.explode(covered(rs, re)))
+    joined = l.join(
+        r, (l["__b"] == r["__b"]) & (l[on] == r[f"{on}_r"]), "inner"
+    )
+    overlap = (ls <= re) & (rs <= le)
+    first_common = l["__b"] == F.greatest(
+        F.floor(ls / w_us), F.floor(rs / w_us)
+    )
+    return joined.filter(overlap & first_common).drop("__b", f"{on}_r")
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],

@@ -92,6 +92,62 @@ def normalize_text(
     return df.withColumn(out_col, F.trim(c))
 
 
+#: UTF-8-bytes-misdecoded-as-cp1252 repair table (ftfy's core case):
+#: each entry is (mojibake sequence, intended character).  Literal
+#: string replacements — identical in Spark and the DuckDB oracle.
+MOJIBAKE_MAP: tuple[tuple[str, str], ...] = (
+    ("â€™", "’"),   # right single quote
+    ("â€˜", "‘"),   # left single quote
+    ("â€œ", "“"),   # left double quote
+    ("â€\x9d", "”"),  # right double quote (9d = cp1252 undefined)
+    ("â€“", "–"),   # en dash
+    ("â€”", "—"),   # em dash
+    ("â€¦", "…"),   # ellipsis
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¡", "á"),
+    ("Ã³", "ó"),
+    ("Ãº", "ú"),
+    ("Ã±", "ñ"),
+    ("Ã¼", "ü"),
+    ("Ã¶", "ö"),
+    ("Ã¤", "ä"),
+    ("Ã\xa0", "à"),      # a0 = cp1252 NBSP
+    ("Â«", "«"),
+    ("Â»", "»"),
+    ("Â\xa0", " "),  # stray  before NBSP
+)
+
+#: one pass of the marker detector: every mojibake sequence starts with
+#: one of these cp1252 lead bytes followed by a continuation char
+_MOJIBAKE_MARKER = "(â€|Ã|Â)."
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_fixed"
+) -> DataFrame:
+    """Encoding repair for web-crawled corpora: undo the classic
+    UTF-8-decoded-as-cp1252 double-encoding (``â€™`` → ``'``-class
+    smart-quote damage, ``Ã©`` → ``é`` accents), the highest-frequency
+    ftfy fix class.
+
+    Adds ``out_col`` (repaired text) and ``n_mojibake`` (marker count
+    BEFORE repair — the quality signal; a document that is *mostly*
+    markers is usually binary junk, not prose).  Literal-replace chain:
+    JVM-side, map-only, no shuffle, linear — the same 100-TB posture as
+    :func:`redact_pii`.  Sequences the map doesn't know stay untouched
+    (and still count), so the pass is safe to run on clean text.
+    """
+    c = F.col(text_col)
+    n = F.when(
+        c.isNotNull(), F.size(F.regexp_extract_all(c, F.lit(_MOJIBAKE_MARKER), 0))
+    )
+    fixed = c
+    for bad, good in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.withColumn(out_col, fixed).withColumn("n_mojibake", n)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint (rolling-hash analog).
 

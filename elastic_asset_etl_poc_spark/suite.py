@@ -4727,6 +4727,165 @@ def length_histogram_docs(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"))
 
 
+@q(
+    "interval_join_sessions",
+    """
+WITH l AS (SELECT event_id AS l_id, user_id, ts AS l_start,
+                  ts + INTERVAL 30 MINUTE AS l_end
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT event_id AS r_id, user_id AS r_user, ts AS r_start,
+                  ts + INTERVAL 45 MINUTE AS r_end
+           FROM events WHERE event_type = 'purchase')
+SELECT user_id, l_id, r_id,
+       CAST(date_diff('microsecond', greatest(l_start, r_start),
+                      least(l_end, r_end)) AS BIGINT) AS overlap_us
+FROM l JOIN r ON user_id = r_user
+             AND l_start <= r_end AND r_start <= l_end
+""",
+)
+def interval_join_sessions(spark, sf_dir):
+    """Interval-overlap join (operators/temporal.py interval_join):
+    30-min click activity windows × 45-min purchase attribution windows
+    per user, paired where the intervals intersect.  Both sides explode
+    onto covered fixed-width buckets and equi-join on (key, bucket);
+    each pair emits only from its FIRST common bucket, so the result is
+    exact with no distinct pass.  The oracle is the naive theta join —
+    proving the bucketed plan semantics-preserving — which at scale
+    would be a per-key cross product; the bucket form stays one
+    equi-join shuffle with fan-out ≈ interval_len/bucket."""
+    from .operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end"),
+    )
+    j = interval_join(l, r, on="user_id", bucket_seconds=1800)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "user_id",
+        "l_id",
+        F.col("r_id_r").alias("r_id"),
+        (
+            F.least(us("end"), us("end_r"))
+            - F.greatest(us("start"), us("start_r"))
+        ).alias("overlap_us"),
+    )
+
+
+def _moji_fix_sql(col: str) -> str:
+    """The exact fix_mojibake replace chain as nested SQL replace()."""
+    from .operators.text import MOJIBAKE_MAP
+
+    expr = col
+    for bad, good in MOJIBAKE_MAP:
+        expr = f"replace({expr}, '{bad}', '{good}')"
+    return expr
+
+
+@q(
+    "fix_mojibake_docs",
+    f"""
+WITH damaged AS (
+  SELECT doc_id,
+         replace(replace(text, 'e', 'é'), 'o', 'ö') AS clean,
+         replace(replace(replace(replace(text, 'e', 'é'), 'o', 'ö'),
+                         'é', 'Ã©'), 'ö', 'Ã¶') AS corrupt
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(corrupt, '(â€|Ã|Â).', 0)) AS INTEGER)
+         AS n_mojibake,
+       {_moji_fix_sql('corrupt')} = clean AS roundtrip_ok
+FROM damaged
+""",
+)
+def fix_mojibake_docs(spark, sf_dir):
+    """Encoding repair (operators/text.py fix_mojibake): the fixture is
+    deterministically damaged with the classic UTF-8-read-as-cp1252
+    double encoding (é→Ã©, ö→Ã¶ — exactly what a misdecoded crawl
+    segment looks like), then repaired; roundtrip_ok proves byte-exact
+    recovery and n_mojibake is the pre-repair damage count (the quality
+    signal).  Literal-replace chain, map-only, no shuffle — the oracle
+    applies the identical MOJIBAKE_MAP chain in SQL."""
+    from .operators.text import fix_mojibake
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.replace(
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")), F.lit("o"), F.lit("ö")
+    )
+    corrupt = F.replace(
+        F.replace(clean, F.lit("é"), F.lit("Ã©")), F.lit("ö"), F.lit("Ã¶")
+    )
+    damaged = docs.select(
+        "doc_id", clean.alias("clean"), corrupt.alias("corrupt")
+    )
+    fixed = fix_mojibake(damaged, text_col="corrupt", out_col="fixed")
+    return fixed.select(
+        "doc_id",
+        F.col("n_mojibake"),
+        (F.col("fixed") == F.col("clean")).alias("roundtrip_ok"),
+    )
+
+
+@q(
+    "snapshot_diff_orders",
+    """
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           WHERE o_orderkey % 100 <> 0),
+     n AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 13 = 0
+                       THEN round(o_totalprice * 1.1, 2)
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+""",
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Keyed snapshot diff (operators/diff.py): two synthetic versions
+    of the orders table (simulated deletes, inserts, and price updates)
+    → (key, added|removed|changed).  Each side collapses to
+    (key, xxhash64 digest) BEFORE the full-outer join, so the shuffle
+    carries 16 bytes/row, not the payload — the data-versioning step
+    that lets a 100-TB pipeline re-process only what moved.  The oracle
+    compares the real columns (IS DISTINCT FROM), proving the digest
+    path change-equivalent on the fixture."""
+    from .operators.diff import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").filter(
+        F.col("o_orderkey") % 100 != 0
+    )
+    new = (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (operators/bpe.py) — the tokenizer-learning step
 # of an LLM data pipeline, distributed on the Zipf-tiny word-count table.

@@ -263,6 +263,114 @@ def test_band_join_subsecond_precision(spark):
     assert sorted(r.id for r in out.collect()) == [1, 3]
 
 
+def test_interval_join_overlap_exactly_once(spark):
+    """Overlapping pairs emit exactly once even when the intervals share
+    MANY buckets; touching endpoints (closed intervals) count; disjoint
+    intervals and mismatched keys don't; end<start rows are dropped."""
+    from elastic_asset_etl_poc_spark.operators.temporal import interval_join
+
+    def t(h, m, s=0):
+        return datetime(2024, 1, 1, h, m, s)
+
+    left = spark.createDataFrame(
+        [
+            ("k", 1, t(10, 0), t(12, 0)),   # long: spans many 10-min buckets
+            ("k", 2, t(13, 0), t(13, 5)),
+            ("k", 3, t(15, 0), t(14, 0)),   # malformed: end < start
+            ("x", 4, t(10, 0), t(12, 0)),   # other key
+        ],
+        "key string, lid int, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 10, t(10, 30), t(11, 30)),  # inside lid=1
+            ("k", 11, t(12, 0), t(12, 30)),   # touches lid=1 end exactly
+            ("k", 12, t(13, 5), t(13, 10)),   # touches lid=2 end exactly
+            ("k", 13, t(14, 0), t(14, 10)),   # disjoint from all
+            ("y", 14, t(10, 30), t(11, 0)),   # other key
+        ],
+        "key string, rid int, start timestamp, end timestamp",
+    )
+    out = interval_join(left, right, on="key", bucket_seconds=600)
+    pairs = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (2, 12)]
+    # and exactly once: no duplicate pair rows from shared buckets
+    assert out.count() == 3
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The pair set must not depend on the bucket width tuning knob."""
+    from elastic_asset_etl_poc_spark.operators.temporal import interval_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 12, m)
+
+    left = spark.createDataFrame(
+        [("k", i, t(i), t(i + 7)) for i in range(0, 40, 5)],
+        "key string, lid int, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", 100 + i, t(i), t(i + 3)) for i in range(0, 40, 4)],
+        "key string, rid int, start timestamp, end timestamp",
+    )
+    expected = None
+    for w in (60, 300, 3600):
+        got = sorted(
+            (r["lid"], r["rid_r"])
+            for r in interval_join(
+                left, right, on="key", bucket_seconds=w
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"bucket_seconds={w} changed the pair set"
+    assert len(expected) > 0
+
+
+def test_snapshot_diff_changes_and_null_semantics(spark):
+    """added/removed/changed classification; NULL→value and value→NULL
+    are 'changed', NULL→NULL is unchanged; digest and struct paths
+    agree."""
+    from elastic_asset_etl_poc_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, None, 3.0), (4, "d", 4.0), (5, None, None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, None), (5, None, None), (6, "f", 6.0)],
+        "k int, s string, v double",
+    )
+    expected = {
+        # 1: identical -> absent; 5: NULL==NULL both cols -> absent
+        (2, "changed"),   # v NULL -> 2.0
+        (3, "changed"),   # v 3.0 -> NULL
+        (4, "removed"),
+        (6, "added"),
+    }
+    for digest in (True, False):
+        got = {
+            (r["k"], r["change"])
+            for r in snapshot_diff(old, new, keys=["k"], digest=digest).collect()
+        }
+        assert got == expected, f"digest={digest}"
+
+
+def test_snapshot_diff_shuffles_digest_not_payload(spark):
+    """The digest path's full-outer join exchanges only (key, hash):
+    the compared payload columns must not appear in the exchange
+    schema."""
+    from elastic_asset_etl_poc_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "payloadcol")], "k int, big string")
+    new = spark.createDataFrame([(1, "payloadcol2")], "k int, big string")
+    plan = snapshot_diff(old, new, keys=["k"])._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "big" not in m.group(1)
+
+
 def test_rollup_gapfill_dense_scaffold_and_locf(spark):
     """Gaps between min and max buckets appear as explicit rows
     (n_events=0, agg NULL) and the LOCF twin carries the last observed
