@@ -203,6 +203,56 @@ def redact_pii(
     return df.withColumn(out_col, red).withColumn("n_redacted", n_redacted)
 
 
+def linear_classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Hash-kernel linear model inference — the fastText-style quality
+    classifier a pretraining pipeline runs over every document (CCNet /
+    LLaMA "quality filtering" stage), as a pure Spark plan.
+
+    ``weights`` is the trained model: a ``(bucket int, weight double)``
+    frame (read from parquet in production — engine-portable like the
+    IVF/PQ codebooks).  Features are hashed token buckets
+    (md5-prefix % n_buckets, the hashing trick — identical in any
+    engine with md5), score = ``sigmoid(bias + mean_t w[bucket(t)])``,
+    ``keep = score >= threshold``.
+
+    Scale shape: explode → broadcast weight join (the model is KB-sized)
+    → one hash-agg back to documents.  ONE shuffle on ``id_col``; no
+    Python, no model-server round-trips — inference rides the scan.
+    Unknown buckets contribute weight 0 (coalesce), so a smaller model
+    than ``n_buckets`` still scores every document.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        id_col, F.size(toks).alias("__n"), F.explode(toks).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    scored = base.withColumn("__b", bucket).join(
+        F.broadcast(weights), F.col("__b") == F.col("bucket"), "left"
+    )
+    per_doc = scored.groupBy(id_col, "__n").agg(
+        F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__s")
+    )
+    z = F.lit(bias) + F.col("__s") / F.col("__n")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return per_doc.select(
+        id_col,
+        F.round(score, 4).alias(out_col),
+        (score >= threshold).alias("keep"),
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1): duplicate
     token fraction, modal-token dominance, and duplicate bigram fraction.

@@ -4781,6 +4781,64 @@ def interval_join_sessions(spark, sf_dir):
     )
 
 
+@q(
+    "classifier_quality_docs",
+    """
+WITH w AS (
+  SELECT bucket,
+         (CAST('0x' || substr(md5('w:' || bucket::VARCHAR), 1, 8) AS BIGINT)
+            % 2001 - 1000) / 1000.0 AS weight
+  FROM range(1024) t(bucket)),
+e AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+s AS (
+  SELECT doc_id, n, sum(coalesce(w.weight, 0.0)) AS s
+  FROM (SELECT doc_id, n,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 1024 AS b
+        FROM e)
+  LEFT JOIN w ON b = w.bucket
+  GROUP BY doc_id, n)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(s / n))), 4) AS quality_score,
+       1.0 / (1.0 + exp(-(s / n))) >= 0.5 AS keep
+FROM s
+""",
+)
+def classifier_quality_docs(spark, sf_dir):
+    """Model-based quality filtering (operators/text.py
+    linear_classifier_score): fastText-style hash-kernel linear
+    classifier scored over every document as a pure Spark plan —
+    explode → broadcast KB-sized weight table → one doc-level hash-agg;
+    inference rides the scan, no model server.  The weight table here
+    is a deterministic md5-derived stand-in (a real model would load
+    from parquet like the IVF/PQ codebooks); the oracle rebuilds the
+    same table and replays scoring bit-for-bit."""
+    from .operators.text import linear_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = spark.range(1024).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("weight"),
+    )
+    return linear_classifier_score(docs, w, n_buckets=1024)
+
+
 def _moji_fix_sql(col: str) -> str:
     """The exact fix_mojibake replace chain as nested SQL replace()."""
     from .operators.text import MOJIBAKE_MAP

@@ -594,3 +594,48 @@ def test_fix_mojibake_roundtrip_cp1252(spark):
     row = fix_mojibake(df).collect()[0]
     assert row["text_fixed"] == original
     assert row["n_mojibake"] == sum(original.count(g) for _, g in MOJIBAKE_MAP if g != " ")
+
+
+def test_linear_classifier_hand_computed(spark):
+    """Score equals sigmoid(bias + mean token weight); unknown buckets
+    contribute 0; keep thresholds on the unrounded score; the weight
+    join is a broadcast."""
+    import hashlib
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import (
+        linear_classifier_score,
+    )
+
+    def bucket(tok, n=16):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma gamma gamma"), (3, "unknowntoken")],
+        "doc_id int, text string",
+    )
+    wmap = {bucket("alpha"): 2.0, bucket("beta"): -1.0, bucket("gamma"): -3.0}
+    # deliberately omit unknowntoken's bucket unless it collides
+    wmap.pop(bucket("unknowntoken"), None)
+    w = spark.createDataFrame(
+        [(b, wt) for b, wt in wmap.items()], "bucket int, weight double"
+    )
+    out = linear_classifier_score(
+        docs, w, n_buckets=16, bias=0.5, threshold=0.5
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    def sig(z):
+        return 1.0 / (1.0 + math.exp(-z))
+
+    exp1 = sig(0.5 + (wmap.get(bucket("alpha"), 0.0) + wmap.get(bucket("beta"), 0.0)) / 2)
+    exp2 = sig(0.5 + 3 * wmap.get(bucket("gamma"), 0.0) / 3)
+    exp3 = sig(0.5 + 0.0)
+    assert abs(got[1]["quality_score"] - round(exp1, 4)) < 1e-9
+    assert abs(got[2]["quality_score"] - round(exp2, 4)) < 1e-9
+    assert abs(got[3]["quality_score"] - round(exp3, 4)) < 1e-9
+    assert got[1]["keep"] == (exp1 >= 0.5)
+    assert got[2]["keep"] == (exp2 >= 0.5)
+    assert got[3]["keep"] == (exp3 >= 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
