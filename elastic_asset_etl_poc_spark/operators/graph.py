@@ -119,3 +119,59 @@ def pagerank(
     return ranks.crossJoin(n1).select(
         "node", F.round(F.col("rank") * F.col("__n"), 6).alias("rank_scaled")
     )
+
+
+def triangle_count(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge frame →
+    ``(node, n_triangles)`` for every node in at least one triangle.
+
+    Triangle density is the spam/boilerplate-cluster signal on web and
+    near-dup graphs (a k-clique of mutual near-dups is template spam;
+    organic similarity is sparse), and the classic graph statistic a
+    crawl-curation pipeline computes after pair generation.
+
+    Scale shape — the degree-oriented node-iterator algorithm: every
+    edge is oriented ascending by ``(degree, id)``, so each triangle
+    has exactly ONE wedge at its π-minimal vertex and wedge fan-out per
+    edge is bounded by the SMALLER endpoint degree — O(m^1.5) wedges
+    total on any graph (vs O(Σ d²) unoriented, which a single
+    celebrity node makes quadratic).  Two equi-join shuffles (wedge
+    build on source, closing-edge probe on the wedge pair); per-node
+    counts are one explode + hash-agg.
+    """
+    u, v = F.least(F.col(a), F.col(b)), F.greatest(F.col(a), F.col(b))
+    und = edges.select(u.alias("u"), v.alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = und.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    t1_lt_t2 = (F.col("e1.dt") < F.col("e2.dt")) | (
+        (F.col("e1.dt") == F.col("e2.dt")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & t1_lt_t2).select(
+        F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
+    )
+    closing = o.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    tri = wedges.join(closing, ["y", "z"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -53,3 +53,75 @@ def profile_columns(
             )
         ).alias("p")
     ).select("p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Robust outlier clamping (winsorization): clip ``value_col`` to the
+    per-group ``[lo, hi]`` discrete percentiles — the standard defense
+    before means/regressions on heavy-tailed metrics (crawl sizes, event
+    values, token counts), where trimming would bias and dropping would
+    lose rows.
+
+    Percentile definition (replayed exactly by the SQL oracle): the
+    value at 1-based rank ``ceil(q·n)`` in ascending order — classic
+    ``percentile_disc``.  Ties need no tiebreak: equal values give the
+    same rank-k value under any permutation.
+
+    Exact path: one window pass ranks values per group, a per-group
+    aggregate picks the two rank-k values, and the tiny bounds frame
+    broadcasts back — the rank window and the bounds agg share the same
+    hash partitioning, so Catalyst reuses ONE exchange.  At 100-TB the
+    per-group sort is the honest cost of exact percentiles;
+    ``exact=False`` swaps in ``approx_percentile`` (t-digest, map-side
+    partials, no sort) for the scale configuration.
+
+    Adds ``{value_col}_w`` (clamped value), ``clamped_lo``/``clamped_hi``
+    flags.  NULL values pass through unclamped with NULL flags.
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(keys or [])
+    out_col = out_col or f"{value_col}_w"
+    v = F.col(value_col)
+    if exact:
+        part = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+        w_rank = part.orderBy(v.asc())
+        ranked = df.withColumn("__rn", F.row_number().over(w_rank)).withColumn(
+            "__n", F.count(v).over(part)
+        )
+        # NULLs sort first in asc: shift ranks so rank 1 = smallest non-NULL
+        n_null = F.count(F.when(v.isNull(), 1)).over(part)
+        ranked = ranked.withColumn("__rn", F.col("__rn") - n_null)
+        lo_rank = F.ceil(F.lit(lo) * F.col("__n"))
+        hi_rank = F.ceil(F.lit(hi) * F.col("__n"))
+        bounds = ranked.groupBy(*keys).agg(
+            F.max(F.when(F.col("__rn") == lo_rank, v)).alias("__lo_v"),
+            F.max(F.when(F.col("__rn") == hi_rank, v)).alias("__hi_v"),
+        )
+        base = ranked.drop("__rn", "__n")
+    else:
+        bounds = df.groupBy(*keys).agg(
+            F.approx_percentile(v, F.lit(lo)).alias("__lo_v"),
+            F.approx_percentile(v, F.lit(hi)).alias("__hi_v"),
+        )
+        base = df
+    joined = (
+        base.join(F.broadcast(bounds), keys, "left")
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.least(F.greatest(v, F.col("__lo_v")), F.col("__hi_v"))
+    return (
+        joined.withColumn(out_col, F.when(v.isNotNull(), clamped))
+        .withColumn("clamped_lo", F.when(v.isNotNull(), v < F.col("__lo_v")))
+        .withColumn("clamped_hi", F.when(v.isNotNull(), v > F.col("__hi_v")))
+        .drop("__lo_v", "__hi_v")
+    )

@@ -633,3 +633,67 @@ def test_pagerank_star_graph_hand_computed(spark):
         assert abs(out[x] - leaf) < 5e-3
     # total rank mass is conserved EXACTLY each round (teleport + d*total)
     assert abs(sum(out.values()) - 4.0) < 1e-6
+
+
+def test_winsorize_hand_computed_and_nulls(spark):
+    """p05/p95 clamp on a known distribution; NULLs pass through with
+    NULL flags and never shift the percentile ranks; exact and approx
+    paths agree on a smooth distribution."""
+    from elastic_asset_etl_poc_spark.operators.profile import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [("a", None)] * 5
+    rows += [("b", 10.0), ("b", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", keys=["k"], lo=0.05, hi=0.95)
+    a = {r["v"]: r for r in out.filter("k = 'a'").collect() if r["v"] is not None}
+    # n=100: lo rank ceil(5.000...)=5 -> 5.0, hi rank ceil(95.0...)=95 -> 95.0
+    assert a[1.0]["v_w"] == 5.0 and a[1.0]["clamped_lo"] is True
+    assert a[5.0]["v_w"] == 5.0 and a[5.0]["clamped_lo"] is False
+    assert a[50.0]["v_w"] == 50.0
+    assert a[95.0]["v_w"] == 95.0 and a[95.0]["clamped_hi"] is False
+    assert a[100.0]["v_w"] == 95.0 and a[100.0]["clamped_hi"] is True
+    nulls = out.filter("k = 'a' AND v IS NULL").collect()
+    assert len(nulls) == 5
+    assert all(r["v_w"] is None and r["clamped_lo"] is None for r in nulls)
+    # n=3: lo rank ceil(0.15)=1 -> 10.0, hi rank ceil(2.85)=3 -> 30.0
+    b = {r["v"]: r["v_w"] for r in out.filter("k = 'b'").collect()}
+    assert b == {10.0: 10.0, 20.0: 20.0, 30.0: 30.0}
+
+
+def test_winsorize_single_exchange(spark):
+    """The rank window and the bounds aggregate must share one hash
+    partitioning on the group key: exactly one exchange on k."""
+    from elastic_asset_etl_poc_spark.operators.profile import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(50)], "k string, v double"
+    )
+    plan = (
+        winsorize(df, "v", keys=["k"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(k") <= 1
+
+
+def test_triangle_count_hand_computed(spark):
+    """4-clique = 4 triangles (3 per node); star = 0; orientation and
+    input edge order/duplication must not change counts."""
+    from elastic_asset_etl_poc_spark.operators.graph import triangle_count
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, x) for x in (11, 12, 13, 14)]
+    # add reversed duplicates and a self-loop: must all be canonicalized
+    edges = clique + star + [(b, a) for a, b in clique[:3]] + [(2, 2)]
+    df = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_two_shared_triangles(spark):
+    """Two triangles sharing an edge: shared nodes count 2, wing nodes 1."""
+    from elastic_asset_etl_poc_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "doc_a int, doc_b int"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}

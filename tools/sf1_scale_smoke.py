@@ -71,6 +71,14 @@ HEAVY = [
     ("embed_knn_pq", "linear"),  # fixed query set, corpus x10
     ("funnel_fold_events", "linear"),
     ("bigram_logprob_docs", "linear"),
+    ("bpe_train_docs", "linear"),  # word table sublinear (Zipf), fixed rounds
+    ("bpe_tokenize_docs", "linear"),
+    ("interval_join_sessions", "linear"),  # fixed fan-out interval/bucket
+    ("snapshot_diff_orders", "linear"),
+    ("classifier_quality_docs", "linear"),
+    ("winsorize_events", "linear"),
+    ("triangle_docs", "linear"),  # pair graph ~linear on this corpus
+    ("fix_mojibake_docs", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
