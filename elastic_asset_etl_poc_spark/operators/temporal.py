@@ -440,6 +440,44 @@ def band_join(
     return joined.filter(band).drop(f"{on}_r")
 
 
+def rolling_ewma(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    order_by: list[str],
+    alpha: float = 0.5,
+    k: int = 5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the last ``k``
+    observations per key — the feature-engineering smoother (trend
+    signals, rate baselines) in its bounded-memory form.
+
+    ``y_i = Σ_{j<k} α(1−α)^j · v_{i−j} / Σ_{j<k, v_{i−j} exists} α(1−α)^j``
+    — the infinite recursive EWMA truncated at k lags and renormalized
+    over the lags that exist, so early rows (fewer than k predecessors)
+    are unbiased rather than damped toward zero.
+
+    Implementation is an unrolled ``lag`` chain over ONE window pass
+    (one shuffle on the keys, no self-joins, no UDF); the truncation is
+    what makes the operator exactly SQL-replayable — a recursive
+    formulation would need per-row state.  Weights α(1−α)^j with
+    α = m/2^p are exact doubles, so Spark and the oracle agree
+    bit-for-bit.  A NULL current value yields a NULL ewma (propagated,
+    not skipped); NULL *lag* values are skipped and renormalized.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    v = F.col(value_col)
+    num = F.lit(alpha) * v
+    den = F.lit(alpha)
+    for j in range(1, k):
+        wt = alpha * (1 - alpha) ** j
+        lj = F.lag(v, j).over(w)
+        num = num + F.when(lj.isNull(), F.lit(0.0)).otherwise(F.lit(wt) * lj)
+        den = den + F.when(lj.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return df.withColumn(out_col, num / den)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -4842,6 +4842,133 @@ def interval_join_sessions(spark, sf_dir):
 
 
 @q(
+    "ewma_events",
+    """
+WITH b AS (
+  SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       round((0.5 * value
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 * l1 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 * l2 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 * l3 END)
+             / (0.5
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END), 4) AS ewma
+FROM b
+""",
+)
+def ewma_events(spark, sf_dir):
+    """Bounded-memory EWMA smoothing per user (operators/temporal.py
+    rolling_ewma): α=0.5 over the last 4 observations, unrolled lag
+    chain in ONE window pass — no self-join, no per-row state, and the
+    truncation is exactly what makes the recursive smoother
+    SQL-replayable.  Early rows renormalize over the lags that exist
+    (unbiased instead of damped toward zero)."""
+    from .operators.temporal import rolling_ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_ewma(
+        ev, "value", keys=["user_id"], order_by=["ts", "event_id"],
+        alpha=0.5, k=4,
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
+#: per-(sf_dir, fmt) staged text-format copies of the fixtures — built
+#: once per process (same lifecycle as the streaming fixture staging)
+_TEXT_STAGED: dict = {}
+
+
+def _staged_textfile(spark, sf_dir: str, fmt: str) -> str:
+    key = (sf_dir, fmt)
+    if key not in _TEXT_STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix=f"sg_{fmt}_")
+        if fmt == "jsonl":
+            load_table(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+        else:
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ).write.mode("overwrite").option("header", True).csv(d)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _TEXT_STAGED[key] = d
+    return _TEXT_STAGED[key]
+
+
+@q(
+    "jsonl_scan_docs",
+    """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(text)) AS BIGINT) AS total_len
+FROM documents GROUP BY 1
+""",
+)
+def jsonl_scan_docs(spark, sf_dir):
+    """NDJSON source (sources/textfiles.py read_jsonl): the documents
+    table staged as JSON Lines (what a crawl dump actually looks like)
+    and read back with a MANDATORY explicit schema — no inference pass
+    (double scan + silently drifting schema at 100 TB), PERMISSIVE
+    corrupt-row quarantine.  Hash-checked against the parquet table:
+    the text round-trips byte-exact through the jsonl encode/decode."""
+    from .sources.textfiles import read_jsonl
+
+    path = _staged_textfile(spark, sf_dir, "jsonl")
+    docs = read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_len"),
+    )
+
+
+@q(
+    "csv_scan_orders",
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY 1
+""",
+)
+def csv_scan_orders(spark, sf_dir):
+    """CSV source (sources/textfiles.py read_csv): orders staged as
+    headered CSV and read back schema-first (PERMISSIVE, quarantine
+    column available) — numeric aggregates hash-match the parquet
+    original, proving the codec round-trip."""
+    from .sources.textfiles import read_csv
+
+    path = _staged_textfile(spark, sf_dir, "csv")
+    o = read_csv(
+        spark,
+        path,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+    )
+
+
+@q(
     "triangle_docs",
     f"""
 WITH {_JACCARD_CTES},

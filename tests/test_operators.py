@@ -697,3 +697,27 @@ def test_triangle_count_two_shared_triangles(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_rolling_ewma_hand_computed(spark):
+    """Truncated-renormalized EWMA: first rows renormalize over existing
+    lags; NULL current value propagates; keys are isolated."""
+    from elastic_asset_etl_poc_spark.operators.temporal import rolling_ewma
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("a", 4, 40.0),
+        ("b", 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    out = {
+        (r["k"], r["i"]): r["ewma"]
+        for r in rolling_ewma(
+            df, "v", keys=["k"], order_by=["i"], alpha=0.5, k=3
+        ).collect()
+    }
+    assert abs(out[("a", 1)] - 10.0) < 1e-12                      # only itself
+    assert abs(out[("a", 2)] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-12
+    assert out[("a", 3)] is None                                  # NULL v propagates
+    # row 4: lags are (None at j=1 -> skip, 20.0 at j=2)
+    assert abs(out[("a", 4)] - (0.5 * 40 + 0.125 * 20) / 0.625) < 1e-12
+    assert abs(out[("b", 1)] - 7.0) < 1e-12
