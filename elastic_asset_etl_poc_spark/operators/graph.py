@@ -175,3 +175,69 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed edge frame →
+    ``(node, role 'hub'|'authority', score)``, L1-normalized per round.
+
+    The complement of :func:`pagerank` for bipartite-ish interaction
+    graphs (buyer→product, crawler→page, query→doc): hubs score
+    good *selectors*, authorities good *selections* — the two-sided
+    importance signal source-weighting wants where a single rank
+    conflates them.
+
+    Same scale shape as pagerank: the edge frame checkpoints ONCE and
+    never re-shuffles; each of the ``iters`` rounds is two map-side
+    broadcast joins (score frames are node-dimension-sized) + two
+    partial-agg sums, with the L1 total riding a broadcast 1-row frame
+    — no driver action anywhere.  Pass ``broadcast_scores=False`` for
+    web-graph scale where node frames outgrow the broadcast budget
+    (both sides then hash-join; pre-partition the edge frame on the
+    join key).  Fixed iteration count keeps it oracle-replayable.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    bc = F.broadcast if broadcast_scores else (lambda df: df)
+    hubs = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("h")
+    )
+    auth = None
+    for it in range(iters):
+        a_raw = (
+            e.join(bc(hubs), e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("s"))
+        )
+        a_tot = F.broadcast(a_raw.agg(F.sum("s").alias("__t")))
+        auth = a_raw.crossJoin(a_tot).select(
+            "node", (F.col("s") / F.col("__t")).alias("a")
+        )
+        h_raw = (
+            e.join(bc(auth), e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("s"))
+        )
+        h_tot = F.broadcast(h_raw.agg(F.sum("s").alias("__t")))
+        hubs = h_raw.crossJoin(h_tot).select(
+            "node", (F.col("s") / F.col("__t")).alias("h")
+        )
+        if it % 2 == 1 or it == iters - 1:
+            hubs = hubs.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    return hubs.select(
+        "node", F.lit("hub").alias("role"), F.round("h", 6).alias("score")
+    ).unionByName(
+        auth.select(
+            "node",
+            F.lit("authority").alias("role"),
+            F.round("a", 6).alias("score"),
+        )
+    )

@@ -461,6 +461,47 @@ def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kl_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution:
+    ``KL(p_doc ‖ p_corpus) = Σ_tok p_doc·ln(p_doc/p_corpus)`` — the
+    distribution-shift / novelty signal (high = off-distribution
+    content worth inspecting or upweighting; ~0 = boilerplate).  The
+    directional complement of :func:`unigram_logprob`'s typicality
+    score; in production the corpus table is a fixed reference
+    distribution and the same plan measures drift of a NEW crawl drop
+    against it.
+
+    Scale shape identical to unigram_logprob: one explode, a
+    vocabulary-sized frequency table broadcast back, one per-doc
+    hash-agg over (doc, tok) counts.  KL is always finite here because
+    every doc token exists in the corpus table (p_corpus > 0).
+    """
+    base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
+    exploded = base.select("doc_id", F.explode("__toks").alias("tok"))
+    freqs = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = exploded.agg(F.count(F.lit(1)).alias("__total"))
+    from pyspark.sql.window import Window
+
+    dt = exploded.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("__dc")
+    )
+    # doc length via a frame-less window sum: the doc_id exchange it
+    # introduces is the SAME partitioning the final groupBy needs, so
+    # Catalyst reuses one exchange instead of a join round-trip
+    dt = dt.withColumn(
+        "__dl", F.sum("__dc").over(Window.partitionBy("doc_id"))
+    )
+    scored = dt.join(F.broadcast(freqs), "tok").crossJoin(
+        F.broadcast(total)
+    )
+    p_doc = F.col("__dc") / F.col("__dl")
+    p_corp = F.col("__cnt") / F.col("__total")
+    return scored.groupBy("doc_id").agg(
+        F.sum("__dc").cast("long").alias("n_tokens"),
+        F.round(F.sum(p_doc * F.log(p_doc / p_corp)), 4).alias("kl_novelty"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 32,

@@ -2818,10 +2818,13 @@ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn)
 #: the orders x lineitem distinct join dominates repeat invocations
 #: (bench runs each query 3x; same train-once rationale as _PQ_BOOKS)
 _PR_EDGES: dict = {}
+_DIR_EDGES: dict = {}
 
 
-def _pr_edges(spark, sf_dir):
-    if sf_dir not in _PR_EDGES:
+def _directed_edges(spark, sf_dir):
+    """Distinct customer→supplier purchase edges, checkpointed once per
+    process — shared by pagerank (symmetrized) and HITS (directed)."""
+    if sf_dir not in _DIR_EDGES:
         o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         eb = (
@@ -2832,6 +2835,13 @@ def _pr_edges(spark, sf_dir):
             )
             .distinct()
         )
+        _DIR_EDGES[sf_dir] = eb.localCheckpoint(eager=True)
+    return _DIR_EDGES[sf_dir]
+
+
+def _pr_edges(spark, sf_dir):
+    if sf_dir not in _PR_EDGES:
+        eb = _directed_edges(spark, sf_dir)
         e = eb.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
             eb.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
@@ -4838,6 +4848,109 @@ def interval_join_sessions(spark, sf_dir):
             F.least(us("end"), us("end_r"))
             - F.greatest(us("start"), us("start_r"))
         ).alias("overlap_us"),
+    )
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    """Unrolled HITS recurrence (aggregates are illegal in recursive
+    CTEs — same device as the pagerank oracle)."""
+    ctes = [
+        """eb AS (SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS ca,
+                        's' || l.l_suppkey::VARCHAR AS sb
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+h0 AS (SELECT DISTINCT ca AS node, CAST(1.0 AS DOUBLE) AS h FROM eb)"""
+    ]
+    for i in range(1, iters + 1):
+        # MATERIALIZED is load-bearing: each score CTE is referenced
+        # twice (join + its L1 total), so inlining would re-evaluate the
+        # whole chain per reference — 2^iters blowup
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (SELECT sb AS node, sum(h) AS s FROM eb
+          JOIN h{i - 1} ON h{i - 1}.node = eb.ca GROUP BY 1),
+at{i} AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM ar{i}) AS a
+          FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT ca AS node, sum(a) AS s FROM eb
+          JOIN at{i} ON at{i}.node = eb.sb GROUP BY 1),
+h{i} AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM hr{i}) AS h
+          FROM hr{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, 'hub' AS role, round(h, 6) AS score FROM h{iters}
+UNION ALL
+SELECT node, 'authority' AS role, round(a, 6) AS score FROM at{iters}"""
+    )
+
+
+@q("hits_cust_supp", _hits_oracle(5))
+def hits_cust_supp(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.py hits) on the directed
+    customer→supplier purchase graph: hubs = customers that select
+    broadly, authorities = suppliers selected by good hubs — the
+    two-sided importance signal pagerank's single rank conflates.
+    Edge frame checkpointed once; each round is two broadcast map-side
+    joins + two partial-agg sums, L1 totals ride broadcast 1-row
+    frames.  Oracle: the identical 5-round recurrence unrolled as
+    CTEs."""
+    from .operators.graph import hits
+
+    edges = _directed_edges(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return hits(edges, iters=5)
+
+
+@q(
+    "kl_novelty_docs",
+    """
+WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+f AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+t AS (SELECT count(*) AS total FROM e),
+dt AS (SELECT doc_id, tok, count(*) AS dc FROM e GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(dc) AS dl FROM dt GROUP BY 1)
+SELECT dt.doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+       round(sum((dc * 1.0 / dl) * ln((dc * 1.0 / dl)
+                 / (cnt * 1.0 / total))), 4) AS kl_novelty
+FROM dt JOIN dl USING (doc_id) JOIN f USING (tok) CROSS JOIN t
+GROUP BY dt.doc_id
+""",
+)
+def kl_novelty_docs(spark, sf_dir):
+    """Distribution-shift scoring (operators/text.py kl_novelty):
+    per-doc KL(p_doc ‖ p_corpus) over unigrams — the novelty complement
+    of the unigram typicality score; against a FIXED reference table
+    the same plan drift-checks a new crawl drop.  One explode,
+    broadcast vocab join, and the doc-length window reuses the final
+    groupBy's exchange."""
+    from .operators.text import kl_novelty
+
+    return kl_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "quantile_normalize_orders",
+    """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 6) AS price_pr
+FROM orders
+""",
+)
+def quantile_normalize_orders(spark, sf_dir):
+    """Per-group quantile normalization (rank-to-[0,1] feature
+    transform): percent_rank of order value within its priority class —
+    the scale-free normalization feeding comparable features into
+    mixing/sampling weights.  One window shuffle; ties share a rank so
+    the output is deterministic without a tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pr"),
     )
 
 

@@ -721,3 +721,23 @@ def test_rolling_ewma_hand_computed(spark):
     # row 4: lags are (None at j=1 -> skip, 20.0 at j=2)
     assert abs(out[("a", 4)] - (0.5 * 40 + 0.125 * 20) / 0.625) < 1e-12
     assert abs(out[("b", 1)] - 7.0) < 1e-12
+
+
+def test_hits_hand_computed_two_rounds(spark):
+    """c1->{s1,s2}, c2->{s1}: after 2 L1-normalized rounds the scores
+    match the closed-form recurrence; each role sums to 1."""
+    from elastic_asset_etl_poc_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], "src string, dst string"
+    )
+    out = {(r["role"], r["node"]): r["score"] for r in hits(edges, iters=2).collect()}
+    # round 1: a=(2/3,1/3) h=(3/5,2/5); round 2: a=(0.625,0.375),
+    # h=(1,0.625)/1.625
+    assert abs(out[("authority", "s1")] - 0.625) < 1e-9
+    assert abs(out[("authority", "s2")] - 0.375) < 1e-9
+    assert abs(out[("hub", "c1")] - round(1 / 1.625, 6)) < 1e-9
+    assert abs(out[("hub", "c2")] - round(0.625 / 1.625, 6)) < 1e-9
+    for role in ("hub", "authority"):
+        tot = sum(v for (rl, _), v in out.items() if rl == role)
+        assert abs(tot - 1.0) < 1e-4

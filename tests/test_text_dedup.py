@@ -639,3 +639,24 @@ def test_linear_classifier_hand_computed(spark):
     assert got[3]["keep"] == (exp3 >= 0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kl_novelty_hand_computed(spark):
+    """d1='a a', d2='b' vs corpus {a:2,b:1}: KL(d1)=ln(3/2), KL(d2)=ln(3);
+    a doc matching the corpus distribution exactly scores 0."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import kl_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kl_novelty(df).collect()}
+    assert out[1]["n_tokens"] == 2 and out[2]["n_tokens"] == 1
+    assert abs(out[1]["kl_novelty"] - round(math.log(1.5), 4)) < 1e-9
+    assert abs(out[2]["kl_novelty"] - round(math.log(3.0), 4)) < 1e-9
+
+    solo = kl_novelty(
+        spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    ).collect()[0]
+    assert solo["kl_novelty"] == 0.0
