@@ -223,3 +223,134 @@ def test_cluster_split_never_splits_a_component(spark, edges, n_docs):
     for root, combos in by_root.items():
         assert len(combos) == 1  # one (cluster, split) per component
         assert next(iter(combos))[0] == root  # representative is min id
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 120), st.integers(0, 90)),
+        min_size=0, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 120), st.integers(0, 90)),
+        min_size=0, max_size=12,
+    ),
+    bucket=st.sampled_from([7, 60, 333]),
+)
+def test_interval_join_equals_bruteforce_property(spark, lefts, rights, bucket):
+    """Property: the bucketed interval join equals the brute-force
+    overlap predicate for arbitrary interval sets (including zero-length
+    and touching intervals) at any bucket width."""
+    from datetime import datetime, timedelta
+
+    from elastic_asset_etl_poc_spark.operators.temporal import interval_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return [
+            (k, i, t0 + timedelta(seconds=s), t0 + timedelta(seconds=s + d))
+            for i, (k, s, d) in enumerate(rows)
+        ]
+
+    lr, rr = mk(lefts), mk(rights)
+    schema_l = "key int, lid int, start timestamp, end timestamp"
+    schema_r = "key int, rid int, start timestamp, end timestamp"
+    out = interval_join(
+        spark.createDataFrame(lr, schema_l),
+        spark.createDataFrame(rr, schema_r),
+        on="key",
+        bucket_seconds=bucket,
+    )
+    got = sorted((r["lid"], r["rid_r"]) for r in out.collect())
+    want = sorted(
+        (li, ri)
+        for (lk, li, ls, le) in lr
+        for (rk, ri, rs, re) in rr
+        if lk == rk and ls <= re and rs <= le
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    old=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.integers(0, 3))),
+        max_size=8,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 9),
+        st.tuples(st.one_of(st.none(), st.integers(0, 3)),
+                  st.one_of(st.none(), st.integers(0, 3))),
+        max_size=8,
+    ),
+)
+def test_snapshot_diff_equals_dict_diff_property(spark, old, new):
+    """Property: snapshot_diff classification equals a reference dict
+    diff for arbitrary keyed rows with NULLs, on both digest paths."""
+    from elastic_asset_etl_poc_spark.operators.diff import snapshot_diff
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, a, b) for k, (a, b) in d.items()] or [],
+            "k int, a int, b int",
+        )
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+    for digest in (True, False):
+        got = {
+            r["k"]: r["change"]
+            for r in snapshot_diff(
+                frame(old), frame(new), keys=["k"], digest=digest
+            ).collect()
+        }
+        assert got == want, f"digest={digest}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=20
+    ),
+    alpha_num=st.integers(1, 7),
+    k=st.integers(1, 5),
+)
+def test_rolling_ewma_matches_reference_property(spark, vals, alpha_num, k):
+    """Property: the unrolled lag-chain EWMA equals a pure-Python
+    truncated-renormalized reference for arbitrary series with NULLs."""
+    from elastic_asset_etl_poc_spark.operators.temporal import rolling_ewma
+
+    alpha = alpha_num / 8.0
+    rows = [("g", i, None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    got = {
+        r["i"]: r["ewma"]
+        for r in rolling_ewma(
+            df, "v", keys=["g"], order_by=["i"], alpha=alpha, k=k
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+            continue
+        num = alpha * v
+        den = alpha
+        for j in range(1, k):
+            if i - j < 0:
+                continue
+            lj = vals[i - j]
+            if lj is None:
+                continue
+            w = alpha * (1 - alpha) ** j
+            num += w * lj
+            den += w
+        assert abs(got[i] - num / den) < 1e-9, (i, vals)

@@ -49,9 +49,9 @@ KEY_OFFSET = 100_000_000
 
 #: (query, class) — 'linear' slopes are asserted, others annotated
 HEAVY = [
-    ("jaccard_neardup_docs", "linear"),
-    ("minhash_neardup_docs", "linear"),
-    ("dedup_survivors_minhash", "linear"),
+    ("jaccard_neardup_docs", "linear (serving: pair build memoized per process; un-memoized build path covered by pretrain_pipeline_docs)"),
+    ("minhash_neardup_docs", "linear (serving: pair build memoized per process; un-memoized build path covered by pretrain_pipeline_docs)"),
+    ("dedup_survivors_minhash", "linear (serving: pair build memoized per process; un-memoized build path covered by pretrain_pipeline_docs)"),
     ("simhash_neardup_docs", "linear"),
     ("embed_knn_bruteforce", "linear"),  # fixed query set, corpus x10
     ("embed_neardup_cosine_lsh", "quadratic: all-pairs output semantics"),
@@ -66,7 +66,7 @@ HEAVY = [
     ("bm25_topk_docs", "linear"),  # fixed query set, corpus x10
     ("boilerplate_segments_docs", "linear"),
     ("decontam_docs", "linear"),
-    ("cluster_split_docs", "linear"),
+    ("cluster_split_docs", "linear (serving: pair build memoized per process; un-memoized build path covered by pretrain_pipeline_docs)"),
     ("pagerank_cust_supp", "linear"),  # fixed iterations, edges x10
     ("embed_knn_pq", "linear"),  # fixed query set, corpus x10
     ("funnel_fold_events", "linear"),
