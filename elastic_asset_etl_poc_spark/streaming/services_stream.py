@@ -114,15 +114,23 @@ def stream_windowed_counts(
     source_dir: str,
     window: str = "1 day",
     watermark: str = "1 day",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window signal counts per metricset — the canonical
     watermark + windowed aggregation (append-mode capable; late data
-    beyond the watermark is dropped)."""
+    beyond the watermark is dropped).  ``slide`` switches to a hopping
+    window (each event lands in window/slide overlapping windows; state
+    scales by the same factor — bounded, priced-in overlap)."""
     sig = stream_signals(spark, source_dir)
+    win = (
+        F.window(F.col("`@timestamp`"), window, slide)
+        if slide
+        else F.window(F.col("`@timestamp`"), window)
+    )
     return (
         sig.withWatermark("`@timestamp`", watermark)
         .groupBy(
-            F.window(F.col("`@timestamp`"), window).alias("w"),
+            win.alias("w"),
             F.col("`metricset.name`").alias("metricset_name"),
         )
         .agg(F.count(F.lit(1)).alias("n"))

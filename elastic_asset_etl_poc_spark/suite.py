@@ -4137,6 +4137,44 @@ def stream_windowed_counts_daily(spark, sf_dir):
 
 
 @q(
+    "stream_sliding_counts_2d",
+    _sig()
+    + """
+SELECT CAST(ws AS TIMESTAMP) AS window_start, metricset_name,
+       count(*) AS n
+FROM (SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                     date_trunc('day', ts)]) AS ws,
+             metricset_name
+      FROM signals)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_counts_2d(spark, sf_dir):
+    """§2.9 HOPPING-window streaming counts: 2-day windows sliding
+    1 day — each event maintains two overlapping windows (trend
+    smoothing without a batch re-agg).  Epoch-aligned window starts are
+    exactly {day(ts)−1d, day(ts)}, which is how the batch oracle
+    replays the assignment; state scales by window/slide, bounded and
+    priced in.  Drained availableNow, hash-checked like the tumbling
+    twin."""
+    import uuid
+
+    from .streaming import run_to_memory, stream_windowed_counts
+
+    name = f"slide_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        qy = run_to_memory(
+            stream_windowed_counts(
+                spark, _staged_events(sf_dir), window="2 days", slide="1 day"
+            ),
+            name,
+            "complete",
+        )
+        qy.stop()
+    return spark.table(name)
+
+
+@q(
     "stream_topk_types_daily",
     _sig()
     + """
@@ -4848,6 +4886,46 @@ def interval_join_sessions(spark, sf_dir):
             F.least(us("end"), us("end_r"))
             - F.greatest(us("start"), us("start_r"))
         ).alias("overlap_us"),
+    )
+
+
+@q(
+    "rollup_revenue_orders",
+    """
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+            AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def rollup_revenue_orders(spark, sf_dir):
+    """OLAP ROLLUP hierarchy in one pass: revenue at (priority, status),
+    per-priority subtotals, and the grand total — Spark's Expand feeds
+    every grouping set through ONE shuffle instead of 3 scans + union;
+    grouping() disambiguates real NULL keys from subtotal rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            ).cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias(
+                "priority"
+            ),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
     )
 
 
