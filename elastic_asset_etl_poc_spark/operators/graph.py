@@ -206,38 +206,44 @@ def hits(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct().localCheckpoint(eager=True)
     bc = F.broadcast if broadcast_scores else (lambda df: df)
+    # Normalization is deferred to the END: h and a grow by ~mean-degree
+    # per half-round (double overflow needs growth^(2·iters) > 1e308 —
+    # not reachable at 5 rounds even on a degree-1000 graph), and the
+    # final L1 division yields the identical result while HALVING the
+    # per-round job count (no 1-row total broadcast + crossJoin per
+    # half-step).  The oracle replays this same end-normalized
+    # recurrence, so the formulations stay hash-consistent.
     hubs = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1.0).alias("h")
     )
     auth = None
     for it in range(iters):
-        a_raw = (
+        auth = (
             e.join(bc(hubs), e["src"] == hubs["node"])
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("s"))
+            .agg(F.sum("h").alias("a"))
         )
-        a_tot = F.broadcast(a_raw.agg(F.sum("s").alias("__t")))
-        auth = a_raw.crossJoin(a_tot).select(
-            "node", (F.col("s") / F.col("__t")).alias("a")
-        )
-        h_raw = (
+        hubs = (
             e.join(bc(auth), e["dst"] == auth["node"])
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("s"))
-        )
-        h_tot = F.broadcast(h_raw.agg(F.sum("s").alias("__t")))
-        hubs = h_raw.crossJoin(h_tot).select(
-            "node", (F.col("s") / F.col("__t")).alias("h")
+            .agg(F.sum("a").alias("h"))
         )
         if it % 2 == 1 or it == iters - 1:
             hubs = hubs.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
-    return hubs.select(
-        "node", F.lit("hub").alias("role"), F.round("h", 6).alias("score")
-    ).unionByName(
-        auth.select(
+    h_tot = F.broadcast(hubs.agg(F.sum("h").alias("__t")))
+    a_tot = F.broadcast(auth.agg(F.sum("a").alias("__t")))
+    return (
+        hubs.crossJoin(h_tot)
+        .select(
             "node",
-            F.lit("authority").alias("role"),
-            F.round("a", 6).alias("score"),
+            F.lit("hub").alias("role"),
+            F.round(F.col("h") / F.col("__t"), 6).alias("score"),
+        )
+        .unionByName(
+            auth.crossJoin(a_tot).select(
+                "node",
+                F.lit("authority").alias("role"),
+                F.round(F.col("a") / F.col("__t"), 6).alias("score"),
+            )
         )
     )

@@ -4939,26 +4939,25 @@ def _hits_oracle(iters: int = 5) -> str:
 h0 AS (SELECT DISTINCT ca AS node, CAST(1.0 AS DOUBLE) AS h FROM eb)"""
     ]
     for i in range(1, iters + 1):
-        # MATERIALIZED is load-bearing: each score CTE is referenced
-        # twice (join + its L1 total), so inlining would re-evaluate the
-        # whole chain per reference — 2^iters blowup
+        # MATERIALIZED is load-bearing: score CTEs are referenced twice
+        # (next half-step + final total), so inlining would re-evaluate
+        # the whole chain per reference — 2^iters blowup.  Recurrence is
+        # END-normalized, matching graph.hits exactly.
         ctes.append(
-            f"""ar{i} AS MATERIALIZED (SELECT sb AS node, sum(h) AS s FROM eb
+            f"""a{i} AS MATERIALIZED (SELECT sb AS node, sum(h) AS a FROM eb
           JOIN h{i - 1} ON h{i - 1}.node = eb.ca GROUP BY 1),
-at{i} AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM ar{i}) AS a
-          FROM ar{i}),
-hr{i} AS MATERIALIZED (SELECT ca AS node, sum(a) AS s FROM eb
-          JOIN at{i} ON at{i}.node = eb.sb GROUP BY 1),
-h{i} AS MATERIALIZED (SELECT node, s / (SELECT sum(s) FROM hr{i}) AS h
-          FROM hr{i})"""
+h{i} AS MATERIALIZED (SELECT ca AS node, sum(a) AS h FROM eb
+          JOIN a{i} ON a{i}.node = eb.sb GROUP BY 1)"""
         )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT node, 'hub' AS role, round(h, 6) AS score FROM h{iters}
+SELECT node, 'hub' AS role,
+       round(h / (SELECT sum(h) FROM h{iters}), 6) AS score FROM h{iters}
 UNION ALL
-SELECT node, 'authority' AS role, round(a, 6) AS score FROM at{iters}"""
+SELECT node, 'authority' AS role,
+       round(a / (SELECT sum(a) FROM a{iters}), 6) AS score FROM a{iters}"""
     )
 
 
