@@ -4890,6 +4890,101 @@ def interval_join_sessions(spark, sf_dir):
 
 
 @q(
+    "cohort_retention_events",
+    """
+WITH fw AS (SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+            FROM events GROUP BY 1),
+act AS (SELECT DISTINCT e.user_id, fw.cohort,
+               CAST(floor(date_diff('day', fw.cohort,
+                                    date_trunc('week', e.ts)) / 7)
+                    AS INTEGER) AS week_n
+        FROM events e JOIN fw USING (user_id)),
+size_ AS (SELECT cohort, count(*) AS cohort_users FROM fw GROUP BY 1)
+SELECT act.cohort, week_n, count(*) AS n_active,
+       round(count(*) * 100.0 / s.cohort_users, 2) AS retention_pct
+FROM act JOIN size_ s ON s.cohort = act.cohort
+GROUP BY act.cohort, week_n, s.cohort_users
+""",
+)
+def cohort_retention_events(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked by distinct active weeks since — THE product/engagement
+    rollup, and the data-curation analog (contributor longevity per
+    crawl source).  Two hash-aggs + a broadcast cohort-size join; the
+    distinct rides the aggregate, no window over the corpus.  Weeks
+    are date_trunc-aligned in both engines, so the matrix hash-matches
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c).cast("timestamp")  # noqa: E731
+    fw = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort"))
+    act = (
+        ev.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(wk(F.col("ts")), F.col("cohort")) / 7
+            ).cast("int").alias("week_n"),
+        )
+        .distinct()
+    )
+    size = fw.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    return (
+        act.join(F.broadcast(size), "cohort")
+        .groupBy("cohort", "week_n", "cohort_users")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort",
+            "week_n",
+            "n_active",
+            F.round(
+                F.col("n_active") * 100.0 / F.col("cohort_users"), 2
+            ).alias("retention_pct"),
+        )
+    )
+
+
+@q(
+    "event_transitions",
+    """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS next_type
+           FROM events),
+c AS (SELECT event_type, next_type, count(*) AS n FROM s
+      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.event_type, c.next_type, c.n,
+       round(c.n * 1.0 / t.tot, 4) AS p
+FROM c JOIN t USING (event_type)
+""",
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (behavioral fingerprint; bot/spam sequences show
+    degenerate transition mass).  One window shuffle for the lead, two
+    tiny aggs; the |types|² matrix broadcasts for the probability
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+        )
+    )
+
+
+@q(
     "rollup_revenue_orders",
     """
 SELECT coalesce(o_orderpriority, '(all)') AS priority,
