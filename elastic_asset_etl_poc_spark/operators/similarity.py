@@ -934,3 +934,117 @@ def load_codebooks(spark, path: str):
     for r in rows:
         B[r.subspace][r.centroid_id] = r.vector
     return B
+
+
+# ---------------------------------------------------------------------------
+# SQ8: int8 scalar quantization — the simplest ANN memory tier (4× smaller
+# than float32, 8× smaller than the double working set), and the only lossy
+# tier whose scoring is EXACTLY SQL-replayable (pure per-dim arithmetic, no
+# trained codebooks), so the driver hash-checks the full neighbor surface
+# instead of a recall bound.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension [min, max] bounds → a 1-row frame
+    ``(mn array<double>, mx array<double>)``.
+
+    Fully distributed: posexplode → per-dim agg → collect_list into
+    ordered arrays inside a 1-row aggregate — no driver action, no
+    sampled train set (bounds are exact corpus min/max).  Like the
+    IVF/PQ artifacts, persist the 1-row frame to parquet and reuse it
+    for every future encode.
+    """
+    pe = embeddings.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("d", "v")
+    )
+    mm = pe.groupBy("d").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    packed = F.array_sort(F.collect_list(F.struct("d", "mn", "mx")))
+    return mm.agg(
+        F.transform(packed, lambda s: s["mn"]).alias("mn"),
+        F.transform(packed, lambda s: s["mx"]).alias("mx"),
+    )
+
+
+def _sq8_codes(vec, mn, mx):
+    """floor-quantize to 0..255; constant dims (mx==mn) code to 0.
+    floor (not round) keeps the encode bit-identical across engines —
+    no half-way tie semantics to align."""
+    return F.zip_with(
+        vec,
+        F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
+        lambda v, s: F.when(
+            s["mx"] > s["mn"],
+            F.least(
+                F.floor((v - s["mn"]) * 255.0 / (s["mx"] - s["mn"])),
+                F.lit(255),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, codes array<int>)`` via the broadcast 1-row
+    bounds frame.  Map-only; at 100 TB this is the one full-corpus pass
+    that writes the compressed store."""
+    return embeddings.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        _sq8_codes(_as_double(F.col(vec_col)), F.col("mn"), F.col("mx")).alias(
+            "codes"
+        ),
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    bounds: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the SQ8 store → (query_id, neighbor_id, rank):
+    dequantize ``mn + code·(mx−mn)/255`` per dim, cosine against the
+    raw query vector, per-query top-k window with (cos DESC, id ASC)
+    tiebreak — the same contract as :func:`cosine_topk`, over vectors
+    a quarter the size.  Queries and bounds broadcast; the corpus scan
+    stays map-side until the one top-k exchange."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    deq = F.zip_with(
+        F.col("codes"),
+        F.zip_with(
+            F.col("mn"), F.col("mx"),
+            lambda a, b: F.struct(a.alias("mn"), b.alias("mx")),
+        ),
+        lambda c, s: s["mn"] + c * (s["mx"] - s["mn"]) / 255.0,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(bounds))
+        .select(F.col(id_col).alias("neighbor_id"), deq.alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    cos = _dot(F.col("ev"), F.col("qv")) / (
+        _norm(F.col("ev")) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1253,6 +1253,57 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+_SQ8_SQL = """
+WITH pe AS (SELECT i AS d, embedding[i]::DOUBLE AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)),
+mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM pe GROUP BY d),
+ba AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM mm),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+enc AS (
+  SELECT e.vec_id AS neighbor_id,
+         list_transform(generate_series(1, len(e.embedding)),
+           i -> CASE WHEN a.mx[i] > a.mn[i]
+                THEN a.mn[i]
+                     + least(floor((e.embedding[i]::DOUBLE - a.mn[i])
+                                   * 255.0 / (a.mx[i] - a.mn[i])), 255)
+                       * (a.mx[i] - a.mn[i]) / 255.0
+                ELSE a.mn[i] END) AS ev
+  FROM embeddings e CROSS JOIN ba a),
+scored AS (
+  SELECT q.query_id, enc.neighbor_id,
+         list_dot_product(enc.ev, q.qv)
+           / (sqrt(list_dot_product(enc.ev, enc.ev))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM enc, q WHERE enc.neighbor_id <> q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@q("embed_knn_sq8", _SQ8_SQL)
+def embed_knn_sq8(spark, sf_dir):
+    """ANN over the int8 scalar-quantized store (operators/similarity.py
+    sq8_train/encode/topk): 4× smaller corpus vectors, floor-quantized
+    against exact per-dim bounds learned with NO driver action
+    (posexplode → per-dim agg → ordered collect into a 1-row broadcast
+    frame).  Unlike PQ/IVF, SQ8 scoring is pure per-dim arithmetic, so
+    the oracle replays encode + dequant + cosine + rank EXACTLY — a
+    lossy ANN tier whose full neighbor surface is hash-checked, not
+    bounded by a recall audit."""
+    from .operators.similarity import sq8_encode, sq8_topk, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq8_train(emb)
+    codes = sq8_encode(emb, bounds)
+    return sq8_topk(codes, bounds, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @q("embed_knn_bruteforce", _KNN_SQL)
 def embed_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for query vectors vec_id<5 (broadcast brute force)."""

@@ -336,3 +336,56 @@ def test_pq_codebooks_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=B).collect()))
     b = sorted(map(tuple, pq_topk(emb, q, k=5, codebooks=B2).collect()))
     assert a == b
+
+
+def test_sq8_codes_bounds_and_constant_dim(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train,
+    )
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [1.0, 5.0, 1.0]),
+        (3, [0.5, 5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b = sq8_train(df)
+    mn, mx = b.collect()[0]
+    assert mn == [0.0, 5.0, -1.0] and mx == [1.0, 5.0, 1.0]
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(df, b).collect()}
+    for cs in codes.values():
+        assert all(0 <= c <= 255 for c in cs)
+    assert codes[1][0] == 0 and codes[2][0] == 255
+    # constant dim (mx == mn) codes to 0 for every row
+    assert all(codes[i][1] == 0 for i in (1, 2, 3))
+    assert codes[2][2] == 255 and codes[1][2] == 0
+
+
+def test_sq8_topk_high_recall_vs_exact(spark):
+    """8-bit quantization on smooth random vectors: recall@10 vs the
+    exact brute force should be near 1 (>= 0.9 asserted)."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=16).astype(float).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(df, qs, k=10).collect()
+    }
+    b = sq8_train(df)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(sq8_encode(df, b), b, qs, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
