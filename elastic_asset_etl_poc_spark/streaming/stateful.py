@@ -358,3 +358,97 @@ def stream_sessionize_closed(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous EWMA enrichment: the streaming twin of
+# operators/temporal.py:rolling_ewma — same truncated-renormalized
+# semantics (k-row tail, NULL lags skipped and renormalized), so a
+# single-run availableNow replay is hash-equal to the batch lag chain.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.5
+EWMA_K = 4
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+#: the key's last k−1 values in time order (NaN marks a NULL value —
+#: it occupies a lag position but contributes no weight)
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("tail", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _ewma_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    (user_id,) = key
+    tail: list = list(state.get[0]) if state.exists else []
+    tail = [float("nan") if v is None else float(v) for v in tail]
+
+    chunks = [
+        pd.DataFrame(
+            {
+                "ts_us": pdf["ts"].astype("datetime64[ns]").astype("int64")
+                // 1000,
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+            }
+        )
+        for pdf in pdfs
+    ]
+    out = []
+    if chunks:
+        # chunk boundaries are arbitrary: concatenate then sort ONCE by
+        # (ts, event_id) — the same total order the batch operator uses
+        work = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "event_id"], kind="stable"
+        )
+        for r in work.itertuples(index=False):
+            null_v = pd.isna(r.value)
+            if null_v:
+                ewma = None
+            else:
+                num = EWMA_ALPHA * float(r.value)
+                den = EWMA_ALPHA
+                for j in range(1, EWMA_K):
+                    if j <= len(tail):
+                        lj = tail[-j]
+                        if not math.isnan(lj):
+                            w = EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j
+                            num += w * lj
+                            den += w
+                ewma = num / den
+            out.append((int(r.event_id), user_id, ewma))
+            tail.append(float("nan") if null_v else float(r.value))
+            if len(tail) > EWMA_K - 1:
+                tail.pop(0)
+
+    state.update((tail,))
+    if out:
+        yield pd.DataFrame(out, columns=["event_id", "user_id", "ewma"])
+
+
+def stream_ewma_enrich(events: DataFrame) -> DataFrame:
+    """Continuous per-key EWMA over the event stream: every event emits
+    its smoothed value immediately, with state bounded at k−1 doubles
+    per key (O(keys), never O(history)).  Truncation is what makes the
+    operator both bounded-state AND batch-replayable — the recursive
+    infinite-history EWMA would drift from any finite batch oracle."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_group,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

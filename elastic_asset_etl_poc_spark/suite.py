@@ -4188,6 +4188,55 @@ def stream_windowed_counts_daily(spark, sf_dir):
 
 
 @q(
+    "stream_ewma_events",
+    """
+WITH b AS (
+  SELECT user_id, event_id, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       round((0.5 * value
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 * l1 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 * l2 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 * l3 END)
+             / (0.5
+              + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+              + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+              + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END), 4) AS ewma
+FROM b
+""",
+)
+def stream_ewma_events(spark, sf_dir):
+    """§2.9 continuous EWMA enrichment (streaming/stateful.py
+    stream_ewma_enrich): every event emits its per-user smoothed value
+    immediately; state is k−1 doubles per key — O(keys), never
+    O(history).  Truncated-renormalized semantics match
+    operators/temporal.py rolling_ewma row for row, so the drained
+    stream hash-checks against the SAME batch lag-chain oracle as
+    ewma_events."""
+    import uuid
+
+    from .streaming import run_to_memory, stream_events_typed
+    from .streaming.stateful import stream_ewma_enrich
+
+    name = f"ewma_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark, "16"):
+        qy = run_to_memory(
+            stream_ewma_enrich(stream_events_typed(spark, _staged_events(sf_dir))),
+            name,
+            "update",
+        )
+        qy.stop()
+    t = spark.table(name)
+    return t.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 4).alias("ewma")
+    )
+
+
+@q(
     "stream_sliding_counts_2d",
     _sig()
     + """

@@ -626,3 +626,78 @@ def test_stream_dedup_keys_matches_batch_distinct(spark, tmp_path):
         for r in load_table(spark, SF_DIR, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == exp
+
+
+def test_stream_ewma_multi_batch_matches_batch(spark, tmp_path):
+    """EWMA state (the k−1 value tail, NULLs included as weightless
+    placeholders) carries across micro-batches: a 1-file-per-trigger
+    replay of an in-order series equals the batch rolling_ewma row for
+    row."""
+    from pyspark.sql import functions as F
+    from elastic_asset_etl_poc_spark.operators.temporal import rolling_ewma
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA_NS,
+        run_to_memory,
+    )
+    from elastic_asset_etl_poc_spark.streaming.stateful import stream_ewma_enrich
+
+    H = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    series = [
+        (1, 1, 7, 10.0), (2, 2, 7, 20.0),
+        (3, 3, 7, None), (4, 4, 7, 40.0),     # NULL occupies a lag slot
+        (5, 5, 7, 50.0), (6, 6, 7, 60.0),
+        (7, 1, 9, 5.0), (8, 2, 9, 15.0),      # second key
+    ]
+    batches = [series[:3], series[3:6], series[6:]]
+    src = str(tmp_path / "ewma_stream")
+    for i, b in enumerate(batches):
+        rows = [(eid, base + h * H, uid, "click", val, None) for eid, h, uid, val in b]
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    ev = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    q = run_to_memory(stream_ewma_enrich(ev), "ewma_multi", "update")
+    try:
+        n_batches = len(q.recentProgress)
+        got = {
+            r.event_id: r.ewma
+            for r in spark.sql("SELECT * FROM ewma_multi").collect()
+        }
+    finally:
+        q.stop()
+    assert n_batches >= 3
+
+    batch_rows = [
+        (eid, base // 1000 + h * (H // 1000), uid, val)
+        for eid, h, uid, val in series
+    ]
+    bdf = spark.createDataFrame(
+        [(e, u, v) for e, _, u, v in batch_rows], "event_id long, user_id long, value double"
+    ).withColumn("ts", F.timestamp_micros(F.lit(0) + F.col("event_id")))
+    # order within key by event_id (ts built from event_id keeps it consistent)
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in rolling_ewma(
+            bdf, "value", keys=["user_id"], order_by=["ts", "event_id"],
+            alpha=0.5, k=4,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for eid in want:
+        if want[eid] is None:
+            assert got[eid] is None
+        else:
+            assert abs(got[eid] - want[eid]) < 1e-9, eid
