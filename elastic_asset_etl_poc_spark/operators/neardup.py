@@ -996,3 +996,48 @@ def simhash_neardup_incremental(
     if update_store:
         bf.write.mode("append").parquet(store_path)
     return batch_involving
+
+
+def fingerprint_store_init(
+    fps: DataFrame, store_path: str
+) -> None:
+    """Materialize an arbitrary int64 Hamming-fingerprint frame
+    ``(doc_id, simhash)`` to parquet — the modality-agnostic store
+    behind :func:`simhash_store_init`: any producer that emits 64-bit
+    perceptual fingerprints (text SimHash, image dHash, audio
+    subband fingerprints) maintains near-dup incrementally through the
+    same 8-bytes-per-item store and banded core."""
+    fps.write.mode("overwrite").parquet(store_path)
+
+
+def fingerprint_neardup_incremental(
+    batch_fps: DataFrame,
+    store_path: str,
+    max_hamming: int = 3,
+    update_store: bool = False,
+) -> DataFrame:
+    """Incremental near-dup for ANY 64-bit fingerprint modality: the
+    batch arrives already fingerprinted (that stage is the modality —
+    decode+dHash for images, rFFT bands for audio, token voting for
+    text); the store supplies everything else.  Banded join over
+    (stored ∪ batch), keep pairs involving a batch item; the
+    pre-collapse hot-bucket bound of :func:`banded_hamming_pairs`
+    applies unchanged.  ``update_store=True`` appends the batch
+    (daily-ingest mode); leave False for replayable audits."""
+    spark = batch_fps.sparkSession
+    bf = batch_fps.localCheckpoint(eager=True)
+    store = spark.read.parquet(store_path)
+    pairs = banded_hamming_pairs(
+        store.unionByName(bf), max_hamming=max_hamming
+    )
+    bids = bf.select(F.col(bf.columns[0]).alias("__bid"))
+    batch_involving = (
+        pairs.join(bids, pairs["doc_a"] == bids["__bid"], "left_semi")
+        .unionByName(
+            pairs.join(bids, pairs["doc_b"] == bids["__bid"], "left_semi")
+        )
+        .distinct()
+    )
+    if update_store:
+        bf.write.mode("append").parquet(store_path)
+    return batch_involving

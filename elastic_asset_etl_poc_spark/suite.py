@@ -4188,6 +4188,62 @@ def stream_windowed_counts_daily(spark, sf_dir):
 
 
 @q(
+    "recall_dhash_incremental_vs_full",
+    """
+SELECT CAST(1 AS BOOLEAN) AS sets_equal
+""",
+)
+def recall_dhash_incremental_vs_full(spark, sf_dir):
+    """Hash-checked equivalence audit for MULTIMODAL incremental
+    near-dup (neardup.fingerprint_neardup_incremental — the
+    modality-agnostic 8-bytes-per-item store): image dHashes of the
+    batch probe a store of corpus dHashes, and the result must equal
+    the full banded self-join restricted to batch-involving images.
+    One store/banded core now serves text SimHash AND image dHash
+    incrementally; drift in either layout breaks this literal row."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .operators.multimodal import dhash_images, synthetic_images
+    from .operators.neardup import (
+        banded_hamming_pairs,
+        fingerprint_neardup_incremental,
+        fingerprint_store_init,
+    )
+
+    imgs = synthetic_images(spark, n=128)
+    fps = dhash_images(imgs).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
+    batch = fps.filter(F.col("doc_id") % 5 == 0)
+    corpus = fps.filter(F.col("doc_id") % 5 != 0)
+    key = ("dhash_store", sf_dir)
+    if key not in _MINHASH_STORES:
+        path = tempfile.mkdtemp(prefix="suite_dhstore_")
+        fingerprint_store_init(corpus, path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _MINHASH_STORES[key] = path
+    inc = fingerprint_neardup_incremental(
+        batch, _MINHASH_STORES[key], max_hamming=6
+    ).select("doc_a", "doc_b", "hamming")
+    full = banded_hamming_pairs(fps, max_hamming=6)
+    bids = batch.select(F.col("doc_id").alias("__bid"))
+    full_b = (
+        full.join(bids, full["doc_a"] == bids["__bid"], "left_semi")
+        .unionByName(
+            full.join(bids, full["doc_b"] == bids["__bid"], "left_semi")
+        )
+        .distinct()
+        .select("doc_a", "doc_b", "hamming")
+    )
+    both = inc.exceptAll(full_b).unionByName(full_b.exceptAll(inc))
+    return both.agg(
+        (F.count(F.lit(1)) == 0).alias("sets_equal")
+    )
+
+
+@q(
     "stream_ewma_events",
     """
 WITH b AS (

@@ -660,3 +660,39 @@ def test_kl_novelty_hand_computed(spark):
         spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
     ).collect()[0]
     assert solo["kl_novelty"] == 0.0
+
+
+def test_fingerprint_store_lifecycle_generic(spark, tmp_path):
+    """Modality-agnostic fingerprint store: batch-1 probe finds the
+    1-bit neighbor in the store; with update_store=True batch 2 then
+    pairs against batch 1's appended fingerprints too."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        fingerprint_neardup_incremental,
+        fingerprint_store_init,
+    )
+
+    path = str(tmp_path / "fpstore")
+    base = 0x0123456789ABCDEF
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base ^ 0x7F00FF00FF00FF00)],
+        "doc_id long, simhash long",
+    )
+    fingerprint_store_init(corpus, path)
+
+    b1 = spark.createDataFrame([(10, base ^ 1)], "doc_id long, simhash long")
+    p1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_neardup_incremental(
+            b1, path, max_hamming=3, update_store=True
+        ).collect()
+    }
+    assert p1 == {(1, 10)}
+
+    b2 = spark.createDataFrame([(20, base ^ 3)], "doc_id long, simhash long")
+    p2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_neardup_incremental(b2, path, max_hamming=3).collect()
+    }
+    # batch 2 pairs with BOTH the original corpus doc and batch 1's
+    # appended fingerprint (hamming 1 and 2) — never with the far doc
+    assert p2 == {(1, 20), (10, 20)}
