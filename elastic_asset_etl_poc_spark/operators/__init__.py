@@ -2,7 +2,7 @@ from .filters import time_window, term, terms, exists_all, exists_any, drop_miss
 from .project import project_rename, wildcard_select, array_head  # noqa: F401
 from .dedup import dedup_latest, collapse_top1  # noqa: F401
 from .joins import semi_join_in_list  # noqa: F401
-from .graph import group_collect_edges  # noqa: F401
+from .graph import group_collect_edges, hits, pagerank, triangle_count  # noqa: F401
 from .neardup import (  # noqa: F401
     dedup_exact,
     dedup_survivors,
@@ -12,8 +12,30 @@ from .neardup import (  # noqa: F401
     simhash,
     simhash_neardup,
 )
-from .text import doc_fingerprint, lang_id, normalize_text, text_quality, token_count  # noqa: F401
-from .similarity import cosine_pairs, cosine_pairs_lsh, cosine_topk, ivf_topk, lsh_topk  # noqa: F401
+from .bpe import bpe_segment, bpe_train, word_symbol_counts  # noqa: F401
+from .diff import snapshot_diff  # noqa: F401
+from .profile import profile_columns, winsorize  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    fix_mojibake,
+    kl_novelty,
+    lang_id,
+    linear_classifier_score,
+    normalize_text,
+    text_quality,
+    token_count,
+)
+from .similarity import (  # noqa: F401
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+    pq_topk,
+    sq8_encode,
+    sq8_topk,
+    sq8_train,
+)
 from .skew import salted_agg, salted_join  # noqa: F401
 from .sampling import (  # noqa: F401
     deterministic_split,
@@ -21,4 +43,10 @@ from .sampling import (  # noqa: F401
     stratified_hash_sample,
     temperature_fractions,
 )
-from .temporal import asof_join, band_join  # noqa: F401
+from .temporal import (  # noqa: F401
+    asof_join,
+    band_join,
+    interval_join,
+    rolling_ewma,
+    rollup_gapfill,
+)
