@@ -5046,7 +5046,71 @@ def interval_join_sessions(spark, sf_dir):
 
 
 @q(
-    "cohort_retention_events",
+    "freshness_lag_events",
+    f"""
+SELECT event_type,
+       CAST(max(ts) AS TIMESTAMP) AS latest_ts,
+       CAST(floor(date_diff('microsecond', CAST(max(ts) AS TIMESTAMP),
+                            {NOW_SQL}) / 60000000.0)
+            AS BIGINT) AS staleness_min,
+       count(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def freshness_lag_events(spark, sf_dir):
+    """Ingest freshness monitoring: per-stream staleness against the
+    pinned clock — the first alarm a feed pipeline wires (staleness
+    growing = dead producer).  ONE partial-agg pass; max(ts) rides the
+    same aggregate as the count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("ts").cast("timestamp").alias("latest_ts"),
+        F.floor(
+            (
+                F.unix_micros(F.lit(PINNED_NOW).cast("timestamp"))
+                - F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / 60_000_000
+        ).cast("long").alias("staleness_min"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "dup_rate_daily_docs",
+    """
+WITH d AS (SELECT doc_id % 30 AS day_n, md5(text) AS h FROM documents),
+g AS (SELECT day_n, h, count(*) AS c FROM d GROUP BY 1, 2)
+SELECT day_n, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+       round((sum(c) - count(*)) * 100.0 / sum(c), 2) AS dup_pct
+FROM g GROUP BY 1
+""",
+)
+def dup_rate_daily_docs(spark, sf_dir):
+    """Corpus-health time series: exact-duplicate rate per ingest day
+    (docs simulate a daily partition via doc_id % 30) — the dashboard
+    number that catches a crawler loop or a re-ingested shard the day
+    it happens.  Two hash-aggs on (day, digest); no joins, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            (F.col("doc_id") % 30).alias("day_n"), F.md5("text").alias("h")
+        )
+        .groupBy("day_n", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.groupBy("day_n").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) * 100.0 / F.sum("c"), 2
+        ).alias("dup_pct"),
+    )
+
+
+@q(
+    "cohort_active_weeks_events",
     """
 WITH fw AS (SELECT user_id,
                    CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
@@ -5063,7 +5127,7 @@ FROM act JOIN size_ s ON s.cohort = act.cohort
 GROUP BY act.cohort, week_n, s.cohort_users
 """,
 )
-def cohort_retention_events(spark, sf_dir):
+def cohort_active_weeks_events(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     tracked by distinct active weeks since — THE product/engagement
     rollup, and the data-curation analog (contributor longevity per
