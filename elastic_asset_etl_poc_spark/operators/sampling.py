@@ -439,3 +439,68 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    shards: int = 32,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    ``(id, j, neg_id)`` with exactly ``k`` pseudo-random partners per
+    row — the hard-to-get-right half of (anchor, positive, negative)
+    triple generation.
+
+    Construction: rows order by an md5 draw inside md5-assigned shards,
+    and partner ``j`` is the ring neighbor at offset ``j`` in that
+    order.  Because the order is pseudorandom, ring neighbors are
+    uniform random partners; because it is md5, the pairing is
+    reproducible across runs, engines, and repartitioning (same
+    guarantees as :func:`deterministic_split`).
+
+    Scale shape: windows partition by shard (no global sort — the ring
+    wraps per shard), and the partner resolution is ONE equi-join on
+    ``(shard, ring_position)``.  Self-pairs (only possible when a shard
+    has ≤ k rows) are filtered.  Negatives are uniform, NOT
+    hardness-mined and not near-dup-excluded — compose with the
+    near-dup pair frame (anti-join) when "negative" must also mean
+    "not a duplicate".
+    """
+    from pyspark.sql.window import Window as _W
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
+    base = (
+        df.select(id_col)
+        .withColumn("__h", h)
+        .withColumn(
+            "__shard",
+            (F.conv(F.substring("__h", 1, 2), 16, 10).cast("int") % shards),
+        )
+    )
+    base = base.withColumn(
+        "__rn",
+        F.row_number().over(_W.partitionBy("__shard").orderBy("__h", id_col)),
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(_W.partitionBy("__shard"))
+    )
+    ex = base.select(
+        id_col,
+        "__shard",
+        "__rn",
+        "__n",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).withColumn("__tgt", ((F.col("__rn") - 1 + F.col("j")) % F.col("__n")) + 1)
+    partners = base.select(
+        F.col("__shard").alias("__s2"),
+        F.col("__rn").alias("__r2"),
+        F.col(id_col).alias("neg_id"),
+    )
+    out = ex.join(
+        partners,
+        (ex["__shard"] == partners["__s2"]) & (ex["__tgt"] == partners["__r2"]),
+    )
+    return out.filter(F.col(id_col) != F.col("neg_id")).select(
+        id_col, F.col("j").cast("int").alias("j"), "neg_id"
+    )

@@ -5046,6 +5046,100 @@ def interval_join_sessions(spark, sf_dir):
 
 
 @q(
+    "negative_samples_docs",
+    """
+WITH b AS (SELECT doc_id, md5(doc_id::VARCHAR || ':neg') AS h
+           FROM documents),
+s AS (SELECT doc_id, h,
+             CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 32 AS INTEGER)
+               AS shard
+      FROM b),
+r AS (SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn,
+             count(*) OVER (PARTITION BY shard) AS n
+      FROM s),
+e AS (SELECT doc_id, shard, rn, n, j
+      FROM r, unnest(generate_series(1, 3)) AS t(j)),
+x AS (SELECT doc_id, CAST(j AS INTEGER) AS j, shard,
+             ((rn - 1 + j) % n) + 1 AS tgt
+      FROM e)
+SELECT x.doc_id, x.j, r2.doc_id AS neg_id
+FROM x JOIN r r2 ON r2.shard = x.shard AND r2.rn = x.tgt
+WHERE x.doc_id <> r2.doc_id
+""",
+)
+def negative_samples_docs(spark, sf_dir):
+    """Contrastive negative sampling (operators/sampling.py
+    negative_samples): 3 deterministic pseudo-random partners per doc
+    via ring offsets in md5 order inside md5 shards — reproducible
+    across runs/engines/repartitioning, no global sort (the ring wraps
+    per shard), one (shard, position) equi-join.  The oracle replays
+    the md5 ring bit-exactly."""
+    from .operators.sampling import negative_samples
+
+    return negative_samples(
+        load_table(spark, sf_dir, "documents"), k=3, salt="neg"
+    )
+
+
+@q(
+    "scd2_lookup_purchases",
+    """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE event_type IN ('signup', 'error')
+),
+i AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+),
+dim AS (
+  SELECT user_id, event_type AS value, min(ts) AS valid_from
+  FROM i GROUP BY user_id, island, event_type
+)
+SELECT p.event_id, p.user_id, p.ts,
+       d.value AS status_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN dim d
+  ON p.user_id = d.user_id AND d.valid_from <= p.ts
+""",
+)
+def scd2_lookup_purchases(spark, sf_dir):
+    """CDC → serving composition: the SCD2 dimension built from
+    signup/error status changes (operators/temporal.py scd2_history)
+    enriches each purchase with the user's status AT purchase time via
+    the as-of join — the point-in-time dimension lookup every
+    warehouse fact load performs.  Contiguous intervals make backward
+    as-of on valid_from equivalent to interval containment, so the
+    oracle is DuckDB's native ASOF against the replayed dimension."""
+    from .operators.temporal import asof_join, scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev.filter(F.col("event_type").isin("signup", "error")),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        tiebreak="event_id",
+    ).select("user_id", "value", F.col("valid_from").alias("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, dim, on="user_id", payload=["value"], suffix="_asof"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("value_asof").alias("status_asof")
+    )
+
+
+@q(
     "freshness_lag_events",
     f"""
 SELECT event_type,

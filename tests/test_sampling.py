@@ -349,3 +349,39 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
     # a different epoch is a different permutation
     c = epoch_shuffle(df, n_shards=4, epoch=1).collect()
     assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+
+def test_negative_samples_invariants(spark):
+    """Every doc draws exactly k distinct partners (corpus ≫ k), never
+    itself; the pairing is deterministic and stable under
+    repartitioning."""
+    from elastic_asset_etl_poc_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = negative_samples(df, k=3, shards=8).collect()
+    by_doc = {}
+    for r in out:
+        assert r["doc_id"] != r["neg_id"]
+        by_doc.setdefault(r["doc_id"], []).append((r["j"], r["neg_id"]))
+    assert set(by_doc) == set(range(200))
+    for doc, partners in by_doc.items():
+        assert sorted(j for j, _ in partners) == [1, 2, 3]
+        assert len({n for _, n in partners}) == 3, doc
+    again = {
+        (r["doc_id"], r["j"], r["neg_id"])
+        for r in negative_samples(df.repartition(13), k=3, shards=8).collect()
+    }
+    assert again == {(r["doc_id"], r["j"], r["neg_id"]) for r in out}
+
+
+def test_negative_samples_tiny_shard_no_self_pairs(spark):
+    """A corpus smaller than k per shard wraps the ring onto itself:
+    self-pairs are filtered, everything else survives."""
+    from elastic_asset_etl_poc_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = negative_samples(df, k=3, shards=1).collect()
+    assert all(r["doc_id"] != r["neg_id"] for r in out)
+    # n=2: offsets 1 and 3 hit the other doc, offset 2 wraps to self
+    got = {(r["doc_id"], r["j"]) for r in out}
+    assert got == {(1, 1), (1, 3), (2, 1), (2, 3)}
