@@ -5046,6 +5046,112 @@ def interval_join_sessions(spark, sf_dir):
 
 
 @q(
+    "quality_by_source_docs",
+    """
+WITH tq AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         round(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the', 'a')))
+               * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+         (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+           AND len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the', 'a'))) > 0
+           AS quality_keep
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(stopword_ratio), 4) AS mean_stopword_ratio,
+       round(sum(CASE WHEN quality_keep THEN 1 ELSE 0 END) * 100.0
+             / count(*), 2) AS keep_pct
+FROM tq GROUP BY 1
+""",
+)
+def quality_by_source_docs(spark, sf_dir):
+    """Per-source quality dashboard: the keep rate and quality-signal
+    means by crawl source — the table that decides which feeds get
+    upweighted, capped, or cut.  Reuses the text_quality projection
+    (same C4/Gopher heuristics the per-doc query certifies), one
+    aggregate on source."""
+    from .operators.text import text_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    tq = text_quality(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return tq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("mean_stopword_ratio"),
+        F.round(
+            F.sum(F.col("quality_keep").cast("int")) * 100.0
+            / F.count(F.lit(1)),
+            2,
+        ).alias("keep_pct"),
+    )
+
+
+@q(
+    "vocab_stats_docs",
+    """
+WITH e AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+f AS (SELECT tok, count(*) AS c FROM e WHERE tok <> '' GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS vocab_size,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+        FROM f),
+top AS (SELECT CAST(sum(c) AS BIGINT) AS top100_mass FROM (
+          SELECT c FROM f ORDER BY c DESC, tok LIMIT 100))
+SELECT n_tokens, vocab_size, n_hapax,
+       round(n_hapax * 100.0 / vocab_size, 2) AS hapax_pct,
+       round(top100_mass * 100.0 / n_tokens, 2) AS top100_mass_pct
+FROM tot CROSS JOIN top
+""",
+)
+def vocab_stats_docs(spark, sf_dir):
+    """Corpus-linguistics sanity panel: token count, vocabulary size,
+    hapax fraction (Heaps-law tail — a spike means OCR noise or
+    encoding damage), and top-100-term mass share (Zipf head — a spike
+    means boilerplate).  One explode → one vocab agg, then two tiny
+    aggregates over the vocabulary frame (TakeOrdered for the head,
+    never a full sort); the numbers a corpus drop gets judged by
+    before any expensive pass runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    f = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = f.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("n_hapax"),
+    )
+    top = (
+        f.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(100)
+        .agg(F.sum("c").cast("long").alias("top100_mass"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_tokens",
+            "vocab_size",
+            "n_hapax",
+            F.round(F.col("n_hapax") * 100.0 / F.col("vocab_size"), 2).alias(
+                "hapax_pct"
+            ),
+            F.round(
+                F.col("top100_mass") * 100.0 / F.col("n_tokens"), 2
+            ).alias("top100_mass_pct"),
+        )
+    )
+
+
+@q(
     "negative_samples_docs",
     """
 WITH b AS (SELECT doc_id, md5(doc_id::VARCHAR || ':neg') AS h
