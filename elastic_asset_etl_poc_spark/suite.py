@@ -2943,9 +2943,9 @@ def epoch_shuffle_docs(spark, sf_dir):
 _BM25_QUERIES = [(1, "spark hash join"), (2, "window merge sort"), (3, "table scan batch")]
 
 
-@q(
-    "bm25_topk_docs",
-    """
+#: shared BM25 ranking CTE body — the bm25_topk_docs oracle and the IR
+#: evaluation oracle must rank identically, so they share one literal
+_BM25_RANK_CTES = """
 WITH q(query_id, term) AS (VALUES
   (1,'spark'),(1,'hash'),(1,'join'),
   (2,'window'),(2,'merge'),(2,'sort'),
@@ -2962,12 +2962,18 @@ scored AS (
                * tf.tf * 2.2
                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 4) AS score
   FROM tf JOIN dfreq d USING (term) JOIN q USING (term) CROSS JOIN stats s
-  GROUP BY 1, 2)
-SELECT query_id, doc_id, score, rank FROM (
-  SELECT scored.*, row_number() OVER (
-    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored)
-WHERE rank <= 10
-""",
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, score, rank FROM (
+    SELECT scored.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scored)
+  WHERE rank <= 10)
+"""
+
+
+@q(
+    "bm25_topk_docs",
+    _BM25_RANK_CTES + "SELECT query_id, doc_id, score, rank FROM ranked",
 )
 def bm25_topk_docs(spark, sf_dir):
     """Okapi-BM25 top-10 per query (operators/retrieval.py): the exact
@@ -2979,6 +2985,82 @@ def bm25_topk_docs(spark, sf_dir):
     from .operators.retrieval import bm25_topk
 
     return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+
+
+@q(
+    "retrieval_eval_bm25",
+    _BM25_RANK_CTES
+    + """,
+qt AS (SELECT query_id, list(term) AS terms FROM q GROUP BY 1),
+rel AS (SELECT qt.query_id, b.doc_id
+        FROM qt, base b
+        WHERE len(list_filter(qt.terms, x -> list_contains(b.t, x)))
+              = len(qt.terms)),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+hits AS (SELECT r.query_id, r.rank
+         FROM ranked r JOIN rel USING (query_id, doc_id)),
+agg AS (SELECT query_id,
+               1.0 / min(rank) AS mrr,
+               sum(1.0 / log2(rank + 1)) AS dcg
+        FROM hits GROUP BY 1)
+SELECT n.query_id, n.n_rel,
+       round(coalesce(a.mrr, 0.0), 4) AS mrr_at_10,
+       round(coalesce(a.dcg, 0.0)
+             / list_sum(list_transform(
+                 generate_series(1, least(n.n_rel, 10)),
+                 i -> 1.0 / log2(i + 1))), 4) AS ndcg_at_10
+FROM nrel n LEFT JOIN agg a ON a.query_id = n.query_id
+""",
+)
+def retrieval_eval_bm25(spark, sf_dir):
+    """IR evaluation harness: MRR@10 and nDCG@10 of the BM25 ranking
+    against a deterministic binary relevance set (docs containing ALL
+    query terms) — the eval loop a retrieval stack ships with, fully
+    in-engine.  Relevance is a 3-row broadcast probe over the token
+    arrays; metrics are one join + one agg per query; the ideal DCG
+    folds over sequence(1, min(R,10)) in both engines (log2 is exact
+    on both).  Shares the bm25 ranking CTE literal with
+    bm25_topk_docs, so the two oracles can never rank differently."""
+    from .operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, _BM25_QUERIES, k=10)
+    qt = spark.createDataFrame(
+        [(qid, q.split()) for qid, q in _BM25_QUERIES],
+        "query_id int, terms array<string>",
+    )
+    base = docs.select("doc_id", F.split("text", " ").alias("t"))
+    rel = (
+        base.crossJoin(F.broadcast(qt))
+        .filter(
+            F.forall("terms", lambda x: F.array_contains(F.col("t"), x))
+        )
+        .select("query_id", "doc_id")
+    )
+    nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = ranked.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
+    agg = hits.groupBy("query_id").agg(
+        (F.lit(1.0) / F.min("rank")).alias("mrr"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i + 1),
+    )
+    return (
+        nrel.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 4).alias(
+                "mrr_at_10"
+            ),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 4).alias(
+                "ndcg_at_10"
+            ),
+        )
+    )
 
 
 @q(
