@@ -135,3 +135,20 @@ def test_bpe_empty_corpus(spark):
     assert mt.count() == 0
     seg = bpe_segment(df, mt).collect()
     assert all(r["bpe_tokens"] == 0 for r in seg)
+
+
+def test_frozen_vocab_matches_live_training_sf001(spark):
+    """suite._BPE_FROZEN_MERGES freezes the sf0.01 training output so the
+    driver oracle replays segmentation only.  Certify the handshake by
+    re-training LIVE on the sf0.01 fixture and asserting the frozen
+    literals are byte-identical — a fixture or trainer change that would
+    silently drift the frozen vocab fails here, not in the driver."""
+    from elastic_asset_etl_poc_spark.suite import _BPE_FROZEN_MERGES, _BPE_N
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    mt = bpe_train(word_symbol_counts(docs), _BPE_N)
+    live = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in mt.orderBy("merge_rank").collect()
+    ]
+    assert live == _BPE_FROZEN_MERGES
