@@ -532,41 +532,16 @@ def banded_hamming_pairs(
     (neardup.py:68) and ``cosine_pairs_lsh``'s hot-bucket split
     (similarity.py).
     """
-    bands = max_hamming + 1
-    width = 64 // bands
     members = fp.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp"))
     # fingerprints are usually the expensive upstream stage (decode /
     # shingling); checkpoint lazily so the 4 consumers below (reps +
     # three re-expansion joins) share one computation
     members = members.localCheckpoint(eager=False)
-    reps = members.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
-    # the single band is the fingerprint itself
-    chunk_exprs = [
-        "__fp" if width >= 64 else f"shiftright(__fp, {b * width}) & {(1 << width) - 1}"
-        for b in range(bands)
-    ]
-    chunks = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.expr(chunk_exprs[b]).alias("chunk"))
-            for b in range(bands)
-        ]
-    )
-    banded = reps.select(
-        F.col("doc_id"), F.col("__fp"), F.explode(chunks).alias("bc")
-    ).select("doc_id", "__fp", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    a = banded.select(
-        F.col("doc_id").alias("rep_a"), F.col("__fp").alias("fp_a"), "band", "chunk"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("rep_b"), F.col("__fp").alias("fp_b"), "band", "chunk"
-    )
     # fingerprint-level matches: one row per unordered pair of DISTINCT
     # fingerprint values within the radius (distinct() is cheap here —
     # it dedups band-collisions over |distinct fps|² at most, not |docs|²)
     fp_pairs = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("rep_a") < F.col("rep_b"))
+        _banded_fp_candidates(members, max_hamming)
         .select(
             "fp_a",
             "fp_b",
@@ -601,6 +576,66 @@ def banded_hamming_pairs(
         )
     )
     return cross.unionByName(intra)
+
+
+def _banded_fp_candidates(members: DataFrame, max_hamming: int) -> DataFrame:
+    """Pre-verification banded candidates over DISTINCT fingerprints:
+    ``(rep_a, rep_b, fp_a, fp_b, band, chunk)`` — one row per (band,
+    chunk) collision with ``rep_a < rep_b``.  Shared by
+    :func:`banded_hamming_pairs` (which verifies with ``bit_count``) and
+    :func:`banded_hamming_candidate_stats` (which prices the candidate
+    set itself for scale audits)."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    reps = members.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    # width=64 (max_hamming=0) can't be masked with (1<<64)-1 in int64 —
+    # the single band is the fingerprint itself
+    chunk_exprs = [
+        "__fp" if width >= 64 else f"shiftright(__fp, {b * width}) & {(1 << width) - 1}"
+        for b in range(bands)
+    ]
+    chunks = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.expr(chunk_exprs[b]).alias("chunk"))
+            for b in range(bands)
+        ]
+    )
+    banded = reps.select(
+        F.col("doc_id"), F.col("__fp"), F.explode(chunks).alias("bc")
+    ).select("doc_id", "__fp", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.select(
+        F.col("doc_id").alias("rep_a"), F.col("__fp").alias("fp_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("rep_b"), F.col("__fp").alias("fp_b"), "band", "chunk"
+    )
+    return a.join(b, ["band", "chunk"]).filter(F.col("rep_a") < F.col("rep_b"))
+
+
+def banded_hamming_candidate_stats(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """1-row scale diagnostics for the banded Hamming join:
+    ``(n_candidates, n_pairs)`` where ``n_candidates`` is the
+    pre-verification band-collision count (the work the join actually
+    does) and ``n_pairs`` the verified output size.  A healthy banding
+    keeps candidates/pairs roughly constant as the corpus grows; a
+    ratio that climbs with scale means the bands are saturating and the
+    join is degrading toward all-pairs — the audit the sf1 scale smoke
+    records per scale factor."""
+    members = fp.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("__fp")
+    ).localCheckpoint(eager=False)
+    cand = _banded_fp_candidates(members, max_hamming).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    pairs = banded_hamming_pairs(
+        members, max_hamming, id_col="doc_id", fp_col="__fp"
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    return cand.crossJoin(pairs)
 
 
 def dedup_survivors(
@@ -1015,6 +1050,8 @@ def fingerprint_neardup_incremental(
     store_path: str,
     max_hamming: int = 3,
     update_store: bool = False,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
 ) -> DataFrame:
     """Incremental near-dup for ANY 64-bit fingerprint modality: the
     batch arrives already fingerprinted (that stage is the modality —
@@ -1023,14 +1060,19 @@ def fingerprint_neardup_incremental(
     (stored ∪ batch), keep pairs involving a batch item; the
     pre-collapse hot-bucket bound of :func:`banded_hamming_pairs`
     applies unchanged.  ``update_store=True`` appends the batch
-    (daily-ingest mode); leave False for replayable audits."""
+    (daily-ingest mode); leave False for replayable audits.
+
+    ``id_col``/``fp_col`` name the batch columns explicitly (same API
+    as :func:`banded_hamming_pairs`) — ids are selected by NAME, never
+    by position, so column order in the batch frame is irrelevant."""
     spark = batch_fps.sparkSession
     bf = batch_fps.localCheckpoint(eager=True)
     store = spark.read.parquet(store_path)
     pairs = banded_hamming_pairs(
-        store.unionByName(bf), max_hamming=max_hamming
+        store.unionByName(bf), max_hamming=max_hamming,
+        id_col=id_col, fp_col=fp_col,
     )
-    bids = bf.select(F.col(bf.columns[0]).alias("__bid"))
+    bids = bf.select(F.col(id_col).alias("__bid"))
     batch_involving = (
         pairs.join(bids, pairs["doc_a"] == bids["__bid"], "left_semi")
         .unionByName(

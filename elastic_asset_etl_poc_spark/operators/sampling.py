@@ -462,21 +462,29 @@ def negative_samples(
 
     Scale shape: windows partition by shard (no global sort — the ring
     wraps per shard), and the partner resolution is ONE equi-join on
-    ``(shard, ring_position)``.  Self-pairs (only possible when a shard
-    has ≤ k rows) are filtered.  Negatives are uniform, NOT
-    hardness-mined and not near-dup-excluded — compose with the
-    near-dup pair frame (anti-join) when "negative" must also mean
-    "not a duplicate".
+    ``(shard, ring_position)``.  A row gets ``min(k, shard_size - 1)``
+    partners — ring offsets are capped at the shard size so a tiny
+    shard yields fewer DISTINCT negatives rather than duplicate
+    ``(id, neg_id)`` pairs under different ``j`` (and a singleton shard
+    yields none).  The shard draw uses 16 bits of the md5 (supports up
+    to 65 536 shards; beyond that would leave shards empty).  Negatives
+    are uniform, NOT hardness-mined and not near-dup-excluded — compose
+    with the near-dup pair frame (anti-join) when "negative" must also
+    mean "not a duplicate".
     """
     from pyspark.sql.window import Window as _W
 
+    if shards > 65536:
+        raise ValueError(
+            f"shards must be <= 65536 (16-bit md5 shard draw), got {shards}"
+        )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}")))
     base = (
         df.select(id_col)
         .withColumn("__h", h)
         .withColumn(
             "__shard",
-            (F.conv(F.substring("__h", 1, 2), 16, 10).cast("int") % shards),
+            (F.conv(F.substring("__h", 1, 4), 16, 10).cast("int") % shards),
         )
     )
     base = base.withColumn(
@@ -485,12 +493,19 @@ def negative_samples(
     ).withColumn(
         "__n", F.count(F.lit(1)).over(_W.partitionBy("__shard"))
     )
+    # cap offsets at n-1: beyond that the ring wraps onto already-visited
+    # partners (duplicate pairs), and n=1 has no partner at all.  The
+    # sequence is guarded because Spark's sequence(1, 0) counts DOWN.
+    offsets = F.when(
+        F.col("__n") > 1,
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("__n") - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     ex = base.select(
         id_col,
         "__shard",
         "__rn",
         "__n",
-        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        F.explode(offsets).alias("j"),
     ).withColumn("__tgt", ((F.col("__rn") - 1 + F.col("j")) % F.col("__n")) + 1)
     partners = base.select(
         F.col("__shard").alias("__s2"),

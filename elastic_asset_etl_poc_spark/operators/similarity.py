@@ -971,15 +971,21 @@ def sq8_train(
 def _sq8_codes(vec, mn, mx):
     """floor-quantize to 0..255; constant dims (mx==mn) code to 0.
     floor (not round) keeps the encode bit-identical across engines —
-    no half-way tie semantics to align."""
+    no half-way tie semantics to align.  Clamped on BOTH ends: bounds
+    are meant to be persisted and reused (see sq8_train), so a future
+    encode can see values outside the trained [mn, mx] — below-min must
+    saturate to 0 exactly as above-max saturates to 255."""
     return F.zip_with(
         vec,
         F.zip_with(mn, mx, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
         lambda v, s: F.when(
             s["mx"] > s["mn"],
-            F.least(
-                F.floor((v - s["mn"]) * 255.0 / (s["mx"] - s["mn"])),
-                F.lit(255),
+            F.greatest(
+                F.least(
+                    F.floor((v - s["mn"]) * 255.0 / (s["mx"] - s["mn"])),
+                    F.lit(255),
+                ),
+                F.lit(0),
             ),
         )
         .otherwise(F.lit(0))

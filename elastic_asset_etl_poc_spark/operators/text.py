@@ -13,6 +13,8 @@ same arithmetic — so the driver's oracle can hash-match results.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -229,6 +231,11 @@ def linear_classifier_score(
     Python, no model-server round-trips — inference rides the scan.
     Unknown buckets contribute weight 0 (coalesce), so a smaller model
     than ``n_buckets`` still scores every document.
+
+    EVERY document is scored, including token-less ones (NULL text):
+    explode drops those rows, so they are unioned back with the prior
+    score ``sigmoid(bias)`` — a map-only second pass over (id, text),
+    cheaper at scale than joining the scored frame back to the corpus.
     """
     toks = tokens(text_col)
     base = df.select(
@@ -246,11 +253,20 @@ def linear_classifier_score(
     )
     z = F.lit(bias) + F.col("__s") / F.col("__n")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return per_doc.select(
+    with_tokens = per_doc.select(
         id_col,
         F.round(score, 4).alias(out_col),
         (score >= threshold).alias("keep"),
     )
+    prior = 1.0 / (1.0 + math.exp(-bias))
+    token_less = df.filter(
+        F.col(text_col).isNull() | (F.size(toks) == 0)
+    ).select(
+        id_col,
+        F.round(F.lit(prior), 4).alias(out_col),
+        F.lit(prior >= threshold).alias("keep"),
+    )
+    return with_tokens.unionByName(token_less)
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1266,8 +1266,9 @@ enc AS (
          list_transform(generate_series(1, len(e.embedding)),
            i -> CASE WHEN a.mx[i] > a.mn[i]
                 THEN a.mn[i]
-                     + least(floor((e.embedding[i]::DOUBLE - a.mn[i])
-                                   * 255.0 / (a.mx[i] - a.mn[i])), 255)
+                     + greatest(least(floor((e.embedding[i]::DOUBLE - a.mn[i])
+                                            * 255.0 / (a.mx[i] - a.mn[i])),
+                                      255), 0)
                        * (a.mx[i] - a.mn[i]) / 255.0
                 ELSE a.mn[i] END) AS ev
   FROM embeddings e CROSS JOIN ba a),
@@ -5254,7 +5255,7 @@ def vocab_stats_docs(spark, sf_dir):
 WITH b AS (SELECT doc_id, md5(doc_id::VARCHAR || ':neg') AS h
            FROM documents),
 s AS (SELECT doc_id, h,
-             CAST(CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % 32 AS INTEGER)
+             CAST(CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 32 AS INTEGER)
                AS shard
       FROM b),
 r AS (SELECT doc_id, shard,
@@ -5262,7 +5263,8 @@ r AS (SELECT doc_id, shard,
              count(*) OVER (PARTITION BY shard) AS n
       FROM s),
 e AS (SELECT doc_id, shard, rn, n, j
-      FROM r, unnest(generate_series(1, 3)) AS t(j)),
+      FROM r, unnest(generate_series(1, 3)) AS t(j)
+      WHERE n > 1 AND j <= least(3, n - 1)),
 x AS (SELECT doc_id, CAST(j AS INTEGER) AS j, shard,
              ((rn - 1 + j) % n) + 1 AS tgt
       FROM e)
@@ -5866,6 +5868,9 @@ SELECT doc_id,
        round(1.0 / (1.0 + exp(-(s / n))), 4) AS quality_score,
        1.0 / (1.0 + exp(-(s / n))) >= 0.5 AS keep
 FROM s
+UNION ALL
+SELECT doc_id, round(0.5, 4) AS quality_score, TRUE AS keep
+FROM documents WHERE text IS NULL
 """,
 )
 def classifier_quality_docs(spark, sf_dir):

@@ -374,14 +374,44 @@ def test_negative_samples_invariants(spark):
     assert again == {(r["doc_id"], r["j"], r["neg_id"]) for r in out}
 
 
-def test_negative_samples_tiny_shard_no_self_pairs(spark):
-    """A corpus smaller than k per shard wraps the ring onto itself:
-    self-pairs are filtered, everything else survives."""
+def test_negative_samples_tiny_shard_distinct_partners(spark):
+    """A shard smaller than k+1 caps offsets at n-1: each doc gets
+    min(k, n-1) DISTINCT partners — no duplicate (id, neg_id) pairs
+    under different j, no self-pairs, and a singleton corpus yields
+    zero pairs rather than degenerate ones."""
     from elastic_asset_etl_poc_spark.operators.sampling import negative_samples
 
     df = spark.createDataFrame([(1,), (2,)], "doc_id long")
     out = negative_samples(df, k=3, shards=1).collect()
     assert all(r["doc_id"] != r["neg_id"] for r in out)
-    # n=2: offsets 1 and 3 hit the other doc, offset 2 wraps to self
-    got = {(r["doc_id"], r["j"]) for r in out}
-    assert got == {(1, 1), (1, 3), (2, 1), (2, 3)}
+    # n=2: only offset 1 is valid; offsets 2 (self) and 3 (dup of 1) capped
+    got = {(r["doc_id"], r["j"], r["neg_id"]) for r in out}
+    assert got == {(1, 1, 2), (2, 1, 1)}
+
+    solo = negative_samples(
+        spark.createDataFrame([(9,)], "doc_id long"), k=3, shards=1
+    ).collect()
+    assert solo == []
+
+
+def test_negative_samples_many_shards_all_docs_covered(spark):
+    """shards > 256 must still populate every shard (16-bit draw):
+    every doc keeps k partners when shards ≪ corpus, and no doc
+    vanishes with a shard count a 1-byte draw couldn't reach."""
+    from elastic_asset_etl_poc_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out = negative_samples(df, k=2, shards=500).collect()
+    by_doc = {}
+    for r in out:
+        assert r["doc_id"] != r["neg_id"]
+        by_doc.setdefault(r["doc_id"], set()).add(r["neg_id"])
+    # ~6 docs/shard: only docs in (deterministic, rare) singleton shards
+    # lack partners — with a 1-byte draw shards would hold ~12 docs in
+    # half the id space and this bound plus the spread check both break
+    assert len(by_doc) >= 2990
+    assert all(len(p) == 2 for d, p in by_doc.items() if len(p) != 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(df, k=2, shards=70000)

@@ -362,6 +362,30 @@ def test_sq8_codes_bounds_and_constant_dim(spark):
     assert codes[2][2] == 255 and codes[1][2] == 0
 
 
+def test_sq8_encode_out_of_range_saturates_with_reused_bounds(spark):
+    """Bounds are persisted and reused across encodes (the documented
+    production shape), so future vectors can fall outside the trained
+    [mn, mx]: below-min must saturate to 0 and above-max to 255 —
+    never a negative or >255 code."""
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        sq8_encode,
+        sq8_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bounds = sq8_train(train)
+    future = spark.createDataFrame(
+        [(10, [-5.0, 15.0]), (11, [9.0, 25.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(future, bounds).collect()}
+    assert codes[10] == [0, 127]
+    assert codes[11] == [255, 255]
+
+
 def test_sq8_topk_high_recall_vs_exact(spark):
     """8-bit quantization on smooth random vectors: recall@10 vs the
     exact brute force should be near 1 (>= 0.9 asserted)."""

@@ -641,6 +641,28 @@ def test_linear_classifier_hand_computed(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_linear_classifier_scores_token_less_docs(spark):
+    """Every document is scored: NULL-text docs (explode yields no rows)
+    come back with the prior sigmoid(bias), not silently dropped."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.text import (
+        linear_classifier_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "")],
+        "doc_id int, text string",
+    )
+    w = spark.createDataFrame([(0, 1.0)], "bucket int, weight double")
+    out = linear_classifier_score(docs, w, n_buckets=16, bias=0.3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    prior = 1.0 / (1.0 + math.exp(-0.3))
+    assert abs(got[2]["quality_score"] - round(prior, 4)) < 1e-9
+    assert got[2]["keep"] == (prior >= 0.5)
+
+
 def test_kl_novelty_hand_computed(spark):
     """d1='a a', d2='b' vs corpus {a:2,b:1}: KL(d1)=ln(3/2), KL(d2)=ln(3);
     a doc matching the corpus distribution exactly scores 0."""
@@ -696,3 +718,48 @@ def test_fingerprint_store_lifecycle_generic(spark, tmp_path):
     # batch 2 pairs with BOTH the original corpus doc and batch 1's
     # appended fingerprint (hamming 1 and 2) — never with the far doc
     assert p2 == {(1, 20), (10, 20)}
+
+
+def test_fingerprint_incremental_id_by_name_not_position(spark, tmp_path):
+    """Batch ids are selected by NAME: a (simhash, doc_id)-ordered batch
+    frame must behave identically to the canonical column order."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        fingerprint_neardup_incremental,
+        fingerprint_store_init,
+    )
+
+    path = str(tmp_path / "fpstore_swapped")
+    base = 0x0123456789ABCDEF
+    fingerprint_store_init(
+        spark.createDataFrame([(1, base)], "doc_id long, simhash long"), path
+    )
+    swapped = spark.createDataFrame(
+        [(base ^ 1, 10)], "simhash long, doc_id long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in fingerprint_neardup_incremental(
+            swapped, path, max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(1, 10)}
+
+
+def test_banded_candidate_stats_consistent_with_pairs(spark):
+    """n_pairs in the stats frame equals the real banded join output;
+    n_candidates is >= the number of distinct-fingerprint matches
+    (candidates are pre-verification, so never fewer)."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        banded_hamming_candidate_stats,
+        banded_hamming_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    fps = spark.createDataFrame(
+        [(1, base), (2, base ^ 1), (3, base ^ 1), (4, base ^ (0xFF << 32))],
+        "doc_id long, simhash long",
+    )
+    stats = banded_hamming_candidate_stats(fps, max_hamming=3).collect()[0]
+    n_pairs = banded_hamming_pairs(fps, max_hamming=3).count()
+    assert stats["n_pairs"] == n_pairs == 3  # (1,2),(1,3),(2,3)
+    assert stats["n_candidates"] >= 1
