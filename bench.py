@@ -55,6 +55,36 @@ def main() -> None:
             pass
 
     qs = e.queries()
+    # Serve-only disclosure: these queries consume a per-process memoized
+    # artifact (shared near-dup pair frame, PageRank/HITS edge checkpoint,
+    # PQ/SQ8 codebooks, minhash band stores, frozen BPE vocab), so their
+    # warm medians price SERVING, not the build.  The un-memoized build
+    # cost is carried by the cold column and by pretrain_pipeline_docs
+    # (pair build fused end-to-end).  Emitted in both JSON artifacts so
+    # the caveat travels with the numbers.
+    memoized = [
+        # _PAIR_FRAMES (shared jaccard/minhash pair build)
+        "jaccard_neardup_docs",
+        "minhash_neardup_docs",
+        "recall_minhash_vs_jaccard",
+        "dedup_survivors_docs",
+        "dedup_survivors_minhash",
+        "cluster_split_docs",
+        "audit_split_leakage",
+        "triangle_docs",
+        # _MINHASH_STORES (parquet band/fingerprint stores built once)
+        "minhash_incremental_docs",
+        "recall_simhash_incremental_vs_full",
+        "recall_dhash_incremental_vs_full",
+        # _PQ_BOOKS (codebooks trained once)
+        "embed_knn_pq",
+        "recall_pq_lossless_vs_exact",
+        # _DIR_EDGES/_PR_EDGES (edge frame checkpointed once)
+        "pagerank_cust_supp",
+        "hits_cust_supp",
+        # frozen BPE vocab (training priced by bpe_train_docs)
+        "bpe_tokenize_docs",
+    ]
     cold: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in qs.items():
@@ -95,6 +125,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": medians,
                 "cold": cold,
+                "memoized": memoized,
                 "runs": runs,
                 "sf": sf,
             },
@@ -107,6 +138,9 @@ def main() -> None:
         return json.dumps(
             {
                 "queries": slow,
+                # serve-only numbers (memoized artifact); build cost is in
+                # "cold" in BENCH_FULL.json and pretrain_pipeline_docs
+                "memoized": sorted(memoized),
                 "fast_n": len(medians) - len(slow),
                 "fast_sec": round(
                     sum(v for v in medians.values() if 0 <= v < threshold), 2

@@ -169,31 +169,50 @@ class SignalsESReader(DataSourceReader):
         the *fields API* (every value comes back as an array,
         `lib/collectServicesFromSummaries.ts:23-28`), unwrapped with
         singleItem semantics (`:114-119`).  Filtering happens SERVER-side
-        via the pushed ``query``; this client does not re-filter."""
+        via the pushed ``query``; this client does not re-filter.
+
+        Pagination is ``search_after`` keyset — the reference's O4 loop
+        (`lib/collectServicesFromSummaries.ts:51-53,76-84`): every page
+        sorts on ``_doc`` (the cheapest deterministic ES sort), and the
+        last hit's ``sort`` values seed the next request.  Keyset (not
+        from/size) is the only pagination that stays O(page) at any
+        depth; each Spark slice pages independently, so a 10⁹-doc index
+        streams through N tasks × bounded pages with constant memory."""
         import urllib.request
 
-        body = json.dumps(
-            {
-                "query": self.dsl,
-                "slice": {"id": p.slice_id, "max": p.n_slices},
-                "_source": False,
-                "fields": names,
-                "size": int(self.options.get("page_size", "10000")),
-            }
-        ).encode()
-        req = urllib.request.Request(
-            f"{p.url}/{p.index}/_search",
-            data=body,
-            headers={"Content-Type": "application/json"},
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            payload = json.loads(resp.read())
-        for hit in payload.get("hits", {}).get("hits", []):
-            fields = hit.get("fields", {})
-            yield tuple(
-                (fields.get(n) or [None])[0] for n in names  # singleItem
+        page_size = int(self.options.get("page_size", "10000"))
+        base = {
+            "query": self.dsl,
+            "slice": {"id": p.slice_id, "max": p.n_slices},
+            "_source": False,
+            "fields": names,
+            "size": page_size,
+            "sort": [{"_doc": "asc"}],
+        }
+        search_after: list | None = None
+        while True:
+            body = dict(base)
+            if search_after is not None:
+                body["search_after"] = search_after
+            req = urllib.request.Request(
+                f"{p.url}/{p.index}/_search",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
             )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                payload = json.loads(resp.read())
+            hits = payload.get("hits", {}).get("hits", [])
+            for hit in hits:
+                fields = hit.get("fields", {})
+                yield tuple(
+                    (fields.get(n) or [None])[0] for n in names  # singleItem
+                )
+            if len(hits) < page_size:
+                return  # short page = last page
+            search_after = hits[-1].get("sort")
+            if search_after is None:
+                return  # server doesn't echo sort values: single-page mode
 
 
 class SignalsESDataSource(DataSource):

@@ -115,11 +115,27 @@ def es_http_server():
             requests.append({"path": self.path, "body": body})
             sl = body.get("slice", {"id": 0, "max": 1})
             fields = body.get("fields") or []
-            hits = [
-                {"fields": {n: [d[n]] for n in fields if d.get(n) is not None}}
+            docs = [
+                d
                 for d in _HTTP_DOCS
                 if d["event_id"] % sl["max"] == sl["id"]
                 and _matches(d, body.get("query", {}))
+            ]
+            # keyset pagination, ES wire shape: _doc sort == insertion
+            # order here, hits echo their sort values, search_after
+            # resumes strictly past them, size caps the page
+            if body.get("sort"):
+                docs.sort(key=lambda d: d["event_id"])
+                sa = body.get("search_after")
+                if sa is not None:
+                    docs = [d for d in docs if d["event_id"] > sa[0]]
+            docs = docs[: body.get("size", 10000)]
+            hits = [
+                {
+                    "fields": {n: [d[n]] for n in fields if d.get(n) is not None},
+                    "sort": [d["event_id"]],
+                }
+                for d in docs
             ]
             out = json.dumps({"hits": {"hits": hits}}).encode()
             self.send_response(200)
@@ -198,3 +214,60 @@ def test_es_source_http_terms_and_unsupported(spark, es_http_server):
     assert terms and all(
         sorted(t["terms"]["service_name"]) == ["svc-1", "svc-2"] for t in terms
     )
+
+
+def test_es_source_http_search_after_pagination(spark, es_http_server):
+    """O4 keyset pagination (collectServicesFromSummaries.ts:51-53,76-84):
+    page_size=1 forces every slice through multiple search_after pages
+    (3+ per slice), rows arrive complete and exactly-once, and the
+    recorded bodies show the keyset advancing monotonically."""
+    url, requests = es_http_server
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema(
+            "event_id bigint, ts bigint, service_name string,"
+            " metricset_name string, container_id string"
+        )
+        .option("url", url)
+        .option("index", "signals-test")
+        .option("n_slices", "1")
+        .option("page_size", "1")
+        .load()
+    )
+    assert sorted(r.event_id for r in df.collect()) == [1, 2, 3, 4, 5]
+    # 5 full pages + 1 short (empty) page = 6 requests on the one slice
+    assert len(requests) == 6
+    keys = [r["body"].get("search_after") for r in requests]
+    assert keys[0] is None
+    assert [k[0] for k in keys[1:]] == [1, 2, 3, 4, 5]
+    for r in requests:
+        assert r["body"]["sort"] == [{"_doc": "asc"}]
+        assert r["body"]["size"] == 1
+
+
+def test_es_source_http_pagination_with_slices_and_filters(spark, es_http_server):
+    """Keyset pagination composes with sliced scroll AND server-side DSL:
+    2 slices × page_size=1, range-filtered — each slice pages through
+    only ITS matching docs, union is exact."""
+    url, requests = es_http_server
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema(
+            "event_id bigint, ts bigint, service_name string,"
+            " metricset_name string, container_id string"
+        )
+        .option("url", url)
+        .option("index", "signals-test")
+        .option("n_slices", "2")
+        .option("page_size", "1")
+        .load()
+    )
+    out = df.filter(df.ts >= 150)
+    assert sorted(r.event_id for r in out.collect()) == [2, 3, 4, 5]
+    # slice 0 matches {2,4}, slice 1 matches {3,5}: 3 requests each
+    by_slice = {}
+    for r in requests:
+        by_slice.setdefault(r["body"]["slice"]["id"], []).append(r)
+    assert {k: len(v) for k, v in by_slice.items()} == {0: 3, 1: 3}
