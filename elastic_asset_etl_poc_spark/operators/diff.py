@@ -20,7 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "apply_cdc"]
 
 #: field separator for the digest concat — U+001F unit separator, cannot
 #: collide with printable column content
@@ -78,3 +78,52 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*keys, "change")
     )
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """MERGE a CDC change stream into a base snapshot → the new snapshot.
+
+    ``changes`` rows carry the full record plus ``op_col`` ∈
+    {'I','U','D'} and a monotone ``seq_col``; per key, the HIGHEST seq
+    wins (classic CDC compaction), then:
+
+    * winning op I/U → the change row's values replace/insert the record
+    * winning op D   → the key disappears
+    * key untouched by changes → the base row passes through
+
+    This is ``snapshot_diff``'s inverse — diff derives changes from two
+    snapshots, apply_cdc derives the next snapshot from changes — and
+    together they are the incremental-recompute loop of a 100-TB ingest
+    (reference `run.ts:12-15` leaves the write step "TBA"; this is the
+    idempotent upsert it would need).
+
+    Scale shape: the change stream (a daily batch, orders of magnitude
+    smaller than the base) is compacted with ONE window shuffle on
+    ``keys``; the base is never shuffled — superseded rows are removed
+    with a broadcast anti-join on the compacted change KEYS and the
+    surviving changes are unioned on.  With ``broadcast_changes=False``
+    (change batch too big to broadcast) the anti-join falls back to a
+    shuffle join on keys, still one exchange of the base.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    value_cols = [c for c in base.columns]
+    touched = latest.select(*keys)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    untouched = base.join(touched, list(keys), "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*value_cols)
+    return untouched.unionByName(upserts)

@@ -125,3 +125,56 @@ def winsorize(
         .withColumn("clamped_hi", F.when(v.isNotNull(), v > F.col("__hi_v")))
         .drop("__lo_v", "__hi_v")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection over an event stream →
+    flagged ``(key, day, hour, n, z)`` cells.
+
+    Counts events per (key, calendar day, hour-of-day), learns the
+    per-(key, hour-of-day) baseline mean/stddev ACROSS days — the
+    seasonal profile: 3am Tuesdays compare to other 3am's, not to noon —
+    and flags cells with |count − mean| > z_threshold·stddev.  This
+    catches what the rolling z-score (``rolling_zscore``, recency
+    baseline) can't: a traffic level that is normal at peak but
+    anomalous off-peak.
+
+    The baseline is over OBSERVED cells only — an (hour, day) with zero
+    events contributes no cell (gap-fill first with
+    ``temporal.gap_fill`` when silence itself must be anomalous).
+
+    Scale shape: two hash aggregates (cells, then baselines over cells —
+    the second input is already tiny: |keys|·24 rows/day-range) and one
+    broadcast join of the baseline back onto cells.  No windows, no
+    sort; both aggs take map-side partials.
+    """
+    cells = df.groupBy(
+        F.col(key_col),
+        F.to_date(ts_col).alias("day"),
+        F.hour(ts_col).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = cells.groupBy(key_col, "hour").agg(
+        F.avg("n").alias("__mu"),
+        F.stddev_samp("n").alias("__sd"),
+    )
+    j = cells.join(F.broadcast(baseline), [key_col, "hour"])
+    z = (F.col("n") - F.col("__mu")) / F.col("__sd")
+    return (
+        j.filter(
+            F.col("__sd").isNotNull()
+            & (F.col("__sd") > 0)
+            & (F.abs(z) > z_threshold)
+        )
+        .select(
+            key_col,
+            "day",
+            "hour",
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -519,3 +519,49 @@ def negative_samples(
     return out.filter(F.col(id_col) != F.col("neg_id")).select(
         id_col, F.col("j").cast("int").alias("j"), "neg_id"
     )
+
+
+def weighted_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wtopk",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    ``min(k, n)`` rows, inclusion probability proportional to weight —
+    the Efraimidis–Spirakis A-ES scheme (IPL 2006, public algorithm):
+    draw uniform u per row, rank by ``u^(1/w)`` descending, keep the
+    top k.
+
+    Complements :func:`weighted_sample` (Bernoulli: EXPECTED rate, size
+    varies): mixture building needs "give me exactly 100k docs from this
+    source, length-weighted", and A-ES is the one-pass, join-free way.
+    The uniform draw is md5(id:salt), so membership is reproducible
+    across runs/engines/repartitioning like every sampler here.
+
+    Scale shape: map-only key computation + ``TakeOrdered(k)`` (Spark
+    computes per-partition top-k then merges — no global sort shuffle);
+    k is driver-bounded by contract.  Non-positive or NULL weights are
+    excluded (they cannot be sampled under proportional-to-weight
+    semantics).
+
+    Returns the selected rows with their ``sample_rank`` (1 = highest
+    key).  Rank ties break on ``id_col`` for cross-engine determinism
+    (md5 draws make real ties ~2⁻³².)
+    """
+    u = (
+        F.conv(_hash8(id_col, salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 32))  # uniform in (0, 1] — 0 would rank-kill w
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    ranked = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .drop("__key")
+    )
