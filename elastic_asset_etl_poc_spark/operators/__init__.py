@@ -13,8 +13,9 @@ from .neardup import (  # noqa: F401
     simhash_neardup,
 )
 from .bpe import bpe_segment, bpe_train, word_symbol_counts  # noqa: F401
-from .diff import snapshot_diff  # noqa: F401
-from .profile import profile_columns, winsorize  # noqa: F401
+from .diff import apply_cdc, snapshot_diff  # noqa: F401
+from .linkage import blocked_fuzzy_join  # noqa: F401
+from .profile import profile_columns, seasonal_anomalies, winsorize  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,
     fix_mojibake,
@@ -42,6 +43,7 @@ from .sampling import (  # noqa: F401
     hash_sample,
     stratified_hash_sample,
     temperature_fractions,
+    weighted_topk,
 )
 from .temporal import (  # noqa: F401
     asof_join,

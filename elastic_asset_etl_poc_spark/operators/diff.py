@@ -92,7 +92,10 @@ def apply_cdc(
 
     ``changes`` rows carry the full record plus ``op_col`` ∈
     {'I','U','D'} and a monotone ``seq_col``; per key, the HIGHEST seq
-    wins (classic CDC compaction), then:
+    wins (classic CDC compaction — equal-seq ties, which a well-formed
+    CDC stream should not contain, break on the xxhash64 digest of the
+    full change row, so the pick is deterministic across runs, engines,
+    and partitionings rather than partition-order-dependent), then:
 
     * winning op I/U → the change row's values replace/insert the record
     * winning op D   → the key disappears
@@ -114,7 +117,20 @@ def apply_cdc(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    missing = [c for c in base.columns if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            "changes must carry every base column (plus op/seq); missing: "
+            f"{missing} — project the change stream to the base schema "
+            "first (partial-column updates need a read-modify-write, not "
+            "a blind MERGE)"
+        )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # deterministic tiebreak for (key, seq) collisions: digest of the
+        # whole change row, not partition arrival order
+        F.xxhash64(*[F.col(c).cast("string") for c in changes.columns]).desc(),
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

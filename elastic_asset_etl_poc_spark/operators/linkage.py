@@ -50,6 +50,10 @@ def blocked_fuzzy_join(
 
     Both sides must carry ``block_cols`` exactly (they are the join
     keys); the text columns are compared with Levenshtein distance.
+    Rows with a NULL in any blocking key never match (standard equi-join
+    NULL semantics) — intentional: a NULL blocking key would otherwise
+    force the record against every block (all-pairs by the back door).
+    Route NULL-keyed rows to a coarser blocking pass explicitly.
     """
     if keep not in ("best", "all"):
         raise ValueError(f"keep must be 'best' or 'all', got {keep!r}")

@@ -132,6 +132,7 @@ def seasonal_anomalies(
     ts_col: str = "ts",
     key_col: str = "event_type",
     z_threshold: float = 2.0,
+    broadcast_baseline: bool = True,
 ) -> DataFrame:
     """Seasonal-baseline anomaly detection over an event stream →
     flagged ``(key, day, hour, n, z)`` cells.
@@ -149,9 +150,13 @@ def seasonal_anomalies(
     ``temporal.gap_fill`` when silence itself must be anomalous).
 
     Scale shape: two hash aggregates (cells, then baselines over cells —
-    the second input is already tiny: |keys|·24 rows/day-range) and one
-    broadcast join of the baseline back onto cells.  No windows, no
-    sort; both aggs take map-side partials.
+    the second input is |keys|·24 rows) and one join of the baseline
+    back onto cells — broadcast by default, which is right whenever
+    ``key_col`` is a low-cardinality type column.  For high-cardinality
+    keys (per-user baselines: |keys|·24 no longer fits an executor)
+    pass ``broadcast_baseline=False`` for a shuffle join on
+    ``(key, hour)`` instead.  No windows, no sort; both aggs take
+    map-side partials.
     """
     cells = df.groupBy(
         F.col(key_col),
@@ -162,7 +167,9 @@ def seasonal_anomalies(
         F.avg("n").alias("__mu"),
         F.stddev_samp("n").alias("__sd"),
     )
-    j = cells.join(F.broadcast(baseline), [key_col, "hour"])
+    if broadcast_baseline:
+        baseline = F.broadcast(baseline)
+    j = cells.join(baseline, [key_col, "hour"])
     z = (F.col("n") - F.col("__mu")) / F.col("__sd")
     return (
         j.filter(

@@ -232,10 +232,13 @@ def linear_classifier_score(
     Unknown buckets contribute weight 0 (coalesce), so a smaller model
     than ``n_buckets`` still scores every document.
 
-    EVERY document is scored, including token-less ones (NULL text):
-    explode drops those rows, so they are unioned back with the prior
-    score ``sigmoid(bias)`` — a map-only second pass over (id, text),
-    cheaper at scale than joining the scored frame back to the corpus.
+    EVERY document is scored, including NULL-text ones: explode drops
+    those rows, so they are unioned back with the prior score
+    ``sigmoid(bias)`` — a map-only second pass over (id, text), cheaper
+    at scale than joining the scored frame back to the corpus.  (Empty
+    strings never take this branch: ``tokens`` is F.split, which yields
+    ``[""]`` for empty text, so those score through the md5("") bucket
+    in the main path — matching the DuckDB oracle.)
     """
     toks = tokens(text_col)
     base = df.select(
@@ -259,9 +262,7 @@ def linear_classifier_score(
         (score >= threshold).alias("keep"),
     )
     prior = 1.0 / (1.0 + math.exp(-bias))
-    token_less = df.filter(
-        F.col(text_col).isNull() | (F.size(toks) == 0)
-    ).select(
+    token_less = df.filter(F.col(text_col).isNull()).select(
         id_col,
         F.round(F.lit(prior), 4).alias(out_col),
         F.lit(prior >= threshold).alias("keep"),

@@ -43,6 +43,24 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
+def _http_json(method: str, url: str, body: dict | None) -> dict:
+    """One JSON round-trip (stdlib urllib — executors carry no extra deps).
+
+    Raises urllib.error.HTTPError on non-2xx so callers can distinguish
+    "endpoint absent" (PIT fallback) from transport failure."""
+    import urllib.request
+
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        url,
+        data=data,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
 def filters_to_dsl(filters: list[Filter]) -> tuple[dict, list[Filter]]:
     """Translate Spark filters into an ES ``bool.filter`` clause list.
 
@@ -172,47 +190,95 @@ class SignalsESReader(DataSourceReader):
         via the pushed ``query``; this client does not re-filter.
 
         Pagination is ``search_after`` keyset — the reference's O4 loop
-        (`lib/collectServicesFromSummaries.ts:51-53,76-84`): every page
-        sorts on ``_doc`` (the cheapest deterministic ES sort), and the
-        last hit's ``sort`` values seed the next request.  Keyset (not
-        from/size) is the only pagination that stays O(page) at any
-        depth; each Spark slice pages independently, so a 10⁹-doc index
-        streams through N tasks × bounded pages with constant memory."""
-        import urllib.request
-
+        (`lib/collectServicesFromSummaries.ts:51-53,76-84`) — run inside
+        a point-in-time: each slice opens a PIT and sorts on
+        ``_shard_doc``, ES's documented slicing+search_after pattern.  A
+        plain ``_doc`` sort would be per-shard ids (non-unique, unstable
+        across refreshes — resuming could skip or duplicate documents),
+        and real ES rejects ``slice`` in a plain _search outside
+        scroll/PIT contexts; the PIT pins a consistent snapshot and
+        makes the keyset globally total.  Keyset (not from/size) is the
+        only pagination that stays O(page) at any depth; each Spark
+        slice pages independently, so a 10⁹-doc index streams through N
+        tasks × bounded pages with constant memory.  Servers without the
+        PIT API (dev stubs, pre-7.10) fall back to per-index ``_doc``
+        search — correct only where ``_doc`` is a total order (single
+        shard / stub)."""
         page_size = int(self.options.get("page_size", "10000"))
+        keep_alive = self.options.get("pit_keep_alive", "1m")
+        pit_id = self._open_pit(p, keep_alive)
         base = {
             "query": self.dsl,
             "slice": {"id": p.slice_id, "max": p.n_slices},
             "_source": False,
             "fields": names,
             "size": page_size,
-            "sort": [{"_doc": "asc"}],
         }
+        if pit_id is not None:
+            base["sort"] = [{"_shard_doc": "asc"}]
+            url = f"{p.url}/_search"  # PIT searches carry no index path
+        else:
+            base["sort"] = [{"_doc": "asc"}]
+            url = f"{p.url}/{p.index}/_search"
         search_after: list | None = None
-        while True:
-            body = dict(base)
-            if search_after is not None:
-                body["search_after"] = search_after
-            req = urllib.request.Request(
-                f"{p.url}/{p.index}/_search",
-                data=json.dumps(body).encode(),
-                headers={"Content-Type": "application/json"},
-                method="POST",
+        try:
+            while True:
+                body = dict(base)
+                if pit_id is not None:
+                    body["pit"] = {"id": pit_id, "keep_alive": keep_alive}
+                if search_after is not None:
+                    body["search_after"] = search_after
+                payload = _http_json("POST", url, body)
+                # ES may refresh the PIT id between pages; follow it
+                pit_id = payload.get("pit_id", pit_id)
+                hits = payload.get("hits", {}).get("hits", [])
+                for hit in hits:
+                    fields = hit.get("fields", {})
+                    yield tuple(
+                        (fields.get(n) or [None])[0]  # singleItem
+                        for n in names
+                    )
+                if len(hits) < page_size:
+                    return  # short page = last page
+                prev, search_after = search_after, hits[-1].get("sort")
+                if search_after is None:
+                    return  # server doesn't echo sort values: single-page
+                if search_after == prev:
+                    # a server that echoes sort values but ignores
+                    # search_after would otherwise loop forever, yielding
+                    # duplicate rows each iteration
+                    raise RuntimeError(
+                        f"search_after did not advance past {prev!r} on "
+                        f"{url} (slice {p.slice_id}/{p.n_slices}); server "
+                        "is ignoring the keyset — aborting to avoid "
+                        "duplicate rows"
+                    )
+        finally:
+            if pit_id is not None:
+                self._close_pit(p, pit_id)
+
+    @staticmethod
+    def _open_pit(p: _SlicePartition, keep_alive: str) -> str | None:
+        """POST ``{index}/_pit`` → pit id; None when the server has no
+        PIT endpoint (HTTP error ⇒ legacy per-index ``_doc`` search)."""
+        import urllib.error
+
+        try:
+            payload = _http_json(
+                "POST", f"{p.url}/{p.index}/_pit?keep_alive={keep_alive}", None
             )
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                payload = json.loads(resp.read())
-            hits = payload.get("hits", {}).get("hits", [])
-            for hit in hits:
-                fields = hit.get("fields", {})
-                yield tuple(
-                    (fields.get(n) or [None])[0] for n in names  # singleItem
-                )
-            if len(hits) < page_size:
-                return  # short page = last page
-            search_after = hits[-1].get("sort")
-            if search_after is None:
-                return  # server doesn't echo sort values: single-page mode
+        except urllib.error.HTTPError:
+            return None
+        return payload.get("id")
+
+    @staticmethod
+    def _close_pit(p: _SlicePartition, pit_id: str) -> None:
+        import urllib.error
+
+        try:
+            _http_json("DELETE", f"{p.url}/_pit", {"id": pit_id})
+        except urllib.error.HTTPError:
+            pass  # PIT expires via keep_alive anyway
 
 
 class SignalsESDataSource(DataSource):

@@ -6154,6 +6154,209 @@ def bpe_tokenize_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Record linkage (operators/linkage.py), CDC upsert (operators/diff.py),
+# seasonal anomalies (operators/profile.py), weighted top-k sampling
+# (operators/sampling.py) — the round-7 additions, wired with oracles.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fuzzy_link_parts",
+    """
+WITH dirty AS (
+  SELECT p_partkey AS d_id, p_brand,
+         substring(p_name, 1, 3) || 'zz' || substring(p_name, 6) AS d_name
+  FROM part WHERE p_partkey % 7 = 0
+),
+cand AS (
+  SELECT d.d_id, c.p_partkey AS clean_id,
+         levenshtein(d.d_name, c.p_name) AS dist
+  FROM dirty d JOIN part c ON d.p_brand = c.p_brand
+  WHERE levenshtein(d.d_name, c.p_name) <= 2
+)
+SELECT d_id, clean_id, CAST(dist AS INTEGER) AS dist
+FROM (SELECT *, row_number() OVER (PARTITION BY d_id
+                                   ORDER BY dist, clean_id) AS rn
+      FROM cand)
+WHERE rn = 1
+""",
+)
+def fuzzy_link_parts(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/linkage.py): every 7th
+    part's name is deterministically damaged (chars 4-5 overwritten with
+    'zz' — substring surgery identical in both engines), then linked
+    back to the clean catalog blocked on p_brand with Levenshtein ≤ 2,
+    keep='best' (min dist, ties → smallest clean id).  Candidates come
+    only from the brand equi-join — the quadratic edit-distance work
+    never leaves the block, so at 100 TB this is one shuffle join plus
+    map-side JVM levenshtein, never all-pairs."""
+    from .operators.linkage import blocked_fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("d_id"),
+        "p_brand",
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("zz"),
+            F.expr("substring(p_name, 6)"),
+        ).alias("d_name"),
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("clean_id"), "p_brand", "p_name"
+    )
+    return blocked_fuzzy_join(
+        dirty,
+        clean,
+        block_cols=["p_brand"],
+        dirty_text="d_name",
+        clean_text="p_name",
+        dirty_id="d_id",
+        clean_id="clean_id",
+        max_dist=2,
+        keep="best",
+    )
+
+
+@q(
+    "apply_cdc_orders",
+    """
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.11
+            ELSE o_totalprice END AS o_totalprice
+FROM orders WHERE o_orderkey % 97 <> 0
+""",
+)
+def apply_cdc_orders(spark, sf_dir):
+    """CDC MERGE round-trip (operators/diff.py): derive a change batch
+    from the snapshot_diff_orders old/new pair (added→I, changed→U,
+    removed→D, each carrying the new row's values), then apply_cdc it
+    onto the OLD snapshot.  The oracle is simply the NEW snapshot — the
+    diff→apply round-trip is its own proof (apply_cdc(old,
+    changes_of(old,new)) ≡ new).  Scale shape: the change batch gets
+    the one window shuffle; the base is never shuffled (broadcast
+    anti-join on touched keys)."""
+    from .operators.diff import apply_cdc, snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 100 != 0)
+    # price bump is a single IEEE add (+1.11), bit-identical across
+    # engines — round(x*1.1, 2) would hit half-even-vs-half-up ties
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.11
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    iu = (
+        d.filter(F.col("change") != "removed")
+        .join(new, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.when(F.col("change") == "added", F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    dels = (
+        d.filter(F.col("change") == "removed")
+        .join(old, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+            F.lit(1).alias("seq"),
+        )
+    )
+    return apply_cdc(
+        old, iu.unionByName(dels), keys=["o_orderkey"]
+    )
+
+
+@q(
+    "seasonal_anomaly_events",
+    """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+base AS (
+  SELECT event_type, hour, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.hour, c.n,
+       round((c.n - b.mu) / b.sd, 4) AS z
+FROM cells c JOIN base b ON c.event_type = b.event_type AND c.hour = b.hour
+WHERE b.sd IS NOT NULL AND b.sd > 0 AND abs((c.n - b.mu) / b.sd) > 2.0
+""",
+)
+def seasonal_anomaly_events(spark, sf_dir):
+    """Seasonal-baseline anomaly cells (operators/profile.py): events
+    bucketed per (type, day, hour-of-day), baselined per (type,
+    hour-of-day) ACROSS days, cells beyond 2σ flagged — 3am compares to
+    other 3am's, catching what a recency z-score can't.  Two map-side
+    hash aggs + one broadcast join of the |keys|·24-row baseline."""
+    from .operators.profile import seasonal_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(
+        events, ts_col="ts", key_col="event_type", z_threshold=2.0
+    )
+
+
+@q(
+    "weighted_topk_docs",
+    """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':wtopk'), 1, 8) AS UBIGINT)
+              + 1.0) / 4294967296.0,
+             1.0 / n_tokens) AS key
+  FROM t WHERE n_tokens IS NOT NULL AND n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INTEGER)
+         AS sample_rank
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
+""",
+)
+def weighted_topk_docs(spark, sf_dir):
+    """Exact-size weighted sampling without replacement (operators/
+    sampling.py weighted_topk — Efraimidis–Spirakis A-ES): top-50
+    documents by pow(md5-uniform, 1/n_tokens), inclusion probability
+    proportional to token count.  Map-only key computation +
+    TakeOrdered(50) — no global sort shuffle; the oracle replays the
+    identical md5→uniform→pow keys and ranks in SQL."""
+    from .operators.sampling import weighted_topk
+    from .operators.text import token_count
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .select("doc_id", "n_tokens")
+    )
+    return weighted_topk(
+        docs, k=50, weight_col="n_tokens", id_col="doc_id", salt="wtopk"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
 # exact expected rows are stated as VALUES literals generated once by

@@ -96,12 +96,16 @@ _HTTP_DOCS = [
 ]
 
 
-@pytest.fixture()
-def es_http_server():
-    """Stub ES ``_search`` endpoint (stdlib http.server): evaluates the
-    posted Query DSL server-side over _HTTP_DOCS, honors sliced scroll
-    (event_id % max == id), answers in fields-API shape, and records
-    every request body so tests can assert what was pushed."""
+def _make_es_server(mode: str):
+    """Stub ES endpoint (stdlib http.server): evaluates the posted Query
+    DSL server-side over _HTTP_DOCS, honors sliced scroll (event_id %
+    max == id), answers in fields-API shape, and records every request
+    body so tests can assert what was pushed.
+
+    ``mode``: 'pit' = full PIT API (open/search/close — the real-ES
+    shape); 'legacy' = 404 on ``_pit`` (forces the ``_doc`` fallback);
+    'stuck' = echoes sort values but IGNORES search_after (the
+    infinite-loop server the advance guard must detect)."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -111,8 +115,16 @@ def es_http_server():
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
-            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n)) if n else {}
             requests.append({"path": self.path, "body": body})
+            if self.path.split("?")[0].endswith("/_pit"):
+                if mode == "legacy":
+                    self._reply(404, {"error": "no such endpoint"})
+                else:
+                    index = self.path.split("/")[1]
+                    self._reply(200, {"id": f"pit:{index}"})
+                return
             sl = body.get("slice", {"id": 0, "max": 1})
             fields = body.get("fields") or []
             docs = [
@@ -121,13 +133,13 @@ def es_http_server():
                 if d["event_id"] % sl["max"] == sl["id"]
                 and _matches(d, body.get("query", {}))
             ]
-            # keyset pagination, ES wire shape: _doc sort == insertion
-            # order here, hits echo their sort values, search_after
-            # resumes strictly past them, size caps the page
+            # keyset pagination, ES wire shape: _shard_doc/_doc sort ==
+            # insertion order here, hits echo their sort values,
+            # search_after resumes strictly past them, size caps the page
             if body.get("sort"):
                 docs.sort(key=lambda d: d["event_id"])
                 sa = body.get("search_after")
-                if sa is not None:
+                if sa is not None and mode != "stuck":
                     docs = [d for d in docs if d["event_id"] > sa[0]]
             docs = docs[: body.get("size", 10000)]
             hits = [
@@ -137,8 +149,20 @@ def es_http_server():
                 }
                 for d in docs
             ]
-            out = json.dumps({"hits": {"hits": hits}}).encode()
-            self.send_response(200)
+            out = {"hits": {"hits": hits}}
+            if "pit" in body:
+                out["pit_id"] = body["pit"]["id"]
+            self._reply(200, out)
+
+        def do_DELETE(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = json.loads(self.rfile.read(n)) if n else {}
+            requests.append({"path": self.path, "body": body, "method": "DELETE"})
+            self._reply(200, {"succeeded": True})
+
+        def _reply(self, code: int, payload: dict):
+            out = json.dumps(payload).encode()
+            self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(out)))
             self.end_headers()
@@ -150,6 +174,44 @@ def es_http_server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    return srv, requests
+
+
+def _searches(requests):
+    return [r for r in requests if r["path"].split("?")[0].endswith("/_search")]
+
+
+def _pit_opens(requests):
+    return [
+        r
+        for r in requests
+        if r["path"].split("?")[0].endswith("/_pit") and r.get("method") != "DELETE"
+    ]
+
+
+@pytest.fixture(params=["pit"])
+def es_http_server(request):
+    srv, requests = _make_es_server(request.param)
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", requests
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+@pytest.fixture()
+def es_http_server_legacy():
+    srv, requests = _make_es_server("legacy")
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}", requests
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+@pytest.fixture()
+def es_http_server_stuck():
+    srv, requests = _make_es_server("stuck")
     try:
         yield f"http://127.0.0.1:{srv.server_address[1]}", requests
     finally:
@@ -177,11 +239,18 @@ def test_es_source_http_pushdown_round_trip(spark, es_http_server):
     )
     assert sorted(r.event_id for r in out.collect()) == [4, 5]
 
-    # two slices → two _search calls, each carrying the full pushed DSL
-    assert len(requests) == 2
-    assert {r["body"]["slice"]["id"] for r in requests} == {0, 1}
-    for r in requests:
-        assert r["path"] == "/signals-test/_search"
+    # two slices → a PIT open each, then one _search each carrying the
+    # full pushed DSL inside the PIT context
+    opens = _pit_opens(requests)
+    searches = _searches(requests)
+    assert len(opens) == 2 and all(
+        r["path"].startswith("/signals-test/_pit") for r in opens
+    )
+    assert len(searches) == 2
+    assert {r["body"]["slice"]["id"] for r in searches} == {0, 1}
+    for r in searches:
+        assert r["path"] == "/_search"  # PIT searches carry no index path
+        assert r["body"]["pit"]["id"] == "pit:signals-test"
         assert r["body"]["_source"] is False  # fields API, reference shape
         clauses = r["body"]["query"]["bool"]["filter"]
         assert {"term": {"metricset_name": {"value": "purchase"}}} in clauses
@@ -207,7 +276,7 @@ def test_es_source_http_terms_and_unsupported(spark, es_http_server):
     assert sorted(r.event_id for r in out.collect()) == [2, 5]
     terms = [
         c
-        for r in requests
+        for r in _searches(requests)
         for c in r["body"]["query"]["bool"]["filter"]
         if "terms" in c
     ]
@@ -236,13 +305,20 @@ def test_es_source_http_search_after_pagination(spark, es_http_server):
         .load()
     )
     assert sorted(r.event_id for r in df.collect()) == [1, 2, 3, 4, 5]
-    # 5 full pages + 1 short (empty) page = 6 requests on the one slice
-    assert len(requests) == 6
-    keys = [r["body"].get("search_after") for r in requests]
+    # 5 full pages + 1 short (empty) page = 6 searches on the one slice,
+    # all inside one PIT (opened once, closed once)
+    searches = _searches(requests)
+    assert len(searches) == 6
+    assert len(_pit_opens(requests)) == 1
+    assert sum(1 for r in requests if r.get("method") == "DELETE") == 1
+    keys = [r["body"].get("search_after") for r in searches]
     assert keys[0] is None
     assert [k[0] for k in keys[1:]] == [1, 2, 3, 4, 5]
-    for r in requests:
-        assert r["body"]["sort"] == [{"_doc": "asc"}]
+    for r in searches:
+        # _shard_doc is ES's documented tiebreak sort for slicing +
+        # search_after inside a PIT (unique and stable, unlike _doc)
+        assert r["body"]["sort"] == [{"_shard_doc": "asc"}]
+        assert r["body"]["pit"]["id"] == "pit:signals-test"
         assert r["body"]["size"] == 1
 
 
@@ -266,8 +342,58 @@ def test_es_source_http_pagination_with_slices_and_filters(spark, es_http_server
     )
     out = df.filter(df.ts >= 150)
     assert sorted(r.event_id for r in out.collect()) == [2, 3, 4, 5]
-    # slice 0 matches {2,4}, slice 1 matches {3,5}: 3 requests each
+    # slice 0 matches {2,4}, slice 1 matches {3,5}: 3 searches each
     by_slice = {}
-    for r in requests:
+    for r in _searches(requests):
         by_slice.setdefault(r["body"]["slice"]["id"], []).append(r)
     assert {k: len(v) for k, v in by_slice.items()} == {0: 3, 1: 3}
+
+
+def test_es_source_http_legacy_fallback_without_pit(spark, es_http_server_legacy):
+    """A server without the PIT API (404 on _pit) degrades to per-index
+    ``_doc`` search — rows stay complete and exactly-once on the stub
+    (where _doc IS a total order)."""
+    url, requests = es_http_server_legacy
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema(
+            "event_id bigint, ts bigint, service_name string,"
+            " metricset_name string, container_id string"
+        )
+        .option("url", url)
+        .option("index", "signals-test")
+        .option("n_slices", "1")
+        .option("page_size", "2")
+        .load()
+    )
+    assert sorted(r.event_id for r in df.collect()) == [1, 2, 3, 4, 5]
+    searches = _searches(requests)
+    assert len(_pit_opens(requests)) == 1  # tried PIT, got 404
+    assert len(searches) == 3  # pages of 2, 2, 1 (short = last)
+    for r in searches:
+        assert r["path"] == "/signals-test/_search"
+        assert r["body"]["sort"] == [{"_doc": "asc"}]
+        assert "pit" not in r["body"]
+
+
+def test_es_source_http_stuck_keyset_raises(spark, es_http_server_stuck):
+    """A server that echoes sort values but ignores search_after would
+    loop forever yielding duplicates; the reader detects the
+    non-advancing keyset and aborts loudly instead."""
+    url, _ = es_http_server_stuck
+    register(spark)
+    df = (
+        spark.read.format("signals_es")
+        .schema(
+            "event_id bigint, ts bigint, service_name string,"
+            " metricset_name string, container_id string"
+        )
+        .option("url", url)
+        .option("index", "signals-test")
+        .option("n_slices", "1")
+        .option("page_size", "1")
+        .load()
+    )
+    with pytest.raises(Exception, match="did not advance"):
+        df.collect()
