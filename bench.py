@@ -85,6 +85,25 @@ def main() -> None:
         # frozen BPE vocab (training priced by bpe_train_docs)
         "bpe_tokenize_docs",
     ]
+    # Host-load stamp (the r7 lesson: six >2× "regressions" on unchanged
+    # code were a noisy host; numbers without load context are not
+    # interpretable round-over-round).  loadavg is sampled after every
+    # query so the MAX catches a mid-run stall; cpu-steal comes from
+    # /proc/stat deltas (a hypervisor stealing cycles inflates wall time
+    # without raising loadavg).
+    def _cpu_times() -> tuple[float, float]:
+        try:
+            with open("/proc/stat") as fh:
+                f = fh.readline().split()[1:]
+            vals = [float(x) for x in f]
+            return sum(vals), vals[7] if len(vals) > 7 else 0.0
+        except OSError:
+            return 0.0, 0.0
+
+    load0 = os.getloadavg()[0]
+    total0, steal0 = _cpu_times()
+    load_max = load0
+
     cold: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in qs.items():
@@ -107,6 +126,18 @@ def main() -> None:
             medians[name] = round(statistics.median(samples), 2)
         else:
             cold[name] = medians[name] = -1.0
+        load_max = max(load_max, os.getloadavg()[0])
+
+    total1, steal1 = _cpu_times()
+    load = {
+        "load1_start": round(load0, 2),
+        "load1_max": round(load_max, 2),
+        "load1_end": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+        "steal_pct": round(
+            100.0 * (steal1 - steal0) / max(total1 - total0, 1e-9), 2
+        ),
+    }
 
     total = round(sum(t for t in medians.values() if t >= 0), 2)
     # The driver records only a ~2000-char TAIL of stdout, and 116 query
@@ -128,6 +159,7 @@ def main() -> None:
                 "memoized": memoized,
                 "runs": runs,
                 "sf": sf,
+                "load": load,
             },
             fh,
             indent=1,
@@ -149,6 +181,7 @@ def main() -> None:
                 "full": "BENCH_FULL.json",
                 "runs": runs,
                 "sf": sf,
+                "load": load,
                 "metric": "suite_wall_sec",
                 "unit": "sec",
                 "value": total,
