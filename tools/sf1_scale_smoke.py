@@ -82,6 +82,14 @@ HEAVY = [
     ("winsorize_events", "linear"),
     ("triangle_docs", "linear"),  # pair graph ~linear on this corpus
     ("fix_mojibake_docs", "linear"),
+    # round-8 wiring: apply_cdc over 10× orders (diff + merge, base never
+    # shuffled); seasonal cells over 10× denser events (cell count fixed,
+    # counts grow — agg is the scan); weighted top-k over 10× documents
+    # (map-only keys + TakeOrdered).  fuzzy_link_parts is excluded: part
+    # is a dimension table, copied verbatim at sf1 — no growth to slope.
+    ("apply_cdc_orders", "linear"),
+    ("seasonal_anomaly_events", "linear"),
+    ("weighted_topk_docs", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
@@ -178,7 +186,14 @@ def build_sf1(spark) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--out", default="SCALE_r7.md")
+    ap.add_argument("--out", default="SCALE_r8.md")
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="restrict the timed set to these HEAVY queries (band audit "
+        "still runs); the report notes the restriction",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -192,8 +207,11 @@ def main() -> None:
     from elastic_asset_etl_poc_spark import suite
 
     qs = e.queries()
+    heavy = HEAVY if args.only is None else [
+        (n, k) for n, k in HEAVY if n in set(args.only)
+    ]
     results: dict[str, dict] = {}
-    for name, klass in HEAVY:
+    for name, klass in heavy:
         row: dict = {"class": klass}
         for label, sf_dir in (("t_sf01", SF01), ("t_sf1", SF1)):
             best = None
@@ -252,6 +270,16 @@ def main() -> None:
         "rotated embeddings; see the tool docstring).  `slope` is best-of-"
         f"{args.runs}",
         f"wall-time ratio; linear-class queries assert slope ≤ {MAX_LINEAR_SLOPE}.",
+        *(
+            []
+            if args.only is None
+            else [
+                "",
+                f"RESTRICTED RUN: only {sorted(args.only)} timed this "
+                "round; the previous round's full certification stands "
+                "for queries whose operator code is unchanged.",
+            ]
+        ),
         "",
         "| query | class | sf0.1 s | sf1 s | slope |",
         "|---|---|---|---|---|",
