@@ -106,6 +106,13 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     medians: dict[str, float] = {}
+    # NOTE: a periodic driver System.gc() between queries was tried (to
+    # reclaim torn-off broadcasts on this single-process 167-query run)
+    # and measured NET-HARMFUL: median query 1.16× slower and the
+    # checkpoint-memoized graph queries up to 7× slower (ContextCleaner
+    # churn against the pinned edge frames).  Accumulated-state pressure
+    # on late all-pairs audits (~3s solo → ~9s at suite position 58) is
+    # the lesser evil; the load stamp below makes it attributable.
     for name, fn in qs.items():
         samples: list[float] = []
         for i in range(runs):

@@ -42,6 +42,7 @@ from .sampling import (  # noqa: F401
     deterministic_split,
     hash_sample,
     stratified_hash_sample,
+    stratified_weighted_topk,
     temperature_fractions,
     weighted_topk,
 )

@@ -565,3 +565,47 @@ def weighted_topk(
         ranked.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .drop("__key")
     )
+
+
+def stratified_weighted_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | str = "source",
+    id_col: str = "doc_id",
+    salt: str = "swtopk",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows PER STRATUM, inclusion
+    probability proportional to weight within the stratum — A-ES
+    (Efraimidis–Spirakis, as :func:`weighted_topk`) ranked inside each
+    group: the "100k best-weighted docs from EVERY source" primitive of
+    mixture building, where the global top-k would let one hot source
+    crowd out the rest.
+
+    Complements the family: :func:`stratified_hash_sample` holds a RATE
+    per stratum (size varies), :func:`weighted_topk` holds a global
+    COUNT (stratum balance varies); this holds a count per stratum.
+
+    Scale shape: map-only key computation + ONE hash-partition shuffle
+    on the strata columns with a per-group sort (rank window); no global
+    sort, no driver state.  The sort is per-stratum — a pathologically
+    hot stratum is the window's skew limit, the same bound every
+    per-group rank here has (collapse_top1, winsorize).  Draws are
+    md5(id:salt) so membership is stable across runs, engines, and
+    repartitionings; rank ties break on ``id_col``.
+    """
+    strata = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    u = (
+        F.conv(_hash8(id_col, salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 32))
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(*strata).orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__key", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__key")
+    )

@@ -6356,6 +6356,114 @@ def weighted_topk_docs(spark, sf_dir):
     )
 
 
+@q(
+    "stratified_topk_docs",
+    """
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_tokens,
+         pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':swtopk'), 1, 8) AS UBIGINT)
+              + 1.0) / 4294967296.0,
+             1.0 / n_tokens) AS key
+  FROM t WHERE n_tokens IS NOT NULL AND n_tokens > 0
+)
+SELECT doc_id, source, n_tokens, sample_rank FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY key DESC, doc_id ASC) AS INTEGER)
+           AS sample_rank
+  FROM keyed)
+WHERE sample_rank <= 5
+""",
+)
+def stratified_topk_docs(spark, sf_dir):
+    """Exact-k-per-stratum weighted sampling (operators/sampling.py
+    stratified_weighted_topk): the 5 best length-weighted docs from
+    EVERY source — the mixture-building primitive where a global top-k
+    would let one hot source crowd out the rest.  One hash-partition
+    shuffle on source + per-group rank; md5 draws replayed identically
+    by the oracle."""
+    from .operators.sampling import stratified_weighted_topk
+    from .operators.text import token_count
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .select("doc_id", "source", "n_tokens")
+    )
+    return stratified_weighted_topk(
+        docs, k=5, weight_col="n_tokens", strata_cols="source",
+        id_col="doc_id", salt="swtopk",
+    )
+
+
+@q(
+    "tokenizer_fertility_docs",
+    """WITH t0 AS (SELECT doc_id,
+              array_to_string(list_transform(
+                regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+                w -> array_to_string(string_split(w, ''), ' ')), '  ') AS syms,
+              len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS words,
+              lang
+       FROM documents),
+"""
+    + ",".join(
+        f"""
+t{i} AS (SELECT doc_id, regexp_replace(syms,
+            '\\b{lhs} {rhs}\\b', '{merged}', 'g') AS syms, words, lang
+         FROM t{i - 1})"""
+        for i, lhs, rhs, merged, _ in _BPE_FROZEN_MERGES
+    )
+    + f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS total_words,
+       CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+       round(avg(CAST(bpe AS DOUBLE) / words), 4) AS fertility
+FROM (SELECT doc_id, words, lang,
+             CASE WHEN syms = '' THEN 0
+                  ELSE len(string_split_regex(syms, ' +')) END AS bpe
+      FROM t{len(_BPE_FROZEN_MERGES)})
+WHERE words > 0
+GROUP BY lang
+""",
+)
+def tokenizer_fertility_docs(spark, sf_dir):
+    """Tokenizer fertility per language (BPE tokens per word under the
+    frozen 10-merge vocab) — the metric that tells an LLM-data team
+    which languages their tokenizer under-serves (high fertility =
+    more tokens per word = costlier training and shorter effective
+    context).  Rides bpe_segment (map-only frozen-merge replay) + one
+    per-language hash agg; the oracle replays the identical merge
+    chain."""
+    from .operators.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = spark.createDataFrame(
+        _BPE_FROZEN_MERGES,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+    words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    seg = bpe_segment(docs.withColumn("words", words), merges)
+    return (
+        seg.filter(F.col("words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.round(
+                F.avg(F.col("bpe_tokens").cast("double") / F.col("words")), 4
+            ).alias("fertility"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

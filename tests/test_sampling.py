@@ -415,3 +415,67 @@ def test_negative_samples_many_shards_all_docs_covered(spark):
 
     with _pytest.raises(ValueError):
         negative_samples(df, k=2, shards=70000)
+
+
+def test_stratified_weighted_topk_exact_k_per_stratum(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        stratified_weighted_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", "s" + str(i % 3), float(1 + i % 5)) for i in range(30)],
+        "doc_id string, src string, w double",
+    )
+    out = stratified_weighted_topk(
+        df, k=2, weight_col="w", strata_cols="src"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r.sample_rank)
+    assert {s: sorted(v) for s, v in by_src.items()} == {
+        "s0": [1, 2], "s1": [1, 2], "s2": [1, 2]
+    }
+
+
+def test_stratified_weighted_topk_small_stratum_and_weights(spark):
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        stratified_weighted_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "s0", 1.0), ("b", "s0", None), ("c", "s0", 0.0),
+         ("d", "s1", 2.0), ("e", "s1", 3.0), ("f", "s1", 4.0)],
+        "doc_id string, src string, w double",
+    )
+    out = stratified_weighted_topk(df, k=5, weight_col="w", strata_cols="src")
+    got = {(r.doc_id, r.src) for r in out.collect()}
+    # s0: only 'a' has a positive weight; s1: all three (k=5 > |stratum|)
+    assert got == {("a", "s0"), ("d", "s1"), ("e", "s1"), ("f", "s1")}
+
+
+def test_stratified_weighted_topk_deterministic_and_matches_global(spark):
+    """Per-stratum ranking over ONE stratum must equal weighted_topk's
+    global ranking — same A-ES keys, same tiebreaks."""
+    from elastic_asset_etl_poc_spark.operators.sampling import (
+        stratified_weighted_topk,
+        weighted_topk,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(f"d{i:02d}", float(1 + i % 7)) for i in range(40)],
+        "doc_id string, w double",
+    ).withColumn("src", F.lit("only"))
+    a = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in stratified_weighted_topk(
+            df, k=10, weight_col="w", strata_cols="src", salt="wtopk"
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.sample_rank)
+        for r in weighted_topk(
+            df.select("doc_id", "w"), k=10, weight_col="w", salt="wtopk"
+        ).collect()
+    )
+    assert a == b
