@@ -25,6 +25,7 @@ from .text import (  # noqa: F401
     normalize_text,
     text_quality,
     token_count,
+    train_linear_classifier,
 )
 from .similarity import (  # noqa: F401
     cosine_pairs,

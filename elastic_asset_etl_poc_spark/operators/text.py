@@ -692,3 +692,107 @@ def bigram_logprob(
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    steps: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """TRAIN the hash-kernel quality classifier in-engine — full-batch
+    logistic regression by gradient descent, closing the loop whose
+    inference half is :func:`linear_classifier_score` (same tokens, same
+    md5-bucket features, same ``sigmoid(bias + mean-bucket-weight)``
+    model form, so the returned frame feeds straight into scoring).
+
+    A pretraining pipeline labels a seed set (wiki-vs-crawl, curated-vs-
+    spam) and fits exactly this model (CCNet / fastText quality stage);
+    doing it as DataFrame aggregates means no MLlib dependency, no
+    driver-side feature matrix, and an oracle-replayable recurrence.
+
+    Per step (classic full-batch logistic gradient):
+        z_i   = bias + Σ_b w_b·cnt_ib / n_i
+        err_i = σ(z_i) − y_i
+        w_b  −= lr · Σ_i err_i·cnt_ib/n_i / N ;  bias −= lr · Σ_i err_i / N
+
+    Scale shape: the corpus tokenizes ONCE into a per-(doc, bucket)
+    count frame (one shuffle), localCheckpointed and hash-partitioned on
+    ``id_col``; each step is a map-side weight lookup (literal map — the
+    model is KB-sized), one per-doc agg, one CO-PARTITIONED join of the
+    per-doc errors back onto the feature frame (both sides already hash
+    on ``id_col`` — no re-shuffle of the corpus), and one per-bucket
+    agg.  The only driver traffic is the model itself (``n_buckets``
+    rows per step — model-sized, not data-sized; the bpe_train /
+    bpe_segment bounded-collect discipline).  ``steps`` is fixed and
+    small, as in pagerank/HITS.
+
+    NULL-text docs are excluded from training (they carry no features);
+    labels must be 0/1.  Returns ``(bucket int, weight double)`` with
+    the bias at ``bucket = -1`` — the parquet-portable model shape the
+    scorer consumes.
+    """
+    toks = tokens(text_col)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.size(toks).alias("__n"),
+        F.explode(toks).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    feat = (
+        base.withColumn("__b", bucket)
+        .groupBy("__id", "__y", "__n", "__b")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .repartition("__id")
+        .localCheckpoint()
+    )
+    n_docs = float(feat.select("__id").distinct().count())
+
+    weights: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(steps):
+        if weights:
+            wmap = F.create_map(
+                *[
+                    F.lit(v)
+                    for b, w in sorted(weights.items())
+                    for v in (b, w)
+                ]
+            )
+            wcol = F.coalesce(
+                F.element_at(wmap, F.col("__b").cast("int")), F.lit(0.0)
+            )
+        else:
+            wcol = F.lit(0.0)
+        z = F.lit(bias) + F.sum(wcol * F.col("__cnt")) / F.first("__n")
+        per_doc = feat.groupBy("__id").agg(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.first("__y")).alias(
+                "__err"
+            )
+        )
+        grads = (
+            feat.join(per_doc, "__id")
+            .groupBy("__b")
+            .agg(
+                F.sum(
+                    F.col("__err") * F.col("__cnt") / F.col("__n")
+                ).alias("__g")
+            )
+            .collect()
+        )
+        bias_g = per_doc.agg(F.sum("__err")).collect()[0][0]
+        for r in grads:
+            b = int(r["__b"])
+            weights[b] = weights.get(b, 0.0) - lr * r["__g"] / n_docs
+        bias -= lr * bias_g / n_docs
+
+    spark = df.sparkSession
+    rows = [(-1, bias)] + [(b, w) for b, w in sorted(weights.items())]
+    return spark.createDataFrame(rows, "bucket int, weight double")

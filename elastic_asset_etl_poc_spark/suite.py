@@ -6356,6 +6356,79 @@ def weighted_topk_docs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# In-engine classifier TRAINING (operators/text.py train_linear_classifier):
+# the oracle replays the identical full-batch logistic-gradient recurrence
+# as unrolled CTEs (the pagerank/bpe device) — per step: per-doc z via the
+# weight join, sigmoid error, per-bucket mean gradient, weight/bias update.
+# ---------------------------------------------------------------------------
+
+_CLF_STEPS = 3
+_CLF_BUCKETS = 64
+
+
+def _train_clf_sql(steps: int = _CLF_STEPS, nb: int = _CLF_BUCKETS) -> str:
+    head = f"""
+WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                  text
+           FROM documents WHERE text IS NOT NULL),
+tt AS (SELECT doc_id, y, len(string_split(text, ' ')) AS n,
+              unnest(string_split(text, ' ')) AS tok FROM d),
+f AS (SELECT doc_id, max(y) AS y, max(n) AS n,
+             CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {nb} AS b,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM tt GROUP BY doc_id, b),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS w
+       WHERE 1 = 0),
+bias0 AS (SELECT 0.0 AS bv)"""
+    parts = [head]
+    for i in range(1, steps + 1):
+        parts.append(f""",
+z{i} AS (SELECT f.doc_id, max(f.y) AS y,
+               (SELECT bv FROM bias{i - 1})
+                 + sum(coalesce(w.w, 0.0) * f.cnt) / max(f.n) AS z
+         FROM f LEFT JOIN w{i - 1} w ON f.b = w.b GROUP BY f.doc_id),
+e{i} AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS err FROM z{i}),
+g{i} AS (SELECT f.b, sum(e.err * f.cnt / f.n) AS g
+         FROM f JOIN e{i} e ON f.doc_id = e.doc_id GROUP BY f.b),
+w{i} AS (SELECT COALESCE(w.b, g.b) AS b,
+                COALESCE(w.w, 0.0)
+                  - COALESCE(g.g, 0.0) / (SELECT nd FROM nn) AS w
+         FROM w{i - 1} w FULL OUTER JOIN g{i} g ON w.b = g.b),
+bias{i} AS (SELECT (SELECT bv FROM bias{i - 1})
+                     - (SELECT sum(err) FROM e{i})
+                       / (SELECT nd FROM nn) AS bv)""")
+    parts.append(f"""
+SELECT CAST(-1 AS INTEGER) AS bucket, round(bv, 4) AS weight FROM bias{steps}
+UNION ALL
+SELECT CAST(b AS INTEGER) AS bucket, round(w, 4) AS weight FROM w{steps}
+""")
+    return "".join(parts)
+
+
+@q("train_classifier_docs", _train_clf_sql())
+def train_classifier_docs(spark, sf_dir):
+    """In-engine quality-classifier TRAINING (operators/text.py
+    train_linear_classifier): 3 full-batch logistic-gradient steps over
+    md5-bucket hashed features, labels = (lang == 'en') — the seed-set
+    fit of the CCNet/fastText quality stage, producing exactly the
+    (bucket, weight) model linear_classifier_score consumes.  Corpus
+    tokenizes ONCE (one shuffle, localCheckpoint); each step is a
+    literal-map weight lookup + per-doc agg + co-partitioned error join
+    + per-bucket agg, with only model-sized (65-row) driver traffic.
+    The oracle replays the identical recurrence as unrolled CTEs."""
+    from .operators.text import train_linear_classifier
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__lbl", (F.col("lang") == "en").cast("double")
+    )
+    model = train_linear_classifier(
+        docs, "__lbl", n_buckets=_CLF_BUCKETS, steps=_CLF_STEPS, lr=1.0
+    )
+    return model.select("bucket", F.round("weight", 4).alias("weight"))
+
+
 @q(
     "stratified_topk_docs",
     """

@@ -763,3 +763,78 @@ def test_banded_candidate_stats_consistent_with_pairs(spark):
     n_pairs = banded_hamming_pairs(fps, max_hamming=3).count()
     assert stats["n_pairs"] == n_pairs == 3  # (1,2),(1,3),(2,3)
     assert stats["n_candidates"] >= 1
+
+
+def test_train_linear_classifier_learns_separating_token(spark):
+    """On a corpus where one token perfectly predicts the label, three
+    gradient steps must score positive docs above negative ones when the
+    trained model is fed back into linear_classifier_score."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.text import (
+        linear_classifier_score,
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((f"p{i}", "good clean prose here", 1.0))
+        rows.append((f"n{i}", "spam junk noise blob", 0.0))
+    df = spark.createDataFrame(rows, "doc_id string, text string, y double")
+    model = train_linear_classifier(df, "y", n_buckets=32, steps=3)
+    rowsm = model.collect()
+    assert [r.bucket for r in rowsm if r.bucket == -1] == [-1]  # bias row
+    bias = [r.weight for r in rowsm if r.bucket == -1][0]
+    w = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in rowsm if r.bucket >= 0],
+        "bucket int, weight double",
+    )
+    scored = linear_classifier_score(
+        df, w, n_buckets=32, bias=bias
+    ).withColumn("is_pos", F.col("doc_id").startswith("p"))
+    agg = {
+        r.is_pos: r.m
+        for r in scored.groupBy("is_pos")
+        .agg(F.avg("quality_score").alias("m"))
+        .collect()
+    }
+    assert agg[True] > 0.5 > agg[False]
+
+
+def test_train_linear_classifier_deterministic_under_repartition(spark):
+    from elastic_asset_etl_poc_spark.operators.text import (
+        train_linear_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"tok{i % 7} tok{i % 3} filler", float(i % 2))
+         for i in range(30)],
+        "doc_id string, text string, y double",
+    )
+    a = sorted(
+        (r.bucket, round(r.weight, 9))
+        for r in train_linear_classifier(df, "y", n_buckets=16).collect()
+    )
+    b = sorted(
+        (r.bucket, round(r.weight, 9))
+        for r in train_linear_classifier(
+            df.repartition(11), "y", n_buckets=16
+        ).collect()
+    )
+    assert a == b
+
+
+def test_train_linear_classifier_null_text_excluded(spark):
+    from elastic_asset_etl_poc_spark.operators.text import (
+        train_linear_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x y", 1.0), ("b", None, 0.0)],
+        "doc_id string, text string, y double",
+    )
+    model = train_linear_classifier(df, "y", n_buckets=8, steps=1)
+    # one doc trains: first-step errors are sigmoid(0)-1 = -0.5 for it;
+    # bias moves up — the NULL-text doc contributes nothing
+    bias = [r.weight for r in model.collect() if r.bucket == -1][0]
+    assert bias == 0.5

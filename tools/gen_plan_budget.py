@@ -39,6 +39,8 @@ EXCLUDE_SUBSTRINGS = (
     "cluster_split",     # dedup_survivors collects pairs at build time
     "audit_split_leakage",
     "pretrain_pipeline",  # mid-plan localCheckpoint truncates lineage
+    "train_classifier",   # eager gradient loop: result is a 65-row
+                          # createDataFrame, the training plan is per-step
 )
 
 SF_DIR = "/root/testdata/sf0.001"
