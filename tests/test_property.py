@@ -354,3 +354,106 @@ def test_rolling_ewma_matches_reference_property(spark, vals, alpha_num, k):
             num += w * lj
             den += w
         assert abs(got[i] - num / den) < 1e-9, (i, vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    old=st.dictionaries(st.integers(0, 9), st.integers(0, 5), max_size=8),
+    new=st.dictionaries(st.integers(0, 9), st.integers(0, 5), max_size=8),
+)
+def test_apply_cdc_roundtrip_property(spark, old, new):
+    """Property: for ANY keyed old/new pair, applying the change stream
+    derived from snapshot_diff reproduces `new` exactly — the
+    diff→merge identity that makes the pair an incremental-recompute
+    loop."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.diff import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    def frame(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()] or [], "k int, v int"
+        )
+
+    fo, fn = frame(old), frame(new)
+    d = snapshot_diff(fo, fn, keys=["k"])
+    iu = (
+        d.filter(F.col("change") != "removed")
+        .join(fn, "k")
+        .select("k", "v", F.lit("U").alias("op"), F.lit(1).alias("seq"))
+    )
+    dels = (
+        d.filter(F.col("change") == "removed")
+        .join(fo, "k")
+        .select("k", "v", F.lit("D").alias("op"), F.lit(1).alias("seq"))
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc(fo, iu.unionByName(dels), ["k"]).collect()
+    }
+    assert got == new
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    weights=st.lists(
+        st.one_of(st.none(), st.floats(-1.0, 5.0, allow_nan=False)),
+        min_size=0,
+        max_size=12,
+    ),
+    k=st.integers(1, 6),
+)
+def test_weighted_topk_size_and_rank_property(spark, weights, k):
+    """Property: output size is exactly min(k, #rows with weight > 0)
+    and sample_rank is a dense 1..size permutation."""
+    from elastic_asset_etl_poc_spark.operators.sampling import weighted_topk
+
+    df = spark.createDataFrame(
+        [(f"d{i}", w) for i, w in enumerate(weights)] or [],
+        "doc_id string, w double",
+    )
+    out = weighted_topk(df, k=k, weight_col="w").collect()
+    eligible = sum(1 for w in weights if w is not None and w > 0)
+    assert len(out) == min(k, eligible)
+    assert sorted(r.sample_rank for r in out) == list(range(1, len(out) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=8), min_size=2, max_size=8
+    ),
+    max_dist=st.integers(0, 3),
+)
+def test_blocked_fuzzy_join_best_subset_of_all_property(spark, texts, max_dist):
+    """Property: keep='best' is one row per matched dirty id, always a
+    subset of keep='all', and every reported dist respects the radius."""
+    from elastic_asset_etl_poc_spark.operators.linkage import (
+        blocked_fuzzy_join,
+    )
+
+    dirty = spark.createDataFrame(
+        [(f"d{i}", "b", t) for i, t in enumerate(texts)],
+        "did string, blk string, txt string",
+    )
+    clean = spark.createDataFrame(
+        [(f"c{i}", "b", t) for i, t in enumerate(reversed(texts))],
+        "cid string, blk string, ctxt string",
+    )
+    allm = blocked_fuzzy_join(
+        dirty, clean, ["blk"], "txt", "ctxt", "did", "cid",
+        max_dist=max_dist, keep="all",
+    ).collect()
+    best = blocked_fuzzy_join(
+        dirty, clean, ["blk"], "txt", "ctxt", "did", "cid",
+        max_dist=max_dist, keep="best",
+    ).collect()
+    all_pairs = {(r.did, r.cid, r.dist) for r in allm}
+    best_pairs = {(r.did, r.cid, r.dist) for r in best}
+    assert best_pairs <= all_pairs
+    assert len({r.did for r in best}) == len(best)  # one per dirty id
+    assert {r.did for r in best} == {r.did for r in allm}
+    assert all(r.dist <= max_dist for r in allm)
