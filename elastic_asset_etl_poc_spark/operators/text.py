@@ -720,15 +720,17 @@ def train_linear_classifier(
         w_b  −= lr · Σ_i err_i·cnt_ib/n_i / N ;  bias −= lr · Σ_i err_i / N
 
     Scale shape: the corpus tokenizes ONCE into a per-(doc, bucket)
-    count frame (one shuffle), localCheckpointed and hash-partitioned on
-    ``id_col``; each step is a map-side weight lookup (literal map — the
-    model is KB-sized), one per-doc agg, one CO-PARTITIONED join of the
-    per-doc errors back onto the feature frame (both sides already hash
-    on ``id_col`` — no re-shuffle of the corpus), and one per-bucket
-    agg.  The only driver traffic is the model itself (``n_buckets``
-    rows per step — model-sized, not data-sized; the bpe_train /
-    bpe_segment bounded-collect discipline).  ``steps`` is fixed and
-    small, as in pagerank/HITS.
+    count frame (one shuffle) and is localCheckpointed; each step is a
+    SINGLE pass over that frame — the weight lookup is a literal map
+    (the model is KB-sized, no join), the per-doc z/error attaches to
+    every feature row through one window over ``id_col`` (one
+    sort-exchange; a join of a per-doc error frame was rejected because
+    at 10¹⁰ docs the error frame is unbroadcastable and checkpointing
+    erases the partitioning a co-located join would need), and the
+    per-bucket gradient is one tiny hash agg.  The only driver traffic
+    is the model itself (``n_buckets`` rows per step — model-sized, not
+    data-sized; the bpe_train / bpe_segment bounded-collect
+    discipline).  ``steps`` is fixed and small, as in pagerank/HITS.
 
     NULL-text docs are excluded from training (they carry no features);
     labels must be 0/1.  Returns ``(bucket int, weight double)`` with
@@ -750,11 +752,13 @@ def train_linear_classifier(
         base.withColumn("__b", bucket)
         .groupBy("__id", "__y", "__n", "__b")
         .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
-        .repartition("__id")
         .localCheckpoint()
     )
     n_docs = float(feat.select("__id").distinct().count())
 
+    from pyspark.sql.window import Window
+
+    w_id = Window.partitionBy("__id")
     weights: dict[int, float] = {}
     bias = 0.0
     for _ in range(steps):
@@ -771,23 +775,28 @@ def train_linear_classifier(
             )
         else:
             wcol = F.lit(0.0)
-        z = F.lit(bias) + F.sum(wcol * F.col("__cnt")) / F.first("__n")
-        per_doc = feat.groupBy("__id").agg(
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.first("__y")).alias(
-                "__err"
-            )
+        z = (
+            F.lit(bias)
+            + F.sum(wcol * F.col("__cnt")).over(w_id) / F.col("__n")
         )
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("__y")
+        # err is per-DOC but attached to every feature row; dividing by
+        # the doc's feature-row count makes Σ_rows err/rpd == Σ_docs err
+        rpd = F.count(F.lit(1)).over(w_id)
         grads = (
-            feat.join(per_doc, "__id")
+            feat.select(
+                "__b",
+                (err * F.col("__cnt") / F.col("__n")).alias("__gpart"),
+                (err / rpd).alias("__bpart"),
+            )
             .groupBy("__b")
             .agg(
-                F.sum(
-                    F.col("__err") * F.col("__cnt") / F.col("__n")
-                ).alias("__g")
+                F.sum("__gpart").alias("__g"),
+                F.sum("__bpart").alias("__bg"),
             )
             .collect()
         )
-        bias_g = per_doc.agg(F.sum("__err")).collect()[0][0]
+        bias_g = sum(r["__bg"] for r in sorted(grads, key=lambda r: r["__b"]))
         for r in grads:
             b = int(r["__b"])
             weights[b] = weights.get(b, 0.0) - lr * r["__g"] / n_docs
