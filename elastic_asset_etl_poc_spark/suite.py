@@ -6414,9 +6414,10 @@ def train_classifier_docs(spark, sf_dir):
     md5-bucket hashed features, labels = (lang == 'en') — the seed-set
     fit of the CCNet/fastText quality stage, producing exactly the
     (bucket, weight) model linear_classifier_score consumes.  Corpus
-    tokenizes ONCE (one shuffle, localCheckpoint); each step is a
-    literal-map weight lookup + per-doc agg + co-partitioned error join
-    + per-bucket agg, with only model-sized (65-row) driver traffic.
+    tokenizes ONCE (one shuffle, localCheckpoint); each step is ONE
+    window pass — literal-map weight lookup, per-doc z/error via a
+    window over doc_id (single sort-exchange, no join), per-bucket
+    gradient agg — with only model-sized (65-row) driver traffic.
     The oracle replays the identical recurrence as unrolled CTEs."""
     from .operators.text import train_linear_classifier
 
