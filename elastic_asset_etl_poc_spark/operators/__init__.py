@@ -13,7 +13,7 @@ from .neardup import (  # noqa: F401
     simhash_neardup,
 )
 from .bpe import bpe_segment, bpe_train, word_symbol_counts  # noqa: F401
-from .diff import apply_cdc, snapshot_diff  # noqa: F401
+from .diff import apply_cdc, incremental_rollup, snapshot_diff  # noqa: F401
 from .linkage import blocked_fuzzy_join  # noqa: F401
 from .profile import profile_columns, seasonal_anomalies, winsorize  # noqa: F401
 from .text import (  # noqa: F401

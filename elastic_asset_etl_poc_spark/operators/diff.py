@@ -20,7 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_diff", "apply_cdc"]
+__all__ = ["snapshot_diff", "apply_cdc", "incremental_rollup"]
 
 #: field separator for the digest concat — U+001F unit separator, cannot
 #: collide with printable column content
@@ -143,3 +143,48 @@ def apply_cdc(
     untouched = base.join(touched, list(keys), "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*value_cols)
     return untouched.unionByName(upserts)
+
+
+def incremental_rollup(
+    new_base: DataFrame,
+    old_rollup: DataFrame,
+    touched_keys: DataFrame,
+    keys: Sequence[str],
+    agg_col: str,
+    broadcast_touched: bool = True,
+) -> DataFrame:
+    """Maintain a ``(keys..., n_rows, total)`` rollup incrementally:
+    groups NOT in ``touched_keys`` pass through from ``old_rollup``
+    untouched; touched groups recompute from ``new_base`` alone.  The
+    third leg of the incremental-recompute loop — ``snapshot_diff``
+    finds what moved, ``apply_cdc`` folds it into the row store, and
+    this folds it into the AGGREGATE store (the maintained daily/group
+    rollups every serving layer keeps) without rescanning history.
+
+    Correctness contract: ``touched_keys`` must cover every group whose
+    membership or values changed (project ``snapshot_diff``'s output
+    onto the group keys); then the result is row-identical to a full
+    ``new_base.groupBy(keys)`` recompute — the identity the suite query
+    hash-checks.  Groups that vanished entirely disappear (recompute
+    yields no row); brand-new groups appear.
+
+    Scale shape: the touched-key set is diff-sized (broadcast by
+    default; ``broadcast_touched=False`` for a shuffle join when a
+    reorg touches everything) — the old rollup is pruned with a
+    map-side anti-join and ``new_base`` with a map-side semi-join, so
+    the only aggregation shuffle is over the touched slice, not
+    history.  On a base partitioned/bucketed by the group keys the
+    semi-join prunes at the scan.
+    """
+    t = touched_keys.select(*keys).distinct()
+    tb = F.broadcast(t) if broadcast_touched else t
+    untouched = old_rollup.join(tb, list(keys), "left_anti")
+    recomputed = (
+        new_base.join(tb, list(keys), "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(agg_col).alias("total"),
+        )
+    )
+    return untouched.unionByName(recomputed)

@@ -6284,6 +6284,66 @@ def apply_cdc_orders(spark, sf_dir):
 
 
 @q(
+    "incremental_rollup_orders",
+    """
+WITH n AS (SELECT o_orderkey, o_orderkey % 500 AS bucket,
+                  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.11
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total
+FROM n GROUP BY bucket
+""",
+)
+def incremental_rollup_orders(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/diff.py
+    incremental_rollup): the maintained per-bucket rollup after a CDC
+    day — untouched buckets pass through from the OLD rollup (map-side
+    broadcast anti-join), buckets touched by the diff recompute from
+    the new snapshot only (map-side semi-join prunes the scan).  The
+    oracle is the full recompute over the new snapshot — the
+    incremental ≡ full identity, hash-checked.  Third leg of the
+    snapshot_diff → apply_cdc → rollup incremental loop."""
+    from .operators.diff import incremental_rollup, snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = (F.col("o_orderkey") % 500).alias("bucket")
+    old = orders.filter(F.col("o_orderkey") % 100 != 0)
+    new = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.11
+        ).otherwise(F.col("o_totalprice")),
+    )
+    old_rollup = (
+        old.select(bucket, "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    touched = snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    ).select(bucket)
+    out = incremental_rollup(
+        new.select(bucket, "o_totalprice"),
+        old_rollup,
+        touched,
+        keys=["bucket"],
+        agg_col="o_totalprice",
+    )
+    return out.select(
+        "bucket",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("total", 2).alias("total"),
+    )
+
+
+@q(
     "seasonal_anomaly_events",
     """
 WITH cells AS (

@@ -272,3 +272,65 @@ def test_weighted_topk_no_global_sort_shuffle(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"Exchange rangepartitioning", plan)
+
+
+# ---------------------------------------------------------------------------
+# incremental_rollup
+# ---------------------------------------------------------------------------
+
+
+def _rollup_frames(spark):
+    new_base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("c", 5.0), ("d", 7.0)],
+        "g string, v double",
+    )
+    # old rollup: 'a' stale (will recompute), 'b' vanished, 'z' untouched
+    # with a deliberately WRONG total — proving untouched groups pass
+    # through rather than recompute
+    old_rollup = spark.createDataFrame(
+        [("a", 9, 999.0), ("b", 2, 20.0), ("z", 1, 123.0)],
+        "g string, n_rows int, total double",
+    )
+    touched = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "g string"
+    )
+    return new_base, old_rollup, touched
+
+
+def test_incremental_rollup_recompute_vanish_append_passthrough(spark):
+    from elastic_asset_etl_poc_spark.operators.diff import incremental_rollup
+
+    new_base, old_rollup, touched = _rollup_frames(spark)
+    out = {
+        r.g: (r.n_rows, r.total)
+        for r in incremental_rollup(
+            new_base, old_rollup, touched, ["g"], "v"
+        ).collect()
+    }
+    assert out == {
+        "a": (2, 3.0),    # touched: recomputed from new_base
+        "c": (1, 5.0),    # touched new group appears
+        "d": (1, 7.0),
+        "z": (1, 123.0),  # untouched: old value passes through verbatim
+    }  # 'b' vanished: touched but no rows in new_base
+
+
+def test_incremental_rollup_broadcast_flag_and_plan(spark):
+    import re
+
+    from elastic_asset_etl_poc_spark.operators.diff import incremental_rollup
+
+    new_base, old_rollup, touched = _rollup_frames(spark)
+    plan_b = (
+        incremental_rollup(new_base, old_rollup, touched, ["g"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both prunes ride the broadcast: anti (old rollup) + semi (new base)
+    assert len(re.findall(r"BroadcastHashJoin.*LeftAnti", plan_b)) == 1
+    assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan_b)) == 1
+    a = sorted(map(tuple, incremental_rollup(
+        new_base, old_rollup, touched, ["g"], "v").collect()))
+    b = sorted(map(tuple, incremental_rollup(
+        new_base, old_rollup, touched, ["g"], "v",
+        broadcast_touched=False).collect()))
+    assert a == b
