@@ -6283,6 +6283,46 @@ def apply_cdc_orders(spark, sf_dir):
     )
 
 
+_Z_BITS = 8
+_Z_COLS = [("user_id", 0.0, 2048.0), ("value", 0.0, 512.0)]
+
+
+def _zorder_sql() -> str:
+    """DuckDB twin of operators/layout.py zorder_key: identical
+    clamp-scale-interleave integer arithmetic, terms summed (disjoint
+    bit positions make + equivalent to |)."""
+    d = len(_Z_COLS)
+    top = (1 << _Z_BITS) - 1
+    terms = []
+    for i, (name, lo, hi) in enumerate(_Z_COLS):
+        rank = (
+            f"coalesce(least(greatest(CAST(floor((CAST({name} AS DOUBLE)"
+            f" - {lo}) / {hi - lo} * {float(top)}) AS BIGINT), 0), {top}), 0)"
+        )
+        for k in range(_Z_BITS):
+            terms.append(f"((({rank} >> {k}) & 1) << {k * d + i})")
+    return (
+        "SELECT event_id, CAST(" + " + ".join(terms)
+        + " AS BIGINT) AS zkey FROM events"
+    )
+
+
+@q("zorder_events", _zorder_sql())
+def zorder_events(spark, sf_dir):
+    """Z-order (Morton) clustering key (operators/layout.py): the
+    storage-layout lever — interleaved-bit key over (user_id, value) so
+    range-partitioned files each cover a narrow box of the 2-D space
+    and parquet min/max stats prune multi-column range scans at the
+    file level (Delta/Iceberg ZORDER BY analog).  Pure integer bit
+    arithmetic, map-only, bit-identical in the oracle; the layout
+    itself (repartitionByRange + partition-disjointness + pruning win
+    vs hash layout) is pytest-certified in tests/test_layout.py."""
+    from .operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select("event_id", zorder_key(_Z_COLS, bits=_Z_BITS))
+
+
 @q(
     "incremental_rollup_orders",
     """
