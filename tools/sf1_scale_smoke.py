@@ -90,6 +90,9 @@ HEAVY = [
     ("apply_cdc_orders", "linear"),
     ("seasonal_anomaly_events", "linear"),
     ("weighted_topk_docs", "linear"),
+    ("incremental_rollup_orders", "linear"),  # touched-slice agg over 10× base
+    ("train_classifier_docs", "linear"),  # fixed steps × one corpus pass each
+    ("zorder_events", "linear"),  # map-only bit arithmetic
 ]
 MAX_LINEAR_SLOPE = 15.0
 
