@@ -6531,6 +6531,80 @@ def train_classifier_docs(spark, sf_dir):
 
 
 @q(
+    "classifier_calibration_docs",
+    _train_clf_sql().rsplit("SELECT CAST(-1", 1)[0]
+    + f""",
+sc AS (
+  SELECT t.doc_id, t.y,
+         round(1.0 / (1.0 + exp(-((SELECT bv FROM bias{_CLF_STEPS})
+                                  + s.s / s.n))), 4) AS score
+  FROM (SELECT doc_id, max(y) AS y FROM f GROUP BY doc_id) t
+  JOIN (SELECT f.doc_id, max(f.n) AS n,
+               sum(coalesce(w.w, 0.0) * f.cnt) AS s
+        FROM f LEFT JOIN w{_CLF_STEPS} w ON f.b = w.b
+        GROUP BY f.doc_id) s ON t.doc_id = s.doc_id
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 4) AS mean_score,
+       round(avg(y), 4) AS en_rate
+FROM (SELECT y, score,
+             CAST(ntile(4) OVER (ORDER BY score, doc_id) AS INTEGER) AS bin
+      FROM sc)
+GROUP BY bin
+""",
+)
+def classifier_calibration_docs(spark, sf_dir):
+    """Calibration (reliability) table for the in-engine-TRAINED
+    classifier — the train→score composition certified end-to-end
+    cross-engine: train 3 logistic-gradient steps (train_linear_classifier),
+    feed the learned weights straight into linear_classifier_score, and
+    report volume, mean score, and actual en-rate per EQUAL-MASS score
+    quartile (ntile reliability bins — robust to score spread, unlike
+    absolute deciles).  A well-calibrated bin has mean_score ≈ en_rate;
+    the drift between them is the quality-filter threshold evidence an
+    LLM-data team reads before trusting the keep flag.  (On this
+    fixture the text is uninformative about the lang label, so the
+    model correctly converges to the base rate — the discrimination
+    path is certified separately on a separable corpus in
+    tests/test_text_dedup.py.)  Scale note: ntile's global order is a
+    single-partition window — fine for an eval table, but at corpus
+    scale swap the bin assignment for approx_percentile boundaries
+    broadcast back (the winsorize pattern)."""
+    from .operators.text import linear_classifier_score, train_linear_classifier
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__lbl", (F.col("lang") == "en").cast("double")
+    )
+    model = train_linear_classifier(
+        docs, "__lbl", n_buckets=_CLF_BUCKETS, steps=_CLF_STEPS, lr=1.0
+    )
+    rows = model.collect()
+    bias = next(r.weight for r in rows if r.bucket == -1)
+    w = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in rows if r.bucket >= 0],
+        "bucket int, weight double",
+    )
+    scored = linear_classifier_score(
+        docs.filter(F.col("text").isNotNull()),
+        w,
+        n_buckets=_CLF_BUCKETS,
+        bias=bias,
+        out_col="score",
+    )
+    labeled = scored.join(docs.select("doc_id", "__lbl"), "doc_id")
+    w_bin = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    return (
+        labeled.withColumn("bin", F.ntile(4).over(w_bin).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg("__lbl"), 4).alias("en_rate"),
+        )
+    )
+
+
+@q(
     "stratified_topk_docs",
     """
 WITH t AS (
