@@ -575,7 +575,9 @@ def stratified_weighted_topk(
     id_col: str = "doc_id",
     salt: str = "swtopk",
 ) -> DataFrame:
-    """Exactly ``min(k, |stratum|)`` rows PER STRATUM, inclusion
+    """Exactly ``min(k, rows with weight > 0)`` rows PER STRATUM
+    (NULL / non-positive weights are ineligible, as in
+    :func:`weighted_topk` — A-ES keys are undefined there), inclusion
     probability proportional to weight within the stratum — A-ES
     (Efraimidis–Spirakis, as :func:`weighted_topk`) ranked inside each
     group: the "100k best-weighted docs from EVERY source" primitive of

@@ -732,13 +732,21 @@ def train_linear_classifier(
     data-sized; the bpe_train / bpe_segment bounded-collect
     discipline).  ``steps`` is fixed and small, as in pagerank/HITS.
 
-    NULL-text docs are excluded from training (they carry no features);
+    NULL-text docs are excluded from training (they carry no features),
+    and so are NULL-label docs (unlabeled ≠ negative — callers wanting
+    "non-en counts as 0" must say so with ``F.when(...).otherwise(0.0)``);
     labels must be 0/1.  Returns ``(bucket int, weight double)`` with
     the bias at ``bucket = -1`` — the parquet-portable model shape the
     scorer consumes.
     """
     toks = tokens(text_col)
-    base = df.filter(F.col(text_col).isNotNull()).select(
+    # NULL labels are rejected (filtered), not coerced: a NULL-labeled doc
+    # is an UNLABELED doc and must not enter the seed fit — silently
+    # counting it in n_docs while dropping it from the gradient (the
+    # pre-fix suite behavior) skews the effective learning rate.
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(label_col).cast("double").alias("__y"),
         F.size(toks).alias("__n"),

@@ -259,16 +259,23 @@ class SignalsESReader(DataSourceReader):
 
     @staticmethod
     def _open_pit(p: _SlicePartition, keep_alive: str) -> str | None:
-        """POST ``{index}/_pit`` → pit id; None when the server has no
-        PIT endpoint (HTTP error ⇒ legacy per-index ``_doc`` search)."""
+        """POST ``{index}/_pit`` → pit id; None ONLY when the server has
+        no PIT endpoint (400/404/405 ⇒ legacy per-index ``_doc`` search,
+        which is correct solely on single-shard/stub servers).  Any other
+        HTTP error — transient 429/503, auth 401/403, 5xx — re-raises:
+        silently degrading on a real multi-shard cluster could skip or
+        duplicate rows, and a loud retryable failure is the only safe
+        answer there."""
         import urllib.error
 
         try:
             payload = _http_json(
                 "POST", f"{p.url}/{p.index}/_pit?keep_alive={keep_alive}", None
             )
-        except urllib.error.HTTPError:
-            return None
+        except urllib.error.HTTPError as e:
+            if e.code in (400, 404, 405):
+                return None  # endpoint absent: pre-PIT server / stub
+            raise
         return payload.get("id")
 
     @staticmethod

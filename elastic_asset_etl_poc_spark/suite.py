@@ -6522,7 +6522,7 @@ def train_classifier_docs(spark, sf_dir):
     from .operators.text import train_linear_classifier
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "__lbl", (F.col("lang") == "en").cast("double")
+        "__lbl", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
     )
     model = train_linear_classifier(
         docs, "__lbl", n_buckets=_CLF_BUCKETS, steps=_CLF_STEPS, lr=1.0
@@ -6573,7 +6573,7 @@ def classifier_calibration_docs(spark, sf_dir):
     from .operators.text import linear_classifier_score, train_linear_classifier
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "__lbl", (F.col("lang") == "en").cast("double")
+        "__lbl", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
     )
     model = train_linear_classifier(
         docs, "__lbl", n_buckets=_CLF_BUCKETS, steps=_CLF_STEPS, lr=1.0

@@ -121,6 +121,8 @@ def _make_es_server(mode: str):
             if self.path.split("?")[0].endswith("/_pit"):
                 if mode == "legacy":
                     self._reply(404, {"error": "no such endpoint"})
+                elif mode == "pit_503":
+                    self._reply(503, {"error": "circuit_breaking_exception"})
                 else:
                     index = self.path.split("/")[1]
                     self._reply(200, {"id": f"pit:{index}"})
@@ -397,3 +399,44 @@ def test_es_source_http_stuck_keyset_raises(spark, es_http_server_stuck):
     )
     with pytest.raises(Exception, match="did not advance"):
         df.collect()
+
+
+def test_open_pit_falls_back_only_on_endpoint_absent():
+    """404/405/400 on ``_pit`` mean "no PIT API" → legacy fallback is
+    safe; ANYTHING else (429 throttle, 503 breaker, 401/403 auth) must
+    re-raise — on a real multi-shard cluster the legacy ``_doc`` path
+    can silently skip/duplicate rows, so a transient failure has to be
+    loud and retryable, never a quiet downgrade."""
+    import urllib.error
+
+    from elastic_asset_etl_poc_spark.sources.es_source import (
+        SignalsESReader,
+        _SlicePartition,
+    )
+
+    # endpoint absent → None (legacy path)
+    srv, _ = _make_es_server("legacy")
+    try:
+        p = _SlicePartition(
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            index="signals-test", slice_id=0, n_slices=1,
+        )
+        assert SignalsESReader._open_pit(p, "1m") is None
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # transient server error → loud re-raise, NOT a legacy downgrade
+    srv, requests = _make_es_server("pit_503")
+    try:
+        p = _SlicePartition(
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            index="signals-test", slice_id=0, n_slices=1,
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            SignalsESReader._open_pit(p, "1m")
+        # and nothing fell through to a per-index _search
+        assert not _searches(requests)
+    finally:
+        srv.shutdown()
+        srv.server_close()

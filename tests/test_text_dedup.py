@@ -838,3 +838,53 @@ def test_train_linear_classifier_null_text_excluded(spark):
     # bias moves up — the NULL-text doc contributes nothing
     bias = [r.weight for r in model.collect() if r.bucket == -1][0]
     assert bias == 0.5
+
+
+def test_train_linear_classifier_null_label_rejected(spark):
+    """A NULL label is an UNLABELED doc: it must be excluded from the
+    fit entirely — both from the gradient AND from n_docs (the pre-fix
+    suite shape dropped it from the gradient but counted it in the
+    denominator, silently shrinking the step).  With the NULL-label row
+    excluded, the model is bit-identical to training on the labeled
+    subset alone."""
+    from elastic_asset_etl_poc_spark.operators.text import (
+        train_linear_classifier,
+    )
+
+    labeled = [("a", "x y", 1.0), ("b", "x z", 0.0)]
+    df_with_null = spark.createDataFrame(
+        labeled + [("c", "x q", None)],
+        "doc_id string, text string, y double",
+    )
+    df_clean = spark.createDataFrame(
+        labeled, "doc_id string, text string, y double"
+    )
+    got = {
+        (r.bucket, round(r.weight, 12))
+        for r in train_linear_classifier(
+            df_with_null, "y", n_buckets=8, steps=2
+        ).collect()
+    }
+    want = {
+        (r.bucket, round(r.weight, 12))
+        for r in train_linear_classifier(
+            df_clean, "y", n_buckets=8, steps=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_suite_classifier_label_null_lang_is_negative(spark):
+    """The suite's label expression must map NULL lang → 0.0 (matching
+    the DuckDB oracle's CASE WHEN), not NULL → excluded — parity held
+    pre-fix only because the fixtures carry no NULL lang."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "en"), ("b", "de"), ("c", None)], "doc_id string, lang string"
+    )
+    out = df.withColumn(
+        "__lbl", F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    ).collect()
+    lbl = {r["doc_id"]: r["__lbl"] for r in out}
+    assert lbl == {"a": 1.0, "b": 0.0, "c": 0.0}
