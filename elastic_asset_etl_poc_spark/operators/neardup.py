@@ -697,9 +697,14 @@ def dedup_survivors(
             ),
         )
 
+    # positional like the fast path above (head rows index r[0]/r[1]):
+    # callers pass arbitrary two-column pair frames (minhash pairs use
+    # doc_a/doc_b, entity resolution passes rid/crid) and both paths
+    # must accept the same shape
+    a_col, b_col = pairs.columns[0], pairs.columns[1]
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = edges.cache()
 
     labels = df.select(F.col(id_col).alias("node")).withColumn(

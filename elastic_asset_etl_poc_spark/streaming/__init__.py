@@ -4,6 +4,7 @@ from .services_stream import (  # noqa: F401
     run_to_memory,
     stream_service_parents,
     stream_services_phase1,
+    stream_session_windows,
     stream_signals,
     stream_windowed_counts,
 )

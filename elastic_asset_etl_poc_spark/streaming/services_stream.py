@@ -142,6 +142,51 @@ def stream_windowed_counts(
     )
 
 
+def stream_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "45 days",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """GAP-BASED session aggregation with Spark's NATIVE session window
+    (``F.session_window`` — merge-on-overlap inside the JVM aggregation,
+    no Python state function): per (key, session) start/end/count/sum,
+    where a session extends while consecutive events are ≤ ``gap``
+    apart (events EXACTLY gap apart merge — window end is
+    last-event-ts + gap and the merge test is overlap-inclusive; the
+    batch oracle must therefore split only on strict ``diff > gap``).
+
+    This is the built-in sibling of ``stateful.stream_sessionize``
+    (applyInPandasWithState): same sessions, but the state lives in the
+    state store as mergeable window ranges and the whole operator is
+    JVM-side — the form to prefer whenever per-session logic is
+    expressible as aggregates.  Spark requires a watermark and only
+    append/complete output for session windows (update is rejected);
+    complete mode re-emits the full session table each micro-batch, so
+    an availableNow drain into the memory sink is batch-equivalent
+    regardless of how many micro-batches the file source splits into.
+    State is bounded by the watermark: sessions older than it are
+    finalized and evicted — size watermark to max tolerated lateness,
+    not to the drain-everything suite setting used here."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete", timeout: int = 120
 ):

@@ -6713,6 +6713,187 @@ def tokenizer_fertility_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-9 additions: native session windows (batch + streaming twins over
+# the SAME gap semantics) and entity resolution (fuzzy-match graph →
+# connected components), the transitive-closure step past pairwise linkage.
+# ---------------------------------------------------------------------------
+
+#: Gap-session oracle shared by the batch and streaming session-window
+#: queries.  Two semantics traps, both measured against Spark: (1) events
+#: EXACTLY gap apart MERGE (Spark's merge test is overlap-INCLUSIVE on the
+#: [ts, ts+gap] window), so a new session starts only on strict
+#: ``diff > gap``; (2) event timestamps carry microseconds, so the gap
+#: compares at MICROSECOND grain — ``date_diff('second')`` would truncate
+#: a 1800.5 s gap to 1800 and glue two sessions Spark splits.
+_SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@q("session_window_events", _SESSION_WINDOW_SQL)
+def session_window_events(spark, sf_dir):
+    """Native gap sessions in BATCH (``F.session_window`` in a plain
+    groupBy): per (user, session) start/end/count/value over a 30-minute
+    inactivity gap.  Complements ``sessionize_events`` (lag+cumsum windows,
+    per-user session COUNTS) with the per-session table — and does it as
+    ONE hash aggregation with in-JVM window merging instead of a sort
+    window followed by a re-aggregation: one shuffle on user_id, partial
+    aggregation map-side, no row-number pass.  At 100 TB that halves the
+    exchanges of the lag formulation and never materializes the per-event
+    session id.  The oracle replays the gap split with the lag/cumsum
+    formulation at microsecond grain (see _SESSION_WINDOW_SQL on the two
+    boundary traps)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q("stream_session_window_events", _SESSION_WINDOW_SQL)
+def stream_session_window_events(spark, sf_dir):
+    """§2.9 STREAMING twin of session_window_events: the same native
+    session windows as a watermarked streaming aggregation
+    (streaming/services_stream.py stream_session_windows) drained with
+    availableNow into the memory sink.  Session windows reject update
+    mode; complete re-emits the whole session table per micro-batch (the
+    memory sink replaces it), so the drain is batch-equivalent even when
+    the file source splits input across triggers — and the drained table
+    hash-checks against the SAME microsecond-grain gap oracle as the
+    batch query.  The 45-day watermark outspans the fixture so no
+    session is evicted; a deployment sizes it to real lateness, which
+    bounds state at O(open sessions)."""
+    import uuid
+
+    from .streaming import run_to_memory, stream_events_typed
+    from .streaming.services_stream import stream_session_windows
+
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        qy = run_to_memory(
+            stream_session_windows(
+                stream_events_typed(spark, _staged_events(sf_dir))
+            ),
+            name,
+            "complete",
+        )
+        qy.stop()
+    return spark.table(name)
+
+
+@q(
+    "entity_clusters_parts",
+    """
+WITH RECURSIVE
+dirty AS (
+  SELECT 'd:' || CAST(p_partkey AS VARCHAR) AS rid, p_brand,
+         substring(p_name, 1, 3) || 'zz' || substring(p_name, 6) AS name
+  FROM part WHERE p_partkey % 7 = 0),
+clean AS (
+  SELECT 'c:' || CAST(p_partkey AS VARCHAR) AS rid, p_brand, p_name AS name
+  FROM part),
+recs AS (SELECT rid FROM dirty UNION ALL SELECT rid FROM clean),
+e AS (
+  SELECT d.rid AS a, c.rid AS b
+  FROM dirty d JOIN clean c ON d.p_brand = c.p_brand
+  WHERE levenshtein(d.name, c.name) <= 2),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+walk(node, label) AS (
+  SELECT rid, rid FROM recs
+  UNION
+  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+)
+SELECT node AS record_id, min(label) AS cluster,
+       (node = min(label)) AS is_survivor
+FROM walk
+GROUP BY node
+""",
+)
+def entity_clusters_parts(spark, sf_dir):
+    """ENTITY RESOLUTION end-to-end: fuzzy-match graph → connected
+    components → canonical entity per record.  fuzzy_link_parts stops at
+    best pairwise links; real ER needs the transitive closure (dirty
+    variant A and B both within 2 edits of clean C are the SAME entity
+    even if A↔B exceeds the radius), so this keeps ALL in-radius edges
+    (operators/linkage.py blocked_fuzzy_join keep='all' — candidates
+    never leave the brand block) and resolves them with the SAME
+    min-label connected components that powers near-dup survivor
+    selection (operators/neardup.py dedup_survivors: driver union-find
+    under the broadcast limit, distributed label propagation past it —
+    ER piggybacks on the 100-TB path near-dup already certified).
+    Output: every record (damaged + catalog) with its cluster
+    representative and survivor flag.  The oracle recomputes components
+    as a recursive-CTE label walk (min reachable id ≡ min-label
+    fixpoint)."""
+    from .operators.linkage import blocked_fuzzy_join
+    from .operators.neardup import dedup_survivors
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.concat(F.lit("d:"), F.col("p_partkey").cast("string")).alias("rid"),
+        "p_brand",
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("zz"),
+            F.expr("substring(p_name, 6)"),
+        ).alias("name"),
+    )
+    clean = part.select(
+        F.concat(F.lit("c:"), F.col("p_partkey").cast("string")).alias("crid"),
+        "p_brand",
+        F.col("p_name").alias("cname"),
+    )
+    edges = blocked_fuzzy_join(
+        dirty,
+        clean,
+        block_cols=["p_brand"],
+        dirty_text="name",
+        clean_text="cname",
+        dirty_id="rid",
+        clean_id="crid",
+        max_dist=2,
+        keep="all",
+    )
+    recs = dirty.select("rid").unionByName(
+        clean.select(F.col("crid").alias("rid"))
+    )
+    out = dedup_survivors(recs, edges.select("rid", "crid"), id_col="rid")
+    return out.select(
+        F.col("rid").alias("record_id"), "cluster", "is_survivor"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
 # exact expected rows are stated as VALUES literals generated once by

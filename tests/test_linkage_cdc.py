@@ -334,3 +334,47 @@ def test_incremental_rollup_broadcast_flag_and_plan(spark):
         new_base, old_rollup, touched, ["g"], "v",
         broadcast_touched=False).collect()))
     assert a == b
+
+
+def test_entity_resolution_transitive_closure(spark):
+    """Fuzzy edges + connected components = entity resolution with
+    TRANSITIVE closure: dirty variants a and b each within radius of
+    clean c (but a<->b beyond it) still land in ONE cluster; an
+    unrelated record stays a singleton survivor.  Checked on both
+    dedup_survivors paths (driver union-find and distributed label
+    propagation) — same composition the entity_clusters_parts suite
+    query runs over parts."""
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    dirty = spark.createDataFrame(
+        [("d:1", "b1", "kitzzn"), ("d:2", "b1", "kittzz"),
+         ("d:9", "b1", "zzzzzz")],
+        "rid string, blk string, name string",
+    )
+    clean = spark.createDataFrame(
+        [("c:1", "b1", "kitten"), ("c:8", "b1", "walrus")],
+        "crid string, blk string, cname string",
+    )
+    edges = blocked_fuzzy_join(
+        dirty, clean, ["blk"], "name", "cname", "rid", "crid",
+        max_dist=2, keep="all",
+    )
+    # d:1<->d:2 is 4 edits apart - only linked through c:1
+    recs = dirty.select("rid").unionByName(
+        clean.select(F.col("crid").alias("rid"))
+    )
+    for limit in (1_000_000, 0):  # driver fast path, distributed path
+        out = {
+            r.rid: (r.cluster, r.is_survivor)
+            for r in dedup_survivors(
+                recs, edges.select("rid", "crid"), id_col="rid",
+                driver_limit=limit,
+            ).collect()
+        }
+        assert out == {
+            "c:1": ("c:1", True),
+            "d:1": ("c:1", False),
+            "d:2": ("c:1", False),
+            "c:8": ("c:8", True),
+            "d:9": ("d:9", True),
+        }, f"driver_limit={limit}"

@@ -701,3 +701,108 @@ def test_stream_ewma_multi_batch_matches_batch(spark, tmp_path):
             assert got[eid] is None
         else:
             assert abs(got[eid] - want[eid]) < 1e-9, eid
+
+
+def test_session_window_boundary_merge_semantics(spark):
+    """Pin the two boundary facts the shared gap oracle encodes: events
+    EXACTLY gap apart MERGE (Spark's session merge is overlap-inclusive),
+    and one microsecond past the gap SPLITS — measured behavior the
+    DuckDB oracle must reproduce with strict diff > gap at µs grain."""
+    rows = [
+        # user 1: 0s, +1800s (exactly gap) -> ONE session
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:30:00"),
+        # user 2: 0s, +1800.000001s -> TWO sessions
+        (3, 2, "2024-01-01 00:00:00"),
+        (4, 2, "2024-01-01 00:30:00.000001"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 1, 2: 2}
+    # merged window end = last event ts + gap
+    (w1,) = [r.sw for r in out if r.user_id == 1]
+    assert str(w1.end) == "2024-01-01 01:00:00"
+
+
+def test_stream_session_windows_multi_batch_matches_batch(spark, tmp_path):
+    """Native session windows must merge ACROSS micro-batches (state-store
+    window merge): sessions spanning a batch boundary come out identical
+    to the batch plan, drained in complete mode which re-emits the whole
+    table each trigger (so the memory table is the final answer even
+    with maxFilesPerTrigger=1)."""
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA_NS,
+        run_to_memory,
+        stream_session_windows,
+    )
+
+    M = 60_000_000_000  # 1 min in ns
+    base = 1_700_000_000_000_000_000
+
+    def ev(eid, minutes, uid, val):
+        return (eid, base + minutes * M, uid, "click", val, None)
+
+    # user 7: b1 [0m, 5m] | b2 [20m (15m gap: merges), 60m (splits)] |
+    #         b3 [200m (splits)] -> 3 sessions
+    # user 8: b1 [0m] | b3 [400m] -> 2 sessions
+    batches = [
+        [ev(1, 0, 7, 1.0), ev(2, 5, 7, 2.0), ev(10, 0, 8, 5.0)],
+        [ev(3, 20, 7, 3.0), ev(4, 60, 7, 4.0)],
+        [ev(5, 200, 7, 1.5), ev(11, 400, 8, 2.5)],
+    ]
+    src = str(tmp_path / "swin_multi_batch")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    typed = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr(
+            "user_id", "timestamp_micros(ts div 1000) AS ts", "value"
+        )
+    )
+    q = run_to_memory(
+        stream_session_windows(typed), "swin_multi", "complete"
+    )
+    try:
+        n_batches = len(q.recentProgress)
+        got = {tuple(map(str, r)) for r in spark.table("swin_multi").collect()}
+    finally:
+        q.stop()
+    assert n_batches >= 3
+    batch_df = spark.createDataFrame(
+        [r for b in batches for r in b], EVENTS_STREAM_SCHEMA_NS
+    ).selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts", "value")
+    want = {
+        tuple(map(str, r))
+        for r in (
+            batch_df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert got == want
+    assert len({k[0] for k in got}) == 2 and len(got) == 5  # 3 + 2 sessions

@@ -41,6 +41,8 @@ EXCLUDE_SUBSTRINGS = (
     "pretrain_pipeline",  # mid-plan localCheckpoint truncates lineage
     "train_classifier",   # eager gradient loop: result is a 65-row
                           # createDataFrame, the training plan is per-step
+    "entity_clusters",    # dedup_survivors collects the pair set at
+                          # build time (driver union-find fast path)
 )
 
 SF_DIR = "/root/testdata/sf0.001"
