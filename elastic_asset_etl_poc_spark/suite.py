@@ -6893,6 +6893,127 @@ def entity_clusters_parts(spark, sf_dir):
     )
 
 
+@q(
+    "cube_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END
+            + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS agg_level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark, sf_dir):
+    """CUBE completes the grouping trio (GROUPING SETS ✓ ROLLUP ✓): all
+    2^2 margins of (status, priority) — cells, both one-way margins, and
+    the grand total — in ONE Expand-based aggregation pass, the OLAP
+    cross-tab primitive.  agg_level labels each row's margin depth via
+    NULL counting (safe here: neither column is nullable in the data, so
+    NULL ⇔ rolled-up — the caveat grouping()/grouping_id() exists for).
+    Scale shape: Expand multiplies rows 4× BEFORE the shuffle but
+    partial aggregation collapses each margin map-side, so the exchange
+    carries ~|distinct cells| × 4, not |rows| × 4."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "agg_level",
+            (
+                F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+                + F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
+            ).cast("int"),
+        )
+    )
+
+
+@q(
+    "bucketed_join_orders",
+    """
+SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 5 = 0 AND l.l_orderkey % 5 = 0
+GROUP BY o.o_orderstatus
+""",
+)
+def bucketed_join_orders(spark, sf_dir):
+    """SHUFFLE-FREE co-located join via bucketing (sinks.write_bucketed):
+    orders and lineitem are written as managed tables bucketed 16-ways on
+    the join key, then joined with broadcast disabled — Spark's
+    bucket-spec match elides the Exchange on BOTH sides, the 100-TB
+    pattern where fact-to-fact joins pay the shuffle once at layout time
+    and never per query.  The query SELF-AUDITS: it raises if an
+    Exchange appears upstream of the join (bucketing silently falling
+    back to shuffle is a layout regression, not a slower plan), so the
+    driver run certifies the plan shape AND hash-checks the result
+    against the plain-join oracle.  Write-then-read is the honest cost
+    here, same discipline as the classifier training queries; the
+    per-bucket-file layout itself is further pytest-certified in
+    tests/test_scale_ops.py."""
+    import uuid
+
+    from .sinks import write_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    bo, bl = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    # every-5th-key slice: the layout write is the honest cost of this
+    # query and the plan shape is volume-independent, so keep the bench
+    # contribution proportionate
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    try:
+        write_bucketed(orders, bo, ["o_orderkey"], 16)
+        write_bucketed(lineitem, bl, ["l_orderkey"], 16)
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(bl).join(
+                spark.table(bo),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            join_plan = joined._jdf.queryExecution().executedPlan().toString()
+            if "Exchange hashpartitioning" in join_plan:
+                raise RuntimeError(
+                    "bucketed join plan contains a shuffle Exchange — "
+                    "bucket spec was not used for co-location"
+                )
+            res = (
+                joined.groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).alias("n_items"),
+                    F.round(
+                        F.sum(
+                            F.col("l_extendedprice")
+                            * (F.lit(1) - F.col("l_discount"))
+                        ),
+                        2,
+                    ).alias("revenue"),
+                )
+                .localCheckpoint()  # materialize before the tables drop
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bo}")
+        spark.sql(f"DROP TABLE IF EXISTS {bl}")
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -43,6 +43,10 @@ EXCLUDE_SUBSTRINGS = (
                           # createDataFrame, the training plan is per-step
     "entity_clusters",    # dedup_survivors collects the pair set at
                           # build time (driver union-find fast path)
+    "bucketed_join",      # writes bucketed tables at build time and
+                          # returns a localCheckpoint (plan is the tail;
+                          # the no-Exchange join shape self-audits
+                          # in-query and in tests/test_scale_ops.py)
 )
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -93,6 +93,22 @@ HEAVY = [
     ("incremental_rollup_orders", "linear"),  # touched-slice agg over 10× base
     ("train_classifier_docs", "linear"),  # fixed steps × one corpus pass each
     ("zorder_events", "linear"),  # map-only bit arithmetic
+    # round-9 additions: native session windows over 10× denser per-user
+    # event streams (single agg, sessions merge in-JVM; denser streams
+    # mean FEWER, longer sessions — work stays one pass), the streaming
+    # twin (state = open sessions, bounded), and the bucketed co-located
+    # join whose honest cost is the 10× layout write + shuffle-free join.
+    # entity_clusters_parts is excluded like fuzzy_link_parts: part is a
+    # dimension table, copied verbatim at sf1 — no growth to slope.
+    ("session_window_events", "linear"),
+    ("stream_session_window_events",
+     "state-bound: the suite drain's 45-day watermark deliberately "
+     "disables eviction and this fixture's sparse per-user streams make "
+     "sessions ~= events, so complete-mode state grows with the corpus "
+     "(measured 30x at 10x) — the batch twin proves the computation "
+     "linear (4.0x); a deployment watermark bounds state at O(open "
+     "sessions) and restores the linear class"),
+    ("bucketed_join_orders", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
