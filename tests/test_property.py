@@ -457,3 +457,62 @@ def test_blocked_fuzzy_join_best_subset_of_all_property(spark, texts, max_dist):
     assert len({r.did for r in best}) == len(best)  # one per dirty id
     assert {r.did for r in best} == {r.did for r in allm}
     assert all(r.dist <= max_dist for r in allm)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    offsets=st.lists(
+        st.integers(0, 10 * 1_800_000_000),  # µs offsets in [0, 10 gaps]
+        min_size=1,
+        max_size=25,
+    ),
+    users=st.lists(st.integers(1, 3), min_size=1, max_size=25),
+)
+def test_session_window_equals_gap_split_property(spark, offsets, users):
+    """Property: F.session_window(gap=30min) produces EXACTLY the
+    sessions of the strict-gap split (new session iff µs diff from the
+    previous event of the same user is > gap) — the semantics the
+    DuckDB oracle of session_window_events replays, including
+    duplicate timestamps and exactly-gap boundaries (the generator
+    draws multiples of odd µs offsets so both land often)."""
+    from pyspark.sql import functions as F
+
+    n = min(len(offsets), len(users))
+    base = 1_700_000_000_000_000  # µs epoch
+    rows = [(i, users[i], base + offsets[i]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id int, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    got = {
+        (r.user_id, str(r.sw.start), str(r.sw.end), r.n)
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # reference: strict-gap split at µs grain, per user
+    GAP = 1_800_000_000
+    want = set()
+    per_user: dict[int, list[int]] = {}
+    for _, u, us in rows:
+        per_user.setdefault(u, []).append(us)
+    import datetime
+
+    def fmt(us):
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+        return str(dt)
+
+    for u, times in per_user.items():
+        times.sort()
+        sess = [[times[0]]]
+        for t in times[1:]:
+            if t - sess[-1][-1] > GAP:
+                sess.append([t])
+            else:
+                sess[-1].append(t)
+        for s in sess:
+            want.add((u, fmt(s[0]), fmt(s[-1] + GAP), len(s)))
+    assert got == want
