@@ -95,6 +95,9 @@ def main() -> None:
         "hits_cust_supp",
         # frozen BPE vocab (training priced by bpe_train_docs)
         "bpe_tokenize_docs",
+        # _CLF_MODELS (model trained once on this query's first call;
+        # training priced live by train_classifier_docs)
+        "classifier_calibration_docs",
     ]
     # Host-load stamp (the r7 lesson: six >2× "regressions" on unchanged
     # code were a noisy host; numbers without load context are not
