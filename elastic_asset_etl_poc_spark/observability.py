@@ -35,3 +35,28 @@ def run_and_print_plan_on_error(
         except Exception:  # plan printing must never mask the original error
             log("<plan unavailable>")
         raise
+
+
+def observed(
+    df: DataFrame, name: str, *metrics
+):
+    """Attach in-flight metrics to a frame → ``(df, Observation)``.
+
+    Spark's ``Observation`` evaluates aggregate expressions ON THE ROWS
+    FLOWING THROUGH the plan during the next action — row counts, null
+    counts, min/max — at zero extra passes (the metrics ride the same
+    physical plan; a separate ``df.agg`` would re-scan).  The pipeline
+    observability primitive the reference's error path hints at
+    (§2.11): a production job asserts ``obs.get`` after the write and
+    alerts on contract violations (rows dropped, nulls in a key column)
+    without a second job.
+
+    Metrics must be aggregate expressions (``F.count``, ``F.sum``, ...);
+    ``obs.get`` blocks until the first action on ``df`` completes.
+    Scale note: metric state is a handful of scalars merged on the
+    driver — O(1) regardless of data size.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

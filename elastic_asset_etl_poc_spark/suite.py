@@ -5701,6 +5701,10 @@ def _staged_textfile(spark, sf_dir: str, fmt: str) -> str:
         d = tempfile.mkdtemp(prefix=f"sg_{fmt}_")
         if fmt == "jsonl":
             load_table(spark, sf_dir, "documents").write.mode("overwrite").json(d)
+        elif fmt == "orc":
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ).write.mode("overwrite").orc(d)
         else:
             load_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -5769,6 +5773,35 @@ def csv_scan_orders(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count_distinct(F.col("o_custkey")).alias("n_cust"),
+    )
+
+
+@q(
+    "orc_scan_orders",
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(avg(o_totalprice), 2) AS avg_price,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1
+""",
+)
+def orc_scan_orders(spark, sf_dir):
+    """ORC source (Spark builtin columnar sibling of parquet): orders
+    staged as ORC and read back — aggregates hash-match the parquet
+    original, proving the codec round-trip preserves every value.
+    Completes the source-format family (parquet native, CSV, NDJSON,
+    ORC, ES DSv2, memory/file streams).  Same scale properties as
+    parquet: columnar pruning, predicate pushdown via ORC
+    min/max/bloom indexes, splittable stripes — the format an
+    HDFS/Hive-era lake hands a migration pipeline."""
+    path = _staged_textfile(spark, sf_dir, "orc")
+    o = spark.read.orc(path)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.max("o_orderkey").alias("max_key"),
     )
 
 

@@ -139,3 +139,30 @@ def test_cli_query_mode(spark, capsys):
 
     assert main(["--query", "no_such_query"]) == 2
     assert main([]) == 2
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """observe() metrics must reflect the rows that flowed through the
+    plan during the action — including rows later filtered DOWNSTREAM of
+    the observation point (the row-contract use: observe at the source,
+    filter after, and the delta is the drop count)."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.observability import observed
+
+    src = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    obs_df, obs = observed(
+        src,
+        "src_contract",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum("id").alias("id_sum"),
+    )
+    kept = obs_df.filter(F.col("v").isNotNull()).count()
+    got = obs.get
+    assert kept == 90
+    assert got["n_rows"] == 100       # observation saw pre-filter rows
+    assert got["n_nonnull"] == 90
+    assert got["id_sum"] == sum(range(100))
