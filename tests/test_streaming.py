@@ -806,3 +806,66 @@ def test_stream_session_windows_multi_batch_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len({k[0] for k in got}) == 2 and len(got) == 5  # 3 + 2 sessions
+
+
+def test_stream_session_windows_append_mode_evicts_and_finalizes(spark, tmp_path):
+    """The DEPLOYMENT configuration of native session windows: append
+    mode with a small watermark.  Finalized sessions (window end older
+    than the advanced watermark) are emitted EXACTLY ONCE and evicted
+    from the state store; the still-open trailing session is withheld —
+    the bounded-state behavior SCALE_r9.md's state-bound note says a
+    real watermark restores (the suite drain deliberately disables it
+    with 45 days + complete mode)."""
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA_NS,
+        run_to_memory,
+        stream_session_windows,
+    )
+
+    M = 60_000_000_000  # 1 min in ns
+    base = 1_700_000_000_000_000_000
+
+    def ev(eid, minutes, uid, val):
+        return (eid, base + minutes * M, uid, "click", val, None)
+
+    # user 7: [0m, 5m] then [200m] — the 200m event advances the
+    # watermark (10m delay) to 190m, far past session-1's end (35m), so
+    # [0..5m] finalizes and emits; [200m..] stays open and is withheld.
+    batches = [
+        [ev(1, 0, 7, 1.0), ev(2, 5, 7, 2.0)],
+        [ev(3, 200, 7, 4.0)],
+    ]
+    src = str(tmp_path / "swin_append")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, EVENTS_STREAM_SCHEMA_NS).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    typed = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_NS)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts", "value")
+    )
+    q = run_to_memory(
+        stream_session_windows(typed, gap="30 minutes", watermark="10 minutes"),
+        "swin_append",
+        "append",
+    )
+    try:
+        rows = spark.table("swin_append").collect()
+    finally:
+        q.stop()
+    import datetime as dt
+
+    def t(minutes):
+        return dt.datetime.fromtimestamp(
+            (base // 1_000_000_000) + minutes * 60, dt.timezone.utc
+        ).replace(tzinfo=None)
+
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in rows
+    ]
+    # ONLY the finalized session; the open [200m..] session is withheld
+    assert got == [(7, t(0), t(35), 2, 3.0)]
