@@ -648,6 +648,14 @@ def dedup_survivors(
     """Resolve near-dup pairs into clusters and pick survivors →
     (doc_id, cluster, is_survivor).
 
+    CONTRACT: every id in ``pairs`` must exist in ``df`` (pairs are
+    produced FROM the record frame — every producer in this package
+    satisfies this by construction).  Ids unknown to ``df`` are
+    undefined behavior: the driver fast path would bridge components
+    through them while the distributed path ignores the dangling edge —
+    don't feed pairs from a stale or wider corpus without semi-joining
+    them onto ``df`` first.
+
     Connected components by iterative min-label propagation: each round,
     every node takes the min of its own label and its neighbors' labels;
     converged when no label changes (checked with a cheap count per round,

@@ -516,3 +516,58 @@ def test_session_window_equals_gap_split_property(spark, offsets, users):
         for s in sess:
             want.add((u, fmt(s[0]), fmt(s[-1] + GAP), len(s)))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    ),
+    n_nodes=st.integers(1, 15),
+)
+def test_dedup_survivors_equals_union_find_property(spark, edges, n_nodes):
+    """Property: dedup_survivors' clustering equals a reference
+    union-find on BOTH execution paths (driver fast path and distributed
+    min-label propagation), for arbitrary IN-UNIVERSE edge sets (the
+    operator's contract: pairs are produced from the record frame)
+    including self-loops, duplicate edges, chains, and isolated
+    nodes."""
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    nodes = list(range(n_nodes))
+    node_set = set(nodes)
+    # fold drawn endpoints into the universe (contract: in-universe pairs)
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    df = spark.createDataFrame([(n,) for n in nodes], "doc_id int")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a int, b int"  # self-loop dummy for empty draw
+    )
+    # reference union-find over the record universe only
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {n: find(n) for n in nodes}
+
+    for limit in (1_000_000, 0):
+        got = {
+            r.doc_id: (r.cluster, r.is_survivor)
+            for r in dedup_survivors(
+                df, pairs, id_col="doc_id", driver_limit=limit
+            ).collect()
+            if r.doc_id in node_set
+        }
+        assert got == {
+            n: (want[n], want[n] == n) for n in nodes
+        }, f"driver_limit={limit}"
