@@ -6994,6 +6994,78 @@ def cube_status_priority(spark, sf_dir):
 
 
 @q(
+    "training_manifest_docs",
+    """
+WITH s AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         (len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+            * 1000) // len(string_split(text, ' ')) AS score_bucket
+  FROM documents
+),
+b AS (SELECT score_bucket, sum(n_tokens) AS btok FROM s GROUP BY 1),
+a AS (
+  SELECT score_bucket FROM (
+    SELECT score_bucket,
+           sum(btok) OVER (ORDER BY score_bucket DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM b
+  ) WHERE cum <= 20000
+),
+sel AS (SELECT s.doc_id, s.n_tokens FROM s SEMI JOIN a USING (score_bucket)),
+tok AS (SELECT doc_id, doc_id % 64 AS shard, n_tokens FROM sel),
+off AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS end_offset
+  FROM tok
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       CAST(shard * 1000000000 + (end_offset - n_tokens) // 512 AS BIGINT)
+         AS first_seq,
+       CAST(shard * 1000000000 + (end_offset - 1) // 512 AS BIGINT) AS last_seq
+FROM off
+""",
+)
+def training_manifest_docs(spark, sf_dir):
+    """The TRAINING MANIFEST end-to-end: budget-select the best quality
+    buckets under a 20k-token budget (select_under_token_budget — no
+    global sort, bucket thresholds broadcast back), then pack ONLY the
+    selected docs into 512-token training sequences
+    (pack_sequences — per-shard offset windows, globally unique seq
+    ids).  This is the artifact a data team actually hands the trainer:
+    which documents made the mix and exactly where each one's tokens
+    land, reproducible from raw corpus in one plan.  Both stages are
+    individually hash-certified (budget_select_docs,
+    pack_sequences_docs); this pins their COMPOSITION — the oracle
+    chains the identical CTEs, so a drift in either stage or in the
+    handoff between them breaks the hash.  Scale shape: one agg + tiny
+    broadcast semi-join + one per-shard window — nothing new is paid
+    for composing."""
+    from .operators.sampling import pack_sequences, select_under_token_budget
+    from .operators.text import stopword_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_count(F.col("text")).alias("__nstop"),
+    ).select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.expr("(__nstop * 1000) div n_tokens").alias("score_bucket"),
+    )
+    selected = select_under_token_budget(base, token_budget=20_000)
+    return pack_sequences(
+        selected.select("doc_id", "text"), max_tokens=512
+    ).withColumn("n_tokens", F.col("n_tokens").cast("bigint"))
+
+
+@q(
     "bucketed_join_orders",
     """
 SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
