@@ -6994,6 +6994,89 @@ def cube_status_priority(spark, sf_dir):
 
 
 @q(
+    "outlier_mad_events",
+    """
+WITH s AS (
+  SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS v, count(*) AS n
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type,
+         (v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+            * (0.5 * (n - 1) - floor(0.5 * (n - 1)))) AS med
+  FROM s
+),
+d AS (
+  SELECT e.event_type,
+         list_sort(list(abs(CAST(e.value AS DOUBLE) - m.med))) AS v,
+         count(*) AS n, any_value(m.med) AS med
+  FROM events e JOIN m USING (event_type) GROUP BY e.event_type
+),
+md AS (
+  SELECT event_type, med,
+         (v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+            * (0.5 * (n - 1) - floor(0.5 * (n - 1)))) AS mad
+  FROM d
+)
+SELECT e.event_type, count(*) AS n,
+       count(*) FILTER (
+         WHERE abs(CAST(e.value AS DOUBLE) - md.med) > 3.5 * md.mad)
+         AS n_outliers,
+       floor(any_value(md.med) * 100 + 0.5) / 100 AS med,
+       floor(any_value(md.mad) * 100 + 0.5) / 100 AS mad
+FROM events e JOIN md USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def outlier_mad_events(spark, sf_dir):
+    """Robust outlier detection, MAD flavor (the median/MAD sibling of
+    outlier_iqr_events' Tukey fences): flag |x − median| > 3.5·MAD per
+    event_type — the robust z-score that a single extreme value cannot
+    drag the way it drags mean/stddev (50% breakdown point vs 0%).
+    Exact interpolated medians via Spark's `percentile` aggregate; the
+    oracle replays the identical index-interpolation formula over
+    sorted lists (the outlier_iqr discipline — never trust two engines'
+    quantile defaults to agree, state the arithmetic).  Scale shape:
+    two hash aggs on event_type (the second over |x−med| needs the
+    first's medians — joined back via broadcast, group count is tiny)
+    plus one final agg; the corpus shuffles on event_type only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med), 0.5D)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3.5 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            (F.floor(F.first("med") * 100 + 0.5) / 100).alias("med"),
+            (F.floor(F.first("mad") * 100 + 0.5) / 100).alias("mad"),
+        )
+    )
+
+
+@q(
     "training_manifest_docs",
     """
 WITH s AS (
