@@ -6994,6 +6994,86 @@ def cube_status_priority(spark, sf_dir):
 
 
 @q(
+    "moments_profile_events",
+    """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(value AS DOUBLE)) AS s1,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+             * CAST(value AS DOUBLE)) AS s3,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+             * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor((s1 / n) * 10000 + 0.5) / 10000 AS mean,
+       floor((s2 / n - (s1 / n) * (s1 / n)) * 10000 + 0.5) / 10000
+         AS variance,
+       floor(((s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+              / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)) * 10000 + 0.5)
+         / 10000 AS skewness,
+       floor(((s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+              / ((s2 / n - (s1 / n) * (s1 / n))
+                 * (s2 / n - (s1 / n) * (s1 / n))) - 3) * 10000 + 0.5)
+         / 10000 AS excess_kurtosis
+FROM s
+""",
+)
+def moments_profile_events(spark, sf_dir):
+    """Higher-moment distribution profile per event_type: mean,
+    population variance, skewness, excess kurtosis — the shape stats a
+    drift monitor tracks beyond min/max/quantiles (a value column going
+    heavy-tailed or lopsided shows here before the median moves).
+    Built from RAW POWER SUMS (Σx..Σx⁴) with the moment combination
+    stated explicitly in BOTH engines, because Spark's `skewness`/
+    `kurtosis` and DuckDB's use different estimator conventions
+    (population vs sample corrections) — the outlier_iqr discipline
+    again: state the arithmetic, trust no defaults.  Scale shape: ONE
+    map-side-combined hash agg over the corpus (power sums are
+    associative partials); the moment algebra runs on the tiny
+    per-group frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(
+        var, 1.5
+    )
+    kurt = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    ) / (var * var) - 3
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        r4(mean).alias("mean"),
+        r4(var).alias("variance"),
+        r4(skew).alias("skewness"),
+        r4(kurt).alias("excess_kurtosis"),
+    )
+
+
+@q(
     "outlier_mad_events",
     """
 WITH s AS (
