@@ -571,3 +571,52 @@ def test_dedup_survivors_equals_union_find_property(spark, edges, n_nodes):
         assert got == {
             n: (want[n], want[n] == n) for n in nodes
         }, f"driver_limit={limit}"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 5)),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 5)),
+        min_size=0, max_size=15, unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_apply_cdc_roundtrip_property(spark, old_rows, new_rows):
+    """Property: apply_cdc(old, changes_of(old, new)) == new for ARBITRARY
+    snapshot pairs — adds, drops, value changes, disjoint key sets, and
+    both empties.  The diff→apply loop is its own oracle (the identity
+    the suite's apply_cdc_orders query pins on one fixture; this pins it
+    on random ones)."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.diff import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(old_rows or [(99, 0)], "k int, v int")
+    new = spark.createDataFrame(new_rows or [(98, 0)], "k int, v int")
+    d = snapshot_diff(old, new, keys=["k"], compare_cols=["v"])
+    iu = (
+        d.filter(F.col("change") != "removed")
+        .join(new, "k")
+        .selectExpr(
+            "k", "v",
+            "CASE WHEN change = 'added' THEN 'I' ELSE 'U' END AS op",
+            "1 AS seq",
+        )
+    )
+    dels = (
+        d.filter(F.col("change") == "removed")
+        .join(old, "k")
+        .selectExpr("k", "v", "'D' AS op", "1 AS seq")
+    )
+    got = {
+        (r.k, r.v)
+        for r in apply_cdc(old, iu.unionByName(dels), keys=["k"]).collect()
+    }
+    want = {(k, v) for k, v in (new_rows or [(98, 0)])}
+    assert got == want
