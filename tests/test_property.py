@@ -620,3 +620,54 @@ def test_snapshot_diff_apply_cdc_roundtrip_property(spark, old_rows, new_rows):
     }
     want = {(k, v) for k, v in (new_rows or [(98, 0)])}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=20,
+    ),
+    max_tokens=st.integers(1, 16),
+    n_shards=st.integers(1, 4),
+)
+def test_pack_sequences_matches_reference_property(
+    spark, texts, max_tokens, n_shards
+):
+    """Property: pack_sequences' offsets and sequence ids equal a pure-
+    Python per-shard cumulative packer for arbitrary whitespace corpora
+    (empty docs, runs of spaces, tiny max_tokens forcing every doc to
+    straddle cuts) at several shard counts."""
+    from elastic_asset_etl_poc_spark.operators.sampling import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in pack_sequences(
+            df, max_tokens=max_tokens, n_shards=n_shards
+        ).collect()
+    }
+
+    def ntok(t):
+        # the operator's contract is split-on-single-space SEGMENTS
+        # (text.tokens = F.split(c, " ")): '' -> 1 segment, 'a  b' -> 3
+        return len(t.split(" "))
+
+    want = {}
+    offsets = {s: 0 for s in range(n_shards)}
+    for i, t in sorted(rows):
+        s = i % n_shards
+        n = ntok(t)
+        start = offsets[s]
+        end = start + n
+        offsets[s] = end
+        want[i] = (
+            s,
+            n,
+            start,
+            s * 1_000_000_000 + start // max_tokens,
+            s * 1_000_000_000 + max(end - 1, start) // max_tokens,
+        )
+    assert got == want
