@@ -30,10 +30,15 @@ def _prepare(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs with ``observe=True`` so both phase frames carry Observation
+    metrics (§2.11): the driver's collect on the returned frame also
+    evaluates phase-2's row/null-key counters at zero extra passes
+    (readable afterwards via ``plans.services.LAST_OBSERVATIONS``)."""
     _prepare(spark)
     services, full_services = collect_services_from_summaries(
-        spark, "/root/testdata/sf0.001"
+        spark, "/root/testdata/sf0.001", observe=True
     )
     return full_services
 

@@ -96,7 +96,13 @@ def main() -> None:
         # frozen BPE vocab (training priced by bpe_train_docs)
         "bpe_tokenize_docs",
         # _CLF_MODELS (model trained once on this query's first call;
-        # training priced live by train_classifier_docs)
+        # training priced live by train_classifier_docs).  NOTE: under
+        # the alphabetical bench order "calibration" runs BEFORE
+        # "train", so calibration's COLD sample absorbs the one-time
+        # memo build (the first _CLF_MODELS train), and
+        # train_classifier_docs' cold run is not a first-train in this
+        # process — its live-train cost shows in its warm medians,
+        # which retrain every run
         "classifier_calibration_docs",
     ]
     # Host-load stamp (the r7 lesson: six >2× "regressions" on unchanged

@@ -648,6 +648,13 @@ def dedup_survivors(
     """Resolve near-dup pairs into clusters and pick survivors →
     (doc_id, cluster, is_survivor).
 
+    CONTRACT: the pair endpoints are the FIRST TWO columns of ``pairs``,
+    in either order per row (edges are undirected) — both the driver
+    fast path and the distributed path read them positionally, so a
+    frame reordered to put a score/distance column first would silently
+    build a wrong graph; the shape is asserted below.  Extra columns
+    beyond the first two are ignored.
+
     CONTRACT: every id in ``pairs`` must exist in ``df`` (pairs are
     produced FROM the record frame — every producer in this package
     satisfies this by construction).  Ids unknown to ``df`` are
@@ -670,6 +677,20 @@ def dedup_survivors(
     fraction of any real corpus), components resolve with a driver-side
     union-find and ship back as one broadcast join instead of ~3×3 jobs.
     """
+    if len(pairs.columns) < 2:
+        raise ValueError(
+            f"dedup_survivors: pairs needs >=2 columns (endpoints first), "
+            f"got {pairs.columns}"
+        )
+    idtype_ = df.schema[id_col].dataType
+    for c in pairs.columns[:2]:
+        if pairs.schema[c].dataType != idtype_:
+            raise TypeError(
+                f"dedup_survivors: pair endpoint column {c!r} has type "
+                f"{pairs.schema[c].dataType}, but {id_col!r} is {idtype_} — "
+                "endpoints must be the FIRST TWO columns (a score-first "
+                "reorder would silently build a wrong graph)"
+            )
     head = pairs.limit(driver_limit + 1).collect()
     if len(head) <= driver_limit:
         parent: dict = {}

@@ -101,12 +101,55 @@ def batch_search_for_service_parents(
     )
 
 
+#: Observations attached by the most recent ``observe=True`` pipeline
+#: run (keys ``phase1``/``phase2``).  Read AFTER an action on the
+#: returned frame; ``entry()`` runs through this path so the flagship's
+#: in-flight metrics are assertable post-collect (§2.11).
+LAST_OBSERVATIONS: dict = {}
+
+
 def collect_services_from_summaries(
     spark: SparkSession,
     sf_dir: str,
     now: datetime = PINNED_NOW,
+    observe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """The flagship pipeline (run.ts:10): phase 1 then phase 2."""
+    """The flagship pipeline (run.ts:10): phase 1 then phase 2.
+
+    With ``observe=True``, both phase frames carry ``Observation``
+    metrics (row counts + null-key counts) that ride the physical plan
+    of the next action at zero extra passes — the §2.11 in-flight
+    contract check (phase-1 names must never be NULL: they become the
+    phase-2 IN-list; phase-2 event ids must never be NULL: they are the
+    sink's doc ids).  The Observations land in ``LAST_OBSERVATIONS``
+    because the function's frame-pair return shape is part of the
+    reference parity surface (run.ts:10 returns the frames, not the
+    telemetry)."""
     services = batch_search_for_services(spark, sf_dir, now)
+    if observe:
+        from ..observability import observed
+
+        services, obs1 = observed(
+            services,
+            "phase1_services",
+            F.count(F.lit(1)).alias("n_services"),
+            F.sum(
+                F.when(F.col("name").isNull(), 1).otherwise(0)
+            ).alias("null_names"),
+        )
     full = batch_search_for_service_parents(spark, sf_dir, services, now)
+    if observe:
+        full, obs2 = observed(
+            full,
+            "phase2_parents",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("event_id").isNull(), 1).otherwise(0)
+            ).alias("null_event_ids"),
+            F.sum(
+                F.when(F.col("parent_type").isNull(), 1).otherwise(0)
+            ).alias("null_parent_types"),
+        )
+        LAST_OBSERVATIONS.clear()
+        LAST_OBSERVATIONS.update({"phase1": obs1, "phase2": obs2})
     return services, full

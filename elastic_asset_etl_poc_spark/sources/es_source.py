@@ -260,12 +260,16 @@ class SignalsESReader(DataSourceReader):
     @staticmethod
     def _open_pit(p: _SlicePartition, keep_alive: str) -> str | None:
         """POST ``{index}/_pit`` → pit id; None ONLY when the server has
-        no PIT endpoint (400/404/405 ⇒ legacy per-index ``_doc`` search,
-        which is correct solely on single-shard/stub servers).  Any other
-        HTTP error — transient 429/503, auth 401/403, 5xx — re-raises:
-        silently degrading on a real multi-shard cluster could skip or
-        duplicate rows, and a loud retryable failure is the only safe
-        answer there."""
+        no PIT endpoint (404/405, or a 400 whose body carries the legacy
+        router's "no handler found" marker ⇒ legacy per-index ``_doc``
+        search, which is correct solely on single-shard/stub servers).
+        400 is otherwise AMBIGUOUS — a PIT-capable cluster also answers
+        400 to a malformed request (bad keep_alive, bad index expression),
+        and silently downgrading there is exactly the skip/duplicate risk
+        this fallback gate exists to prevent — so a 400 without the
+        marker re-raises, as do transient 429/503, auth 401/403, and
+        5xx: a loud retryable failure is the only safe answer on a real
+        multi-shard cluster."""
         import urllib.error
 
         try:
@@ -273,8 +277,20 @@ class SignalsESReader(DataSourceReader):
                 "POST", f"{p.url}/{p.index}/_pit?keep_alive={keep_alive}", None
             )
         except urllib.error.HTTPError as e:
-            if e.code in (400, 404, 405):
+            if e.code in (404, 405):
                 return None  # endpoint absent: pre-PIT server / stub
+            if e.code == 400:
+                try:
+                    body = e.read().decode("utf-8", "replace").lower()
+                except Exception:  # noqa: BLE001 — unreadable body
+                    body = ""
+                # pre-PIT Elasticsearch routes unknown paths through the
+                # RestController, which answers 400 with "no handler
+                # found for uri [..._pit]"; that marker (not the status
+                # alone) is the endpoint-absent signal
+                if "no handler" in body:
+                    return None
+                raise
             raise
         return payload.get("id")
 

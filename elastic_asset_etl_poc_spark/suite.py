@@ -6959,8 +6959,7 @@ def entity_clusters_parts(spark, sf_dir):
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue,
-       CAST(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END
-            + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+       CAST(GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
             AS INTEGER) AS agg_level
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -6970,26 +6969,24 @@ def cube_status_priority(spark, sf_dir):
     """CUBE completes the grouping trio (GROUPING SETS ✓ ROLLUP ✓): all
     2^2 margins of (status, priority) — cells, both one-way margins, and
     the grand total — in ONE Expand-based aggregation pass, the OLAP
-    cross-tab primitive.  agg_level labels each row's margin depth via
-    NULL counting (safe here: neither column is nullable in the data, so
-    NULL ⇔ rolled-up — the caveat grouping()/grouping_id() exists for).
-    Scale shape: Expand multiplies rows 4× BEFORE the shuffle but
-    partial aggregation collapses each margin map-side, so the exchange
-    carries ~|distinct cells| × 4, not |rows| × 4."""
+    cross-tab primitive.  agg_level labels each row's margin depth with
+    the built-in grouping() bits (mirrored by GROUPING() in the oracle)
+    rather than NULL-counting, so the pattern survives a NULL-VALUED
+    dimension: a genuine NULL cell has grouping()=0 while a rolled-up
+    margin has grouping()=1, a distinction NULL-counting cannot make
+    (pytest covers a frame with a NULL dimension value).  Scale shape:
+    Expand multiplies rows 4× BEFORE the shuffle but partial aggregation
+    collapses each margin map-side, so the exchange carries
+    ~|distinct cells| × 4, not |rows| × 4."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        (
+            F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
         )
-        .withColumn(
-            "agg_level",
-            (
-                F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
-                + F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)
-            ).cast("int"),
-        )
+        .cast("int")
+        .alias("agg_level"),
     )
 
 
@@ -7006,22 +7003,22 @@ WITH s AS (
          sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
              * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s4
   FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s1, s2, s3, s4, s1 / n AS mean,
+         greatest(s2 / n - (s1 / n) * (s1 / n), 0) AS var
+  FROM s
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       floor((s1 / n) * 10000 + 0.5) / 10000 AS mean,
-       floor((s2 / n - (s1 / n) * (s1 / n)) * 10000 + 0.5) / 10000
-         AS variance,
-       floor(((s3 / n - 3 * (s1 / n) * (s2 / n)
-               + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-              / pow(s2 / n - (s1 / n) * (s1 / n), 1.5)) * 10000 + 0.5)
-         / 10000 AS skewness,
-       floor(((s4 / n - 4 * (s1 / n) * (s3 / n)
-               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
-               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-              / ((s2 / n - (s1 / n) * (s1 / n))
-                 * (s2 / n - (s1 / n) * (s1 / n))) - 3) * 10000 + 0.5)
-         / 10000 AS excess_kurtosis
-FROM s
+       floor(mean * 10000 + 0.5) / 10000 AS mean,
+       floor(var * 10000 + 0.5) / 10000 AS variance,
+       floor(((s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean)
+              / pow(var, 1.5)) * 10000 + 0.5) / 10000 AS skewness,
+       floor(((s4 / n - 4 * mean * (s3 / n)
+               + 6 * mean * mean * (s2 / n)
+               - 3 * mean * mean * mean * mean)
+              / (var * var) - 3) * 10000 + 0.5) / 10000 AS excess_kurtosis
+FROM m
 """,
 )
 def moments_profile_events(spark, sf_dir):
@@ -7036,7 +7033,11 @@ def moments_profile_events(spark, sf_dir):
     again: state the arithmetic, trust no defaults.  Scale shape: ONE
     map-side-combined hash agg over the corpus (power sums are
     associative partials); the moment algebra runs on the tiny
-    per-group frame."""
+    per-group frame.  The variance is clamped with greatest(var, 0) in
+    BOTH engines: catastrophic cancellation (s2/n − mean²) on a
+    near-constant group can produce a tiny negative, and pow(var, 1.5)
+    of a negative is NaN — the clamp keeps the profile finite and the
+    two engines bit-agreeing at the rounding grain."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double").alias("v")
     )
@@ -7049,7 +7050,7 @@ def moments_profile_events(spark, sf_dir):
     )
     n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
     mean = s1 / n
-    var = s2 / n - mean * mean
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
     skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(
         var, 1.5
     )
@@ -7123,7 +7124,15 @@ def outlier_mad_events(spark, sf_dir):
     quantile defaults to agree, state the arithmetic).  Scale shape:
     two hash aggs on event_type (the second over |x−med| needs the
     first's medians — joined back via broadcast, group count is tiny)
-    plus one final agg; the corpus shuffles on event_type only."""
+    plus one final agg; the corpus shuffles on event_type only — BUT
+    Spark's exact `percentile` aggregate buffers EVERY value of the
+    group in the agg buffer, so a 100-TB event_type (billions of
+    doubles in one executor's hash-agg entry) would OOM.  This exact
+    form is the ORACLE-CHECKABLE AUDIT; the production path at scale is
+    outlier_mad_approx_events (constant-size approx_percentile sketch
+    per group), whose agreement with this form is itself
+    driver-hash-audited — the sketch family's exact-audit /
+    approx-production split."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double").alias("value")
     )
@@ -7152,6 +7161,116 @@ def outlier_mad_events(spark, sf_dir):
             ).cast("bigint").alias("n_outliers"),
             (F.floor(F.first("med") * 100 + 0.5) / 100).alias("med"),
             (F.floor(F.first("mad") * 100 + 0.5) / 100).alias("mad"),
+        )
+    )
+
+
+@q(
+    "outlier_mad_approx_events",
+    """
+WITH s AS (
+  SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS v, count(*) AS n
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type,
+         (v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+            * (0.5 * (n - 1) - floor(0.5 * (n - 1)))) AS med
+  FROM s
+),
+d AS (
+  SELECT e.event_type,
+         list_sort(list(abs(CAST(e.value AS DOUBLE) - m.med))) AS v,
+         count(*) AS n, any_value(m.med) AS med
+  FROM events e JOIN m USING (event_type) GROUP BY e.event_type
+),
+md AS (
+  SELECT event_type, med,
+         (v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+            * (0.5 * (n - 1) - floor(0.5 * (n - 1)))) AS mad
+  FROM d
+)
+SELECT e.event_type, count(*) AS n,
+       count(*) FILTER (
+         WHERE abs(CAST(e.value AS DOUBLE) - md.med) > 3.5 * md.mad)
+         AS n_outliers,
+       true AS med_within_1pct,
+       true AS mad_within_1pct,
+       true AS flags_within_half_pct
+FROM events e JOIN md USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def outlier_mad_approx_events(spark, sf_dir):
+    """The PRODUCTION twin of outlier_mad_events for 100-TB groups:
+    medians via approx_percentile (a constant-size Greenwald–Khanna
+    sketch per group in the agg buffer, rank error ≤ n/accuracy) where
+    the exact form buffers the whole group.  Driver-hash-audited the
+    sketch-family way: the row payload is the EXACT per-group outlier
+    count (oracle-computable by the same interpolated-median CTEs) plus
+    three bound booleans the oracle states as literals — approx median
+    within 1% of exact, approx MAD within 1%, and the approx-flagged
+    outlier set disagreeing with the exact-flagged set on ≤ max(1,
+    0.5%·n) rows.  Sketch drift breaks the hash instead of hiding
+    behind a rows-only status.  Scale shape: identical shuffle plan to
+    the exact form (two event_type aggs + broadcast-back + final agg),
+    but the production arm's agg state is O(accuracy), not O(group);
+    the exact arms here are the AUDIT cost, dropped in production."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("amed"),
+        F.expr("percentile(value, 0.5D)").alias("emed"),
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("approx_percentile(abs(value - amed), 0.5D, 10000)").alias(
+                "amad"
+            ),
+            F.expr("percentile(abs(value - emed), 0.5D)").alias("emad"),
+            F.first("amed").alias("amed"),
+            F.first("emed").alias("emed"),
+        )
+    )
+    eflag = F.abs(F.col("value") - F.col("emed")) > 3.5 * F.col("emad")
+    aflag = F.abs(F.col("value") - F.col("amed")) > 3.5 * F.col("amad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(eflag, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.sum(F.when(eflag != aflag, 1).otherwise(0)).alias("__dis"),
+            F.first("amed").alias("amed"),
+            F.first("emed").alias("emed"),
+            F.first("amad").alias("amad"),
+            F.first("emad").alias("emad"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            (
+                F.abs(F.col("amed") - F.col("emed"))
+                <= 0.01 * F.col("emed")
+            ).alias("med_within_1pct"),
+            (
+                F.abs(F.col("amad") - F.col("emad"))
+                <= 0.01 * F.col("emad")
+            ).alias("mad_within_1pct"),
+            (
+                F.col("__dis")
+                <= F.greatest(F.lit(1.0), 0.005 * F.col("n"))
+            ).alias("flags_within_half_pct"),
         )
     )
 

@@ -121,6 +121,20 @@ def _make_es_server(mode: str):
             if self.path.split("?")[0].endswith("/_pit"):
                 if mode == "legacy":
                     self._reply(404, {"error": "no such endpoint"})
+                elif mode == "legacy_400":
+                    # pre-PIT ES routes unknown paths through the
+                    # RestController: 400 + "no handler found for uri"
+                    self._reply(
+                        400,
+                        {"error": "no handler found for uri [/signals-test/_pit] and method [POST]"},
+                    )
+                elif mode == "pit_400_malformed":
+                    # PIT-capable server rejecting a malformed request —
+                    # same status code, entirely different meaning
+                    self._reply(
+                        400,
+                        {"error": {"type": "illegal_argument_exception", "reason": "failed to parse keep_alive"}},
+                    )
                 elif mode == "pit_503":
                     self._reply(503, {"error": "circuit_breaking_exception"})
                 else:
@@ -402,11 +416,14 @@ def test_es_source_http_stuck_keyset_raises(spark, es_http_server_stuck):
 
 
 def test_open_pit_falls_back_only_on_endpoint_absent():
-    """404/405/400 on ``_pit`` mean "no PIT API" → legacy fallback is
-    safe; ANYTHING else (429 throttle, 503 breaker, 401/403 auth) must
-    re-raise — on a real multi-shard cluster the legacy ``_doc`` path
-    can silently skip/duplicate rows, so a transient failure has to be
-    loud and retryable, never a quiet downgrade."""
+    """404/405 on ``_pit`` — or a 400 whose body carries the legacy
+    router's "no handler found" marker — mean "no PIT API" → legacy
+    fallback is safe; ANYTHING else (a marker-less 400 from a
+    PIT-capable cluster rejecting a malformed request, 429 throttle,
+    503 breaker, 401/403 auth) must re-raise — on a real multi-shard
+    cluster the legacy ``_doc`` path can silently skip/duplicate rows,
+    so a failure has to be loud and retryable, never a quiet
+    downgrade."""
     import urllib.error
 
     from elastic_asset_etl_poc_spark.sources.es_source import (
@@ -422,6 +439,34 @@ def test_open_pit_falls_back_only_on_endpoint_absent():
             index="signals-test", slice_id=0, n_slices=1,
         )
         assert SignalsESReader._open_pit(p, "1m") is None
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # pre-PIT router 400 ("no handler found" marker in the body) → the
+    # endpoint-absent signal → legacy fallback
+    srv, _ = _make_es_server("legacy_400")
+    try:
+        p = _SlicePartition(
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            index="signals-test", slice_id=0, n_slices=1,
+        )
+        assert SignalsESReader._open_pit(p, "1m") is None
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    # 400 WITHOUT the marker = a PIT-capable cluster rejecting a
+    # malformed request → must re-raise, never silently downgrade
+    srv, requests400 = _make_es_server("pit_400_malformed")
+    try:
+        p = _SlicePartition(
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            index="signals-test", slice_id=0, n_slices=1,
+        )
+        with pytest.raises(urllib.error.HTTPError):
+            SignalsESReader._open_pit(p, "1m")
+        assert not _searches(requests400)
     finally:
         srv.shutdown()
         srv.server_close()

@@ -741,3 +741,39 @@ def test_hits_hand_computed_two_rounds(spark):
     for role in ("hub", "authority"):
         tot = sum(v for (rl, _), v in out.items() if rl == role)
         assert abs(tot - 1.0) < 1e-4
+
+
+def test_cube_grouping_distinguishes_null_cell_from_rollup(spark):
+    """The grouping()-bit agg_level (cube_status_priority's labeling)
+    must tell a GENUINE NULL dimension value apart from a rolled-up
+    margin — the distinction NULL-counting cannot make.  Frame: one row
+    with status=NULL.  The (NULL, 'HIGH') CELL row has agg_level 0;
+    the status-rolled margin for priority='HIGH' has the same visible
+    (NULL, 'HIGH') key but agg_level 1 — and both rows EXIST, so a
+    NULL-counting labeler would have merged/mislabeled them."""
+    df = spark.createDataFrame(
+        [(None, "HIGH", 10.0), ("F", "HIGH", 20.0), ("F", "LOW", 5.0)],
+        "status string, priority string, price double",
+    )
+    out = (
+        df.cube("status", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.grouping("status") + F.grouping("priority"))
+            .cast("int")
+            .alias("agg_level"),
+        )
+        .collect()
+    )
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["status"], r["priority"]), []).append(r)
+    nh = sorted(
+        (r["agg_level"], r["n"]) for r in by_key[(None, "HIGH")]
+    )
+    # cell (status IS NULL, n=1) vs status-rolled margin (n=2): same
+    # visible key, different grouping bits
+    assert nh == [(0, 1), (1, 2)]
+    # grand total carries both bits
+    gt = [r for r in by_key[(None, None)] if r["agg_level"] == 2]
+    assert len(gt) == 1 and gt[0]["n"] == 3

@@ -436,3 +436,41 @@ def test_wds_shards_roundtrip_and_determinism(spark, tmp_path):
         }
 
     assert digest(out1) == digest(out2)
+
+
+def test_flagship_observations(spark):
+    """§2.11 in-flight metrics: with observe=True the pipeline's two
+    phase frames carry Observations that ride the SAME action that
+    materializes them (no extra pass), and the flagship's data contract
+    holds — phase-1 names are never NULL (they become phase-2's IN-list)
+    and phase-2 event ids / parent types are never NULL (sink doc ids).
+    Cross-checked against independently-computed counts."""
+    from elastic_asset_etl_poc_spark.plans import services as svc
+
+    services, full = svc.collect_services_from_summaries(
+        spark, SF_DIR, observe=True
+    )
+    # Observation.get blocks until an action touches the observed frame
+    n1, n2 = services.count(), full.count()
+    obs1 = svc.LAST_OBSERVATIONS["phase1"].get
+    obs2 = svc.LAST_OBSERVATIONS["phase2"].get
+    assert obs1["n_services"] == n1 > 0
+    assert obs1["null_names"] == 0
+    assert obs2["n_rows"] == n2 > 0
+    assert obs2["null_event_ids"] == 0
+    assert obs2["null_parent_types"] == 0
+
+
+def test_entry_returns_with_observations(spark):
+    """entry() itself runs the observe=True path: after the driver-style
+    collect, LAST_OBSERVATIONS carries both phases' metrics."""
+    import __spark_entry__ as e
+    from elastic_asset_etl_poc_spark.plans import services as svc
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # phase-2 metrics rode the collect above; phase-1's rode its own
+    # materialization inside the pipeline (IN-list build)
+    assert svc.LAST_OBSERVATIONS["phase2"].get["n_rows"] == len(rows)
+    assert svc.LAST_OBSERVATIONS["phase1"].get["null_names"] == 0

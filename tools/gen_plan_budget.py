@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Record each lazy batch query's physical-plan shape into
 tests/plan_budget.json: shuffle-exchange count, broadcast count,
-cartesian products, and Python-eval operators.
+cartesian products, and Python-eval operators — plus an EXCLUSION
+REGISTRY naming every query that is deliberately NOT budgeted and why.
 
-tests/test_plan_budget.py asserts the CURRENT plans stay within these
-budgets, so a shuffle sneaking into any query (the regression class the
-hand-written asserts in test_plans_physical.py catch one-by-one) fails
-mechanically for every budgeted query at once.
+tests/test_plan_budget.py asserts (a) the CURRENT plans stay within
+these budgets, so a shuffle sneaking into any query (the regression
+class the hand-written asserts in test_plans_physical.py catch
+one-by-one) fails mechanically for every budgeted query at once, and
+(b) every queries() entry is either budgeted or listed in the registry
+with a reason — a new query cannot silently escape the net.
 
 Regenerate ONLY after reviewing a diff: a higher number must be a
 deliberate trade, not drift.  Usage: python3 tools/gen_plan_budget.py
@@ -19,37 +22,42 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# Eager builders are excluded: streaming queries execute on build, and
-# localCheckpoint/collect-based chains (dedup/ANN/audit family) truncate
-# their visible lineage, so a plan budget would measure the tail only.
-EXCLUDE_SUBSTRINGS = (
-    "stream",
-    "recall_",
-    "dedup_",
-    "jaccard",
-    "minhash",
-    "simhash",
-    "contamination",
-    "ivf",
-    "knn",
-    "neardup",
-    "cluster_docs",
-    "multimodal",
-    "pagerank",          # iterative: per-round checkpoints truncate lineage
-    "cluster_split",     # dedup_survivors collects pairs at build time
-    "audit_split_leakage",
-    "pretrain_pipeline",  # mid-plan localCheckpoint truncates lineage
-    "train_classifier",   # eager gradient loop: result is a 65-row
-                          # createDataFrame, the training plan is per-step
-    "entity_clusters",    # dedup_survivors collects the pair set at
-                          # build time (driver union-find fast path)
-    "bucketed_join",      # writes bucketed tables at build time and
-                          # returns a localCheckpoint (plan is the tail;
-                          # the no-Exchange join shape self-audits
-                          # in-query and in tests/test_scale_ops.py)
+# Why a query can be exempt from plan budgeting: eager builders execute
+# on build (streaming drains), and localCheckpoint/collect-based chains
+# (dedup/ANN/iterative/audit families) truncate their visible lineage,
+# so a plan budget would measure the tail only.  First matching rule
+# wins; the generated registry records the REASON per query name so the
+# justification travels with the artifact.
+EXCLUSION_RULES: tuple[tuple[str, str], ...] = (
+    ("stream", "streaming: executes its micro-batch drain on build; the returned frame is a static result, not the plan"),
+    ("recall_", "recall audit: builds exact+approx arms with collect/localCheckpoint, visible lineage is the comparison tail only"),
+    ("dedup_", "dedup family: dedup_survivors collects the pair set at build time (driver union-find fast path) / localCheckpoint"),
+    ("jaccard", "near-dup pair build memoized via localCheckpoint; plan is the serving tail"),
+    ("minhash", "banded minhash stores built eagerly (parquet side artifacts); plan is the serving tail"),
+    ("simhash", "fingerprint band stores built eagerly; plan is the serving tail"),
+    ("contamination", "decontam pair build collects candidate set at build time"),
+    ("ivf", "IVF coarse centroids trained eagerly (collect to driver); plan is the probe tail"),
+    ("knn", "ANN family: codebooks/centroids/query set collected at build time; plan is the serving tail"),
+    ("neardup", "near-dup family: banded pair build checkpointed; plan is the serving tail"),
+    ("cluster_docs", "k-means centroids iterate eagerly on the driver; plan is the assignment tail"),
+    ("multimodal", "Arrow mapInPandas media kernels: plan shape is the UDF scan, budget would pin nothing beyond the batch count"),
+    ("pagerank", "iterative: per-round localCheckpoint truncates lineage to the last round"),
+    ("cluster_split", "dedup_survivors collects pairs at build time"),
+    ("audit_split_leakage", "composes cluster_split's eager pair build"),
+    ("pretrain_pipeline", "mid-plan localCheckpoint truncates lineage between stages"),
+    ("train_classifier", "eager gradient loop: result is a tiny createDataFrame, the training plan is per-step"),
+    ("entity_clusters", "dedup_survivors collects the pair set at build time (driver union-find fast path)"),
+    ("bucketed_join", "writes bucketed tables at build time and returns a localCheckpoint (plan is the tail; the no-Exchange join shape self-audits in-query and in tests/test_scale_ops.py)"),
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def exclusion_reason(name: str) -> str | None:
+    for sub, reason in EXCLUSION_RULES:
+        if sub in name:
+            return reason
+    return None
 
 
 def plan_counts(df) -> dict[str, int]:
@@ -76,13 +84,21 @@ def main() -> None:
 
     spark = get_spark(master="local[8]")
     budget: dict[str, dict[str, int]] = {}
+    exclusions: dict[str, str] = {}
     for name, fn in e.queries().items():
-        if any(s in name for s in EXCLUDE_SUBSTRINGS):
+        reason = exclusion_reason(name)
+        if reason is not None:
+            exclusions[name] = reason
             continue
         budget[name] = plan_counts(fn(spark, SF_DIR))
     with open("/root/repo/tests/plan_budget.json", "w") as fh:
-        json.dump(budget, fh, indent=1, sort_keys=True)
-    print(f"budgeted {len(budget)} queries")
+        json.dump(
+            {"budgets": budget, "exclusions": exclusions},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"budgeted {len(budget)} queries, {len(exclusions)} justified exclusions")
     spark.stop()
 
 
