@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["blocked_fuzzy_join"]
+__all__ = ["blocked_fuzzy_join", "entity_clusters_incremental"]
 
 
 def blocked_fuzzy_join(
@@ -86,4 +86,113 @@ def blocked_fuzzy_join(
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def entity_clusters_incremental(
+    assignments: DataFrame,
+    new_ids: DataFrame,
+    delta_edges: DataFrame,
+    id_col: str = "rid",
+    cluster_col: str = "cluster",
+    max_iter: int = 10,
+    driver_limit: int = 1_000_000,
+) -> DataFrame:
+    """Fold a batch of NEW records (+ their match edges) into a standing
+    entity clustering WITHOUT re-clustering the corpus →
+    ``(id_col, cluster, is_survivor)`` over standing ∪ new.
+
+    The incremental trick is CLUSTER CONTRACTION: because the standing
+    ``assignments`` are min-label canonical (``cluster`` = the smallest
+    member id — exactly what ``neardup.dedup_survivors`` emits), each
+    standing cluster can be contracted to one supernode named by its
+    label, and connected components over the tiny QUOTIENT graph —
+    nodes = new ids ∪ touched cluster labels, edges = ``delta_edges``
+    with standing endpoints replaced by their labels — yields the same
+    components as a full recompute over all records and all edges
+    (contraction preserves connectivity; min over a merged component's
+    labels ≡ min over its member ids since every label IS its cluster's
+    min).  New edges may link new↔standing, new↔new, or
+    standing↔standing (a late-arriving edge merging two old clusters).
+
+    CONTRACTS: ``assignments`` must be min-label canonical and cover
+    every standing record; an edge endpoint absent from ``assignments``
+    is treated as a new id.  New ids must be disjoint from standing ids.
+    ``delta_edges``'s endpoints are its FIRST TWO columns (the
+    ``dedup_survivors`` pair contract).
+
+    Scale shape (the reason this exists): a 100-TB corpus's clustering
+    is touched only by (a) one stream of ``assignments`` past a
+    BROADCAST of the small delta-edge frame (endpoint→label lookup, no
+    corpus shuffle), and (b) one BROADCAST of the relabel map
+    (old label → merged label, |touched clusters| rows) back over
+    ``assignments``.  The CC itself runs on the quotient graph —
+    O(batch + touched clusters) nodes, driver union-find under
+    ``dedup_survivors``' broadcast limit — instead of O(corpus).
+    """
+    from .neardup import dedup_survivors
+
+    if len(delta_edges.columns) < 2:
+        raise ValueError(
+            "entity_clusters_incremental: delta_edges needs >=2 columns "
+            f"(endpoints first), got {delta_edges.columns}"
+        )
+    a_col, b_col = delta_edges.columns[:2]
+    lab = assignments.select(
+        F.col(id_col).alias("__rid"), F.col(cluster_col).alias("__lab")
+    )
+    edges = delta_edges.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    )
+    # endpoint → supernode: standing ids take their cluster label, new
+    # ids (absent from assignments) stay themselves.  The edge frame is
+    # the small side — broadcast it so the corpus-sized assignments
+    # stream past without a shuffle.
+    q = (
+        F.broadcast(edges)
+        .join(lab.withColumnRenamed("__rid", "__a"), "__a", "left")
+        .withColumn("__qa", F.coalesce("__lab", "__a"))
+        .drop("__lab")
+        .join(lab.withColumnRenamed("__rid", "__b"), "__b", "left")
+        .withColumn("__qb", F.coalesce("__lab", "__b"))
+        .select("__qa", "__qb")
+    )
+    touched = q.select(F.col("__qa").alias("__node")).unionByName(
+        q.select(F.col("__qb").alias("__node"))
+    )
+    nodes = (
+        new_ids.select(F.col(id_col).alias("__node"))
+        .unionByName(touched)
+        .distinct()
+    )
+    comp = dedup_survivors(
+        nodes,
+        q,
+        id_col="__node",
+        max_iter=max_iter,
+        driver_limit=driver_limit,
+    ).select(F.col("__node"), F.col("cluster").alias("__merged"))
+    # relabel standing clusters whose label participated in the quotient
+    # graph; the map is |touched clusters|-sized → broadcast
+    relabel = comp.withColumnRenamed("__node", "__old")
+    standing = (
+        assignments.join(
+            F.broadcast(relabel),
+            F.col(cluster_col) == F.col("__old"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("__merged", F.col(cluster_col)).alias(cluster_col),
+        )
+    )
+    fresh = new_ids.select(F.col(id_col)).join(
+        F.broadcast(comp), F.col(id_col) == F.col("__node"), "left"
+    ).select(
+        F.col(id_col),
+        # a new id with no delta edge is its own singleton cluster
+        F.coalesce("__merged", F.col(id_col)).alias(cluster_col),
+    )
+    return standing.unionByName(fresh).withColumn(
+        "is_survivor", F.col(id_col) == F.col(cluster_col)
     )

@@ -6871,9 +6871,11 @@ def stream_session_window_events(spark, sf_dir):
     return spark.table(name)
 
 
-@q(
-    "entity_clusters_parts",
-    """
+#: full-recompute ER oracle (min-reachable-id ≡ min-label CC fixpoint),
+#: shared by the batch query AND its incremental twin: the incremental
+#: path hashing identical to the FULL recompute's oracle is itself the
+#: certification that fold-in ≡ re-cluster.
+_ENTITY_CC_SQL = """
 WITH RECURSIVE
 dirty AS (
   SELECT 'd:' || CAST(p_partkey AS VARCHAR) AS rid, p_brand,
@@ -6897,8 +6899,10 @@ SELECT node AS record_id, min(label) AS cluster,
        (node = min(label)) AS is_survivor
 FROM walk
 GROUP BY node
-""",
-)
+"""
+
+
+@q("entity_clusters_parts", _ENTITY_CC_SQL)
 def entity_clusters_parts(spark, sf_dir):
     """ENTITY RESOLUTION end-to-end: fuzzy-match graph → connected
     components → canonical entity per record.  fuzzy_link_parts stops at
@@ -6948,6 +6952,77 @@ def entity_clusters_parts(spark, sf_dir):
         clean.select(F.col("crid").alias("rid"))
     )
     out = dedup_survivors(recs, edges.select("rid", "crid"), id_col="rid")
+    return out.select(
+        F.col("rid").alias("record_id"), "cluster", "is_survivor"
+    )
+
+
+@q("entity_clusters_incr_parts", _ENTITY_CC_SQL)
+def entity_clusters_incr_parts(spark, sf_dir):
+    """INCREMENTAL entity resolution: the same corpus as
+    entity_clusters_parts, but clustered in two installments — the
+    standing set (odd multiples of 7 among the dirty records, plus the
+    whole catalog) is clustered first with dedup_survivors, then the
+    batch (even multiples of 7) is FOLDED IN with
+    operators/linkage.py entity_clusters_incremental: only the batch is
+    fuzzy-matched, standing endpoints contract to their min-label
+    clusters, and connected components run on the tiny quotient graph
+    (batch ids + touched cluster labels) instead of the corpus.  The
+    oracle is the FULL-recompute recursive-CTE walk shared with
+    entity_clusters_parts, so the driver hash IS the
+    incremental ≡ full-recompute certification (a property test makes
+    the same claim over random graphs).  Scale shape: the standing
+    clustering streams past ONE broadcast (delta edges) for the label
+    lookup and ONE broadcast (relabel map) for the fold-back — no
+    corpus-sized shuffle touches the 100-TB side on a batch arrival."""
+    from .operators.linkage import blocked_fuzzy_join, entity_clusters_incremental
+    from .operators.neardup import dedup_survivors
+
+    part = load_table(spark, sf_dir, "part")
+
+    def damaged(src):
+        return src.select(
+            F.concat(F.lit("d:"), F.col("p_partkey").cast("string")).alias(
+                "rid"
+            ),
+            "p_brand",
+            F.concat(
+                F.substring("p_name", 1, 3),
+                F.lit("zz"),
+                F.expr("substring(p_name, 6)"),
+            ).alias("name"),
+        )
+
+    base = part.filter(F.col("p_partkey") % 7 == 0)
+    batch = damaged(base.filter(F.col("p_partkey") % 14 == 0))
+    standing_dirty = damaged(base.filter(F.col("p_partkey") % 14 != 0))
+    clean = part.select(
+        F.concat(F.lit("c:"), F.col("p_partkey").cast("string")).alias("crid"),
+        "p_brand",
+        F.col("p_name").alias("cname"),
+    )
+    standing_edges = blocked_fuzzy_join(
+        standing_dirty, clean,
+        block_cols=["p_brand"], dirty_text="name", clean_text="cname",
+        dirty_id="rid", clean_id="crid", max_dist=2, keep="all",
+    )
+    standing_recs = standing_dirty.select("rid").unionByName(
+        clean.select(F.col("crid").alias("rid"))
+    )
+    assignments = dedup_survivors(
+        standing_recs, standing_edges.select("rid", "crid"), id_col="rid"
+    ).select("rid", "cluster")
+    delta_edges = blocked_fuzzy_join(
+        batch, clean,
+        block_cols=["p_brand"], dirty_text="name", clean_text="cname",
+        dirty_id="rid", clean_id="crid", max_dist=2, keep="all",
+    )
+    out = entity_clusters_incremental(
+        assignments,
+        batch.select("rid"),
+        delta_edges.select("rid", "crid"),
+        id_col="rid",
+    )
     return out.select(
         F.col("rid").alias("record_id"), "cluster", "is_survivor"
     )

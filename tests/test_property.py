@@ -671,3 +671,71 @@ def test_pack_sequences_matches_reference_property(
             s * 1_000_000_000 + max(end - 1, start) // max_tokens,
         )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    ),
+    n_nodes=st.integers(1, 15),
+    n_standing=st.integers(0, 15),
+)
+def test_entity_clusters_incremental_equals_full_recompute(
+    spark, edges, n_nodes, n_standing
+):
+    """Property: folding a batch into a standing min-label clustering
+    with entity_clusters_incremental yields EXACTLY the clustering a
+    full dedup_survivors recompute over (all nodes, all edges) gives —
+    for arbitrary graphs and arbitrary standing/batch splits, including
+    batch edges that MERGE multiple standing clusters, standing↔standing
+    late edges, batch-only components, and edgeless batch singletons.
+    The standing state is itself built by dedup_survivors on the
+    standing subgraph (standing-internal edges only); every edge with a
+    batch endpoint is the delta."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ siblings)
+
+    from elastic_asset_etl_poc_spark.operators.linkage import (
+        entity_clusters_incremental,
+    )
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    nodes = list(range(n_nodes))
+    standing = set(nodes[: min(n_standing, n_nodes)])
+    batch = [n for n in nodes if n not in standing]
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    s_edges = [(a, b) for a, b in edges if a in standing and b in standing]
+    d_edges = [(a, b) for a, b in edges if a not in standing or b not in standing]
+
+    # full recompute = the reference
+    full = {
+        r.rid: (r.cluster, r.is_survivor)
+        for r in dedup_survivors(
+            spark.createDataFrame([(n,) for n in nodes], "rid int"),
+            spark.createDataFrame(edges or [(0, 0)], "a int, b int"),
+            id_col="rid",
+        ).collect()
+        if r.rid in set(nodes)
+    }
+
+    if standing:
+        s0 = min(standing)  # in-universe self-loop dummy for an empty draw
+        assignments = dedup_survivors(
+            spark.createDataFrame([(n,) for n in standing], "rid int"),
+            spark.createDataFrame(s_edges or [(s0, s0)], "a int, b int"),
+            id_col="rid",
+        ).select("rid", "cluster")
+    else:
+        assignments = spark.createDataFrame([], "rid int, cluster int")
+    inc = entity_clusters_incremental(
+        assignments,
+        spark.createDataFrame([(n,) for n in batch], "rid int"),
+        spark.createDataFrame(
+            d_edges or [(nodes[0], nodes[0])], "a int, b int"
+        ),
+        id_col="rid",
+    )
+    got = {r.rid: (r.cluster, r.is_survivor) for r in inc.collect()}
+    assert got == full
