@@ -24,7 +24,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["blocked_fuzzy_join", "entity_clusters_incremental"]
+__all__ = [
+    "blocked_fuzzy_join",
+    "entity_clusters_incremental",
+    "fs_linkage_weights",
+]
 
 
 def blocked_fuzzy_join(
@@ -195,4 +199,80 @@ def entity_clusters_incremental(
     )
     return standing.unionByName(fresh).withColumn(
         "is_survivor", F.col(id_col) == F.col(cluster_col)
+    )
+
+
+def fs_linkage_weights(
+    cands: DataFrame,
+    agree_cols: Sequence[str],
+    truth_col: str,
+    clamp: tuple = (0.01, 0.99),
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage scoring: weight each
+    candidate pair by per-field agreement log-likelihood ratios →
+    the input columns plus ``score``.
+
+    For each comparison field f (a BOOLEAN agreement column), the
+    m-probability ``m_f = P(agree | match)`` is estimated from the pairs
+    flagged by ``truth_col`` (a labeled/derived match subset — review
+    samples, shared-key twins, a previous round's survivors) and the
+    u-probability ``u_f = P(agree | non-match)`` from the remaining
+    pairs (the classical random-pair approximation).  A pair's score is
+    the sum over fields of ``log2(m_f/u_f)`` when the field agrees and
+    ``log2((1-m_f)/(1-u_f))`` when it disagrees — the Fellegi–Sunter
+    decision statistic (1969 JASA framing; agreement weights positive,
+    disagreement weights negative).  Probabilities are clamped into
+    ``clamp`` so a perfectly-agreeing field keeps a finite disagreement
+    weight (the standard guard against log of zero).
+
+    NULL agreement values count as NON-agreement in both the estimates
+    and the scoring (explicit ``<=>``-style handling so a missing field
+    never propagates NULL into the score).
+
+    Scale shape: ONE global aggregation reduces the candidate frame to a
+    single stats row (conditional means — associative partials), which
+    is broadcast back with a literal-free cross join; scoring is then a
+    per-row expression.  Candidates are assumed pre-blocked
+    (blocked_fuzzy_join or any candidate generator) — this operator adds
+    no join, no shuffle beyond the one-row agg.
+    """
+    lo, hi = clamp
+    t = F.coalesce(F.col(truth_col), F.lit(False))
+    stats = cands.agg(
+        *[
+            F.avg(
+                F.when(t, F.coalesce(F.col(c), F.lit(False)).cast("double"))
+            ).alias(f"__m_{c}")
+            for c in agree_cols
+        ],
+        *[
+            F.avg(
+                F.when(~t, F.coalesce(F.col(c), F.lit(False)).cast("double"))
+            ).alias(f"__u_{c}")
+            for c in agree_cols
+        ],
+    )
+
+    def _clamped(col: str):
+        # a truth/complement class absent from the data (no labeled
+        # matches, or all pairs labeled) leaves avg() NULL → fall back
+        # to an uninformative 0.5 before clamping
+        return F.least(
+            F.greatest(F.coalesce(F.col(col), F.lit(0.5)), F.lit(lo)),
+            F.lit(hi),
+        )
+
+    score = None
+    for c in agree_cols:
+        m, u = _clamped(f"__m_{c}"), _clamped(f"__u_{c}")
+        agree = F.coalesce(F.col(c), F.lit(False))
+        w = F.when(agree, F.log2(m / u)).otherwise(
+            F.log2((1 - m) / (1 - u))
+        )
+        score = w if score is None else score + w
+    return (
+        cands.join(F.broadcast(stats))
+        .withColumn("score", score)
+        .drop(*[f"__m_{c}" for c in agree_cols])
+        .drop(*[f"__u_{c}" for c in agree_cols])
     )

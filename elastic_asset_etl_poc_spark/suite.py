@@ -6957,25 +6957,15 @@ def entity_clusters_parts(spark, sf_dir):
     )
 
 
-@q("entity_clusters_incr_parts", _ENTITY_CC_SQL)
-def entity_clusters_incr_parts(spark, sf_dir):
-    """INCREMENTAL entity resolution: the same corpus as
-    entity_clusters_parts, but clustered in two installments — the
-    standing set (odd multiples of 7 among the dirty records, plus the
-    whole catalog) is clustered first with dedup_survivors, then the
-    batch (even multiples of 7) is FOLDED IN with
-    operators/linkage.py entity_clusters_incremental: only the batch is
-    fuzzy-matched, standing endpoints contract to their min-label
-    clusters, and connected components run on the tiny quotient graph
-    (batch ids + touched cluster labels) instead of the corpus.  The
-    oracle is the FULL-recompute recursive-CTE walk shared with
-    entity_clusters_parts, so the driver hash IS the
-    incremental ≡ full-recompute certification (a property test makes
-    the same claim over random graphs).  Scale shape: the standing
-    clustering streams past ONE broadcast (delta edges) for the label
-    lookup and ONE broadcast (relabel map) for the fold-back — no
-    corpus-sized shuffle touches the 100-TB side on a batch arrival."""
-    from .operators.linkage import blocked_fuzzy_join, entity_clusters_incremental
+def _er_standing_state(spark, sf_dir):
+    """Shared incremental-ER fixture: (batch, clean, standing assignments).
+
+    Splits entity_clusters_parts' damaged records into a standing set
+    (odd multiples of 7) and an arriving batch (even multiples), and
+    clusters standing ∪ catalog with dedup_survivors — the min-label
+    state both the batch fold-in query and its streaming twin start
+    from."""
+    from .operators.linkage import blocked_fuzzy_join
     from .operators.neardup import dedup_survivors
 
     part = load_table(spark, sf_dir, "part")
@@ -7012,6 +7002,30 @@ def entity_clusters_incr_parts(spark, sf_dir):
     assignments = dedup_survivors(
         standing_recs, standing_edges.select("rid", "crid"), id_col="rid"
     ).select("rid", "cluster")
+    return batch, clean, assignments
+
+
+@q("entity_clusters_incr_parts", _ENTITY_CC_SQL)
+def entity_clusters_incr_parts(spark, sf_dir):
+    """INCREMENTAL entity resolution: the same corpus as
+    entity_clusters_parts, but clustered in two installments — the
+    standing set (odd multiples of 7 among the dirty records, plus the
+    whole catalog) is clustered first with dedup_survivors, then the
+    batch (even multiples of 7) is FOLDED IN with
+    operators/linkage.py entity_clusters_incremental: only the batch is
+    fuzzy-matched, standing endpoints contract to their min-label
+    clusters, and connected components run on the tiny quotient graph
+    (batch ids + touched cluster labels) instead of the corpus.  The
+    oracle is the FULL-recompute recursive-CTE walk shared with
+    entity_clusters_parts, so the driver hash IS the
+    incremental ≡ full-recompute certification (a property test makes
+    the same claim over random graphs).  Scale shape: the standing
+    clustering streams past ONE broadcast (delta edges) for the label
+    lookup and ONE broadcast (relabel map) for the fold-back — no
+    corpus-sized shuffle touches the 100-TB side on a batch arrival."""
+    from .operators.linkage import blocked_fuzzy_join, entity_clusters_incremental
+
+    batch, clean, assignments = _er_standing_state(spark, sf_dir)
     delta_edges = blocked_fuzzy_join(
         batch, clean,
         block_cols=["p_brand"], dirty_text="name", clean_text="cname",
@@ -7025,6 +7039,169 @@ def entity_clusters_incr_parts(spark, sf_dir):
     )
     return out.select(
         F.col("rid").alias("record_id"), "cluster", "is_survivor"
+    )
+
+
+@q("stream_entity_clusters_parts", _ENTITY_CC_SQL)
+def stream_entity_clusters_parts(spark, sf_dir):
+    """§2.9 STREAMING twin of entity_clusters_incr_parts: the batch
+    records ARRIVE AS A FILE STREAM (4 staged parquet files,
+    maxFilesPerTrigger=1 → 4 separate micro-batches) and each trigger
+    folds its records into the standing clustering via foreachBatch +
+    entity_clusters_incremental (streaming/er_stream.py) — continuous
+    entity-resolution maintenance, the production shape for a match
+    pipeline under record trickle.  Cluster state is global (any record
+    can merge any two clusters), so per-key stateful operators don't
+    apply; foreachBatch holds the assignments frame and advances it by
+    localCheckpoint per trigger, keeping lineage flat for unbounded
+    streams.  The fold is associative (property-tested over random
+    splits), so the drained state hash-checks against the SAME
+    full-recompute oracle as the batch queries no matter how the stream
+    batches the records.  Per-trigger cost: O(micro-batch + touched
+    clusters), never O(corpus)."""
+    from .operators.linkage import blocked_fuzzy_join
+    from .streaming.er_stream import run_stream_entity_clusters
+
+    batch, clean, assignments = _er_standing_state(spark, sf_dir)
+    key = ("er_batch", sf_dir)
+    if key not in _STREAM_STAGED:
+        import atexit
+        import shutil
+        import tempfile
+
+        staged = tempfile.mkdtemp(prefix="suite_er_stream_")
+        batch.repartition(4).write.mode("overwrite").parquet(staged)
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+        _STREAM_STAGED[key] = staged
+
+    def edge_fn(bdf):
+        return blocked_fuzzy_join(
+            bdf, clean,
+            block_cols=["p_brand"], dirty_text="name", clean_text="cname",
+            dirty_id="rid", clean_id="crid", max_dist=2, keep="all",
+        ).select("rid", "crid")
+
+    final = run_stream_entity_clusters(
+        spark,
+        _STREAM_STAGED[key],
+        "rid string, p_brand string, name string",
+        assignments,
+        edge_fn,
+        id_col="rid",
+    )
+    return final.select(
+        F.col("rid").alias("record_id"),
+        "cluster",
+        (F.col("rid") == F.col("cluster")).alias("is_survivor"),
+    )
+
+
+@q(
+    "linkage_weights_parts",
+    """
+WITH dirty AS (
+  SELECT p_partkey AS dk, p_brand,
+         substring(p_name, 1, 3) || 'zz' || substring(p_name, 6) AS dname,
+         CASE WHEN p_partkey % 21 = 0 THEN 'DAMAGED TYPE'
+              ELSE p_type END AS dtype,
+         CASE WHEN p_partkey % 35 = 0 THEN p_size + 1
+              ELSE p_size END AS dsize
+  FROM part WHERE p_partkey % 7 = 0),
+cand AS (
+  SELECT d.dk, c.p_partkey AS ck,
+         levenshtein(d.dname, c.p_name) <= 2 AS name_agree,
+         d.dtype = c.p_type AS type_agree,
+         d.dsize = c.p_size AS size_agree,
+         d.dk = c.p_partkey AS is_true
+  FROM dirty d JOIN part c ON d.p_brand = c.p_brand),
+stats AS (
+  SELECT
+    least(greatest(coalesce(avg(CASE WHEN is_true
+      THEN CAST(name_agree AS INT) END), 0.5), 0.01), 0.99) AS m_name,
+    least(greatest(coalesce(avg(CASE WHEN NOT is_true
+      THEN CAST(name_agree AS INT) END), 0.5), 0.01), 0.99) AS u_name,
+    least(greatest(coalesce(avg(CASE WHEN is_true
+      THEN CAST(type_agree AS INT) END), 0.5), 0.01), 0.99) AS m_type,
+    least(greatest(coalesce(avg(CASE WHEN NOT is_true
+      THEN CAST(type_agree AS INT) END), 0.5), 0.01), 0.99) AS u_type,
+    least(greatest(coalesce(avg(CASE WHEN is_true
+      THEN CAST(size_agree AS INT) END), 0.5), 0.01), 0.99) AS m_size,
+    least(greatest(coalesce(avg(CASE WHEN NOT is_true
+      THEN CAST(size_agree AS INT) END), 0.5), 0.01), 0.99) AS u_size
+  FROM cand)
+SELECT 'd:' || CAST(dk AS VARCHAR) AS dirty_id,
+       'c:' || CAST(ck AS VARCHAR) AS clean_id,
+       name_agree, type_agree, size_agree, is_true,
+       floor((CASE WHEN name_agree THEN log2(m_name / u_name)
+                   ELSE log2((1 - m_name) / (1 - u_name)) END
+            + CASE WHEN type_agree THEN log2(m_type / u_type)
+                   ELSE log2((1 - m_type) / (1 - u_type)) END
+            + CASE WHEN size_agree THEN log2(m_size / u_size)
+                   ELSE log2((1 - m_size) / (1 - u_size)) END)
+             * 10000 + 0.5) / 10000 AS score
+FROM cand CROSS JOIN stats
+""",
+)
+def linkage_weights_parts(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage over the damaged-parts
+    fixture (operators/linkage.py fs_linkage_weights): every within-brand
+    candidate pair is scored by per-field agreement log-likelihood
+    ratios, with m-probabilities estimated from the fixture's built-in
+    ground truth (a damaged record's true twin shares its partkey — the
+    labeled-match subset every FS deployment needs from somewhere) and
+    u-probabilities from the non-match pairs.  Three comparison fields
+    with distinct error rates by construction: name (always damaged,
+    matched by edit distance ≤ 2), type (damaged on every 3rd dirty
+    record → m≈2/3), size (shifted on every 5th → m≈4/5) — so the
+    learned weights separate: type/size disagreement on a true twin
+    is priced by its measured damage rate, not assumed.  Probabilities
+    clamp to [0.01, 0.99] (finite disagreement weights when a field
+    never disagrees on matches).  The m/u estimation is EXACT across
+    engines — conditional means of 0/1 values are integer-sum/count,
+    bit-identical in IEEE — so the only cross-engine surface is libm
+    log2 on identical doubles, rounded at 1e-4 with only 8 distinct
+    pattern scores.  Scale shape: blocking bounds candidates (no
+    all-pairs), ONE single-row agg broadcast back, scoring is a per-row
+    expression — no Python, no extra shuffle."""
+    from .operators.linkage import fs_linkage_weights
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dk"),
+        "p_brand",
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("zz"),
+            F.expr("substring(p_name, 6)"),
+        ).alias("dname"),
+        F.when(F.col("p_partkey") % 21 == 0, F.lit("DAMAGED TYPE"))
+        .otherwise(F.col("p_type"))
+        .alias("dtype"),
+        F.when(F.col("p_partkey") % 35 == 0, F.col("p_size") + 1)
+        .otherwise(F.col("p_size"))
+        .alias("dsize"),
+    )
+    cand = dirty.join(part, "p_brand").select(
+        "dk",
+        F.col("p_partkey").alias("ck"),
+        (F.levenshtein("dname", "p_name") <= 2).alias("name_agree"),
+        (F.col("dtype") == F.col("p_type")).alias("type_agree"),
+        (F.col("dsize") == F.col("p_size")).alias("size_agree"),
+        (F.col("dk") == F.col("p_partkey")).alias("is_true"),
+    )
+    scored = fs_linkage_weights(
+        cand,
+        ["name_agree", "type_agree", "size_agree"],
+        "is_true",
+    )
+    return scored.select(
+        F.concat(F.lit("d:"), F.col("dk").cast("string")).alias("dirty_id"),
+        F.concat(F.lit("c:"), F.col("ck").cast("string")).alias("clean_id"),
+        "name_agree",
+        "type_agree",
+        "size_agree",
+        "is_true",
+        (F.floor(F.col("score") * 10000 + 0.5) / 10000).alias("score"),
     )
 
 

@@ -739,3 +739,129 @@ def test_entity_clusters_incremental_equals_full_recompute(
     )
     got = {r.rid: (r.cluster, r.is_survivor) for r in inc.collect()}
     assert got == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=20,
+    ),
+    n_nodes=st.integers(1, 12),
+    arrival=st.lists(st.integers(0, 2), min_size=12, max_size=12),
+)
+def test_entity_clusters_incremental_fold_is_associative(
+    spark, edges, n_nodes, arrival
+):
+    """Property behind the STREAMING twin: folding records in ANY number
+    of installments gives the full-recompute clustering.  Nodes get a
+    random arrival wave (0 = standing, 1..2 = micro-batches); each edge
+    arrives with its LATEST endpoint (exactly what a streaming edge_fn
+    can see: edges incident to records that have arrived).  Wave 0 is
+    clustered with dedup_survivors, then waves 1 and 2 fold in
+    sequentially — covering batch→earlier-batch edges, merges of
+    clusters created by a PREVIOUS fold, and empty waves."""
+    from elastic_asset_etl_poc_spark.operators.linkage import (
+        entity_clusters_incremental,
+    )
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    nodes = list(range(n_nodes))
+    wave = {n: arrival[n] for n in nodes}
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+
+    full = {
+        r.rid: r.cluster
+        for r in dedup_survivors(
+            spark.createDataFrame([(n,) for n in nodes], "rid int"),
+            spark.createDataFrame(edges or [(0, 0)], "a int, b int"),
+            id_col="rid",
+        ).collect()
+        if r.rid in set(nodes)
+    }
+
+    standing = [n for n in nodes if wave[n] == 0]
+    s_edges = [(a, b) for a, b in edges if wave[a] == 0 and wave[b] == 0]
+    if standing:
+        s0 = min(standing)
+        state = dedup_survivors(
+            spark.createDataFrame([(n,) for n in standing], "rid int"),
+            spark.createDataFrame(s_edges or [(s0, s0)], "a int, b int"),
+            id_col="rid",
+        ).select("rid", "cluster")
+    else:
+        state = spark.createDataFrame([], "rid int, cluster int")
+
+    for w in (1, 2):
+        batch = [n for n in nodes if wave[n] == w]
+        w_edges = [
+            (a, b) for a, b in edges if max(wave[a], wave[b]) == w
+        ]
+        anchor = batch[0] if batch else (standing[0] if standing else 0)
+        state = entity_clusters_incremental(
+            state,
+            spark.createDataFrame([(n,) for n in batch], "rid int"),
+            spark.createDataFrame(
+                w_edges or [(anchor, anchor)], "a int, b int"
+            ),
+            id_col="rid",
+        ).select("rid", "cluster")
+
+    got = {r.rid: r.cluster for r in state.collect()}
+    assert got == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),                      # f1 agreement
+            st.one_of(st.none(), st.booleans()),  # f2 agreement (nullable)
+            st.booleans(),                      # labeled match?
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fs_linkage_weights_matches_reference(spark, rows):
+    """Property: fs_linkage_weights equals a pure-Python Fellegi–Sunter
+    reference for arbitrary agreement patterns — including NULL
+    agreements (count as disagreement everywhere), an empty labeled-match
+    class, an empty non-match class (both → uninformative 0.5 before
+    clamping), and fields that never disagree (clamp keeps the
+    disagreement weight finite)."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.linkage import (
+        fs_linkage_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a, b, t) for i, (a, b, t) in enumerate(rows)],
+        "pair_id int, f1 boolean, f2 boolean, is_true boolean",
+    )
+    got = {
+        r.pair_id: r.score
+        for r in fs_linkage_weights(df, ["f1", "f2"], "is_true").collect()
+    }
+
+    def clamped(vals):
+        if not vals:
+            return 0.5
+        return min(max(sum(vals) / len(vals), 0.01), 0.99)
+
+    norm = [(a, bool(b), t) for a, b, t in rows]  # None → disagree
+    stats = {}
+    for fi in (0, 1):
+        m = clamped([float(r[fi]) for r in norm if r[2]])
+        u = clamped([float(r[fi]) for r in norm if not r[2]])
+        stats[fi] = (m, u)
+    for i, r in enumerate(norm):
+        want = 0.0
+        for fi in (0, 1):
+            m, u = stats[fi]
+            want += (
+                math.log2(m / u) if r[fi] else math.log2((1 - m) / (1 - u))
+            )
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
