@@ -93,6 +93,11 @@ def main() -> None:
         # _DIR_EDGES/_PR_EDGES (edge frame checkpointed once)
         "pagerank_cust_supp",
         "hits_cust_supp",
+        # _ER_STANDING (standing clustering checkpointed once; the
+        # fold-in is the production shape — full build priced live by
+        # entity_clusters_parts)
+        "entity_clusters_incr_parts",
+        "stream_entity_clusters_parts",
         # frozen BPE vocab (training priced by bpe_train_docs)
         "bpe_tokenize_docs",
         # _CLF_MODELS (model trained once on this query's first call;
