@@ -865,3 +865,66 @@ def test_fs_linkage_weights_matches_reference(spark, rows):
                 math.log2(m / u) if r[fi] else math.log2((1 - m) / (1 - u))
             )
         assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=25,
+    ),
+    n_nodes=st.integers(1, 15),
+    n_standing=st.integers(1, 15),
+)
+def test_entity_clusters_changed_emit_is_exact_upsert_set(
+    spark, edges, n_nodes, n_standing
+):
+    """Property: emit='changed' returns EXACTLY the upsert set — applying
+    it over the old assignments (new keys inserted, changed keys
+    replaced, everything else untouched) reproduces emit='all', and no
+    returned standing row carries an unchanged label (a bloated upsert
+    set would silently rewrite the corpus)."""
+    from elastic_asset_etl_poc_spark.operators.linkage import (
+        entity_clusters_incremental,
+    )
+    from elastic_asset_etl_poc_spark.operators.neardup import dedup_survivors
+
+    nodes = list(range(n_nodes))
+    standing = set(nodes[: min(n_standing, n_nodes)])
+    batch = [n for n in nodes if n not in standing]
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    s_edges = [(a, b) for a, b in edges if a in standing and b in standing]
+    d_edges = [
+        (a, b) for a, b in edges if a not in standing or b not in standing
+    ]
+    s0 = min(standing)
+    assignments = dedup_survivors(
+        spark.createDataFrame([(n,) for n in standing], "rid int"),
+        spark.createDataFrame(s_edges or [(s0, s0)], "a int, b int"),
+        id_col="rid",
+    ).select("rid", "cluster")
+    args = (
+        assignments,
+        spark.createDataFrame([(n,) for n in batch], "rid int"),
+        spark.createDataFrame(d_edges or [(s0, s0)], "a int, b int"),
+    )
+    full = {
+        r.rid: r.cluster
+        for r in entity_clusters_incremental(*args, id_col="rid").collect()
+    }
+    changed = {
+        r.rid: r.cluster
+        for r in entity_clusters_incremental(
+            *args, id_col="rid", emit="changed"
+        ).collect()
+    }
+    old = {r.rid: r.cluster for r in assignments.collect()}
+    # upsert reproduces the full result...
+    applied = dict(old)
+    applied.update(changed)
+    assert applied == full
+    # ...and the set is tight: every standing row it returns truly moved
+    for rid, cl in changed.items():
+        if rid in old:
+            assert old[rid] != cl, (rid, cl)

@@ -109,6 +109,22 @@ HEAVY = [
      "linear (4.0x); a deployment watermark bounds state at O(open "
      "sessions) and restores the linear class"),
     ("bucketed_join_orders", "linear"),
+    # round-10 additions: robust stats over 10× denser events — moments
+    # is ONE map-side-combined power-sum agg; exact MAD's two percentile
+    # aggs buffer whole groups (the documented 100-TB gap its approx
+    # twin closes: GK sketches are O(accuracy) state, so the twin's
+    # slope prices the same shuffles with constant agg state — both
+    # linear here where groups fit); CUBE over 10× orders is one
+    # Expand+agg pass.  linkage_weights_parts /
+    # entity_clusters_incr_parts / stream_entity_clusters_parts are
+    # excluded like fuzzy_link_parts: part is a dimension table, copied
+    # verbatim at sf1 — no growth to slope (the incremental-ER
+    # corpus-independence claim is probed directly by
+    # tools/er_scale_probe.py instead, which grows the STANDING corpus).
+    ("moments_profile_events", "linear"),
+    ("outlier_mad_events", "linear (exact percentile: O(group) agg buffer — audit form; see approx twin)"),
+    ("outlier_mad_approx_events", "linear"),
+    ("cube_status_priority", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
