@@ -106,3 +106,84 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
             bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
     return z
+
+
+def canonicalize_url(
+    url: Column,
+    strip_params: tuple = ("utm_", "fbclid", "gclid", "msclkid"),
+) -> Column:
+    """Canonical URL for crawl-scale dedup — one pure-JVM expression.
+
+    The normalizations every web-corpus pipeline applies before URL-level
+    dedup (scheme/host case, default ports, tracking params, param order,
+    fragments, trailing slash), composed from ``parse_url`` + array
+    builtins so the whole thing stays inside whole-stage codegen — at
+    ingest rates this runs per-fetched-page, so no Python may touch it:
+
+      * scheme and host lowercased; a leading ``www.`` dropped
+      * ``:80``/``:443`` dropped when they are the scheme's default;
+        any other explicit port kept
+      * query params: tracking params removed (prefix match for entries
+        ending in ``_`` like ``utm_``, exact key match otherwise), the
+        rest SORTED (param order is presentation, not identity), ``?``
+        dropped if none survive
+      * fragment dropped (client-side only)
+      * trailing slash stripped from non-root paths; empty path → ``/``
+
+    NULL/unparseable input (no host) yields NULL — route those to a
+    quarantine sink rather than letting them collide as equal keys.
+    """
+
+    def part(p: str) -> Column:
+        # try_parse_url: NULL on malformed input (plain parse_url THROWS
+        # since Spark 4 — a crawl frontier always contains garbage, and
+        # one bad row must not kill the job)
+        return F.try_parse_url(url, F.lit(p))
+
+    scheme = F.lower(part("PROTOCOL"))
+    raw_host = F.lower(part("HOST"))
+    host = F.when(
+        raw_host.startswith("www."),
+        raw_host.substr(F.lit(5), F.length(raw_host)),
+    ).otherwise(raw_host)
+    auth = F.lower(part("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(part("PATH"), F.lit("/"))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(part("QUERY"), F.lit("")), "&"),
+            lambda kv: (F.length(kv) > 0)
+            & ~F.exists(
+                F.array(*[F.lit(s) for s in strip_params]),
+                lambda s: F.when(
+                    s.endswith("_"), kv.startswith(s)
+                ).otherwise(F.split(kv, "=")[0] == s),
+            ),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        raw_host.isNotNull() & (raw_host != ""),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            path,
+            query,
+        ),
+    )

@@ -7697,6 +7697,96 @@ def bucketed_join_orders(spark, sf_dir):
     return res
 
 
+@q(
+    "url_canonical_docs",
+    """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://'
+         || (CASE WHEN doc_id % 2 = 0
+                  THEN 'WWW.Site' || CAST(doc_id % 37 AS VARCHAR)
+                       || '.Example.COM'
+                  ELSE 'site' || CAST(doc_id % 37 AS VARCHAR)
+                       || '.example.com' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN
+                    (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                  WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+         || '/a/B' || CAST(doc_id % 11 AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 6 = 0 THEN '?b=2&utm_source=news&a=1'
+                  WHEN doc_id % 6 = 1 THEN '?a=1&b=2'
+                  WHEN doc_id % 6 = 2 THEN '?fbclid=xyz'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents)
+SELECT doc_id, url,
+       (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+       || '://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+       || (CASE WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+       || '/a/B' || CAST(doc_id % 11 AS VARCHAR)
+       || (CASE WHEN doc_id % 6 IN (0, 1) THEN '?a=1&b=2' ELSE '' END)
+         AS canonical_url
+FROM u
+""",
+)
+def url_canonical_docs(spark, sf_dir):
+    """URL canonicalization — the first primitive of crawl-scale dedup
+    (functions/scalar.py canonicalize_url): lowercase scheme/host, drop
+    ``www.``, strip scheme-default ports (keep explicit non-defaults),
+    remove tracking params (``utm_*``/fbclid/gclid/msclkid), SORT the
+    surviving params, drop fragments, strip non-root trailing slashes —
+    all as ONE try_parse_url + array-builtin expression inside
+    whole-stage codegen (no Python at ingest rates; malformed URLs go to
+    NULL instead of killing the job, per try_parse_url).  The fixture
+    synthesizes a messy URL per document from doc_id (mixed case, www,
+    default and non-default ports, shuffled/tracking params, fragments,
+    trailing slashes — 2×2×3×... variant grid); the ORACLE states the
+    expected canonical string directly from the same arithmetic, so
+    Spark's actual parse of the messy form is checked against an
+    independent construction, not against itself.  Scale shape:
+    map-only; URL-level dedup afterwards is one exact groupBy on the
+    canonical key (dedup_exact_docs' certified path)."""
+    from .functions.scalar import canonicalize_url
+
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("WWW.Site"),
+                (k % 37).cast("string"),
+                F.lit(".Example.COM"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("site"), (k % 37).cast("string"), F.lit(".example.com")
+            )
+        ),
+        F.when(
+            k % 5 == 0,
+            F.when(k % 3 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(k % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/a/B"),
+        (k % 11).cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 6 == 0, F.lit("?b=2&utm_source=news&a=1"))
+        .when(k % 6 == 1, F.lit("?a=1&b=2"))
+        .when(k % 6 == 2, F.lit("?fbclid=xyz"))
+        .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", url.alias("url"))
+        .withColumn("canonical_url", canonicalize_url(F.col("url")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -777,3 +777,37 @@ def test_cube_grouping_distinguishes_null_cell_from_rollup(spark):
     # grand total carries both bits
     gt = [r for r in by_key[(None, None)] if r["agg_level"] == 2]
     assert len(gt) == 1 and gt[0]["n"] == 3
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """The canonical form every crawl pipeline needs: case, www, default
+    vs explicit ports, tracking-param removal (prefix and exact),
+    param sorting, fragment/trailing-slash stripping — and NULL (not a
+    crash, not a colliding empty key) for garbage input."""
+    from elastic_asset_etl_poc_spark.functions.scalar import canonicalize_url
+
+    cases = {
+        "HTTP://WWW.Site3.Example.COM:8080/a/b5/?b=2&utm_source=x&a=1#f":
+            "http://site3.example.com:8080/a/b5?a=1&b=2",
+        "https://x.com:443/p": "https://x.com/p",
+        "http://x.com:80/p/": "http://x.com/p",
+        # :443 is only default for https — kept on http
+        "http://x.com:443/p": "http://x.com:443/p",
+        "https://x.com/p?utm_campaign=z&fbclid=abc": "https://x.com/p",
+        # exact-match strip must not swallow prefix lookalikes
+        "https://x.com/p?z=1&a=2&fbclid2=keep": "https://x.com/p?a=2&fbclid2=keep&z=1",
+        "http://Y.com": "http://y.com/",
+        "http://y.com/?": "http://y.com/",
+        # path case is preserved (paths are case-sensitive)
+        "http://y.com/CaseSensitive": "http://y.com/CaseSensitive",
+        "not a url": None,
+        None: None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select(
+            "url", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == cases
