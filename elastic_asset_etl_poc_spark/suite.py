@@ -7787,6 +7787,69 @@ def url_canonical_docs(spark, sf_dir):
     )
 
 
+@q(
+    "bloom_semi_join_lineitem",
+    """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+)
+def bloom_semi_join_lineitem(spark, sf_dir):
+    """Bloom-pruned semi-join (operators/bloom.py): lineitem semi-joined
+    to urgent orders with an 8 KiB Bloom bitmap broadcast pruning the
+    probe side MAP-SIDE, before the sort-merge exchange — the explicit
+    form of Spark's internal runtime row-level filtering (SPARK-32268),
+    stated as an operator because `bloom_filter_agg` is not SQL-exposed
+    and the injection heuristics are opaque.  Bloom admits every true
+    match (no false negatives) + ~0.1% false positives; the exact
+    semi-join scrubs those, so the result is row-identical to the plain
+    semi-join oracle while the shuffle moves only the surviving sliver.
+    Broadcast is disabled inside the query so the scrub join exhibits
+    the sort-merge shape this pattern exists for (with broadcast on, the
+    scrub would broadcast and there would be no probe exchange to
+    prune); the prune-below-exchange plan shape is asserted in
+    tests/test_plans_physical.py and zero-false-negative is
+    property-tested in tests/test_operators.py.  Scale shape: bitmap
+    size is m bits regardless of build-side rows; probe side reads
+    3 columns and filters at scan rate inside whole-stage codegen."""
+    from .operators.bloom import bloom_semi_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pruned = bloom_semi_join(
+            lineitem, orders, probe_key="l_orderkey", build_key="o_orderkey"
+        )
+        res = (
+            pruned.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .localCheckpoint()  # materialize under the no-broadcast conf
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

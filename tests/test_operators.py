@@ -811,3 +811,47 @@ def test_canonicalize_url_edge_cases(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom contract: every build key passes the membership test (zero
+    false negatives — the property that makes the scrub-join exact), and
+    the non-member pass rate stays near the analytic FPP (the property
+    that makes the prune worth the broadcast)."""
+    from elastic_asset_etl_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_densify,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    members = spark.range(0, 5000).select(F.col("id").alias("k"))
+    others = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+    bf = bloom_densify(bloom_build(members, "k"))
+    passed_members = members.filter(
+        bloom_might_contain(bf, F.col("k"))
+    ).count()
+    assert passed_members == 5000  # no false negatives, ever
+    fp = others.filter(bloom_might_contain(bf, F.col("k"))).count()
+    # analytic FPP for n=5000, m=2^16, k=7 is ~9e-4; allow 5x slack
+    assert fp / 50_000 < 0.005, f"false-positive rate too high: {fp}/50000"
+
+    # end-to-end: bloom_semi_join result == plain semi-join result
+    exact = members.join(
+        others.select(F.col("k").alias("j")).union(
+            spark.range(0, 100).select(F.col("id").alias("j"))
+        ),
+        on=F.col("k") == F.col("j"),
+        how="left_semi",
+    )
+    got = bloom_semi_join(
+        members,
+        others.select(F.col("k").alias("j")).union(
+            spark.range(0, 100).select(F.col("id").alias("j"))
+        ),
+        probe_key="k",
+        build_key="j",
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in exact.collect()
+    )

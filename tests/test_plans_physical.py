@@ -225,3 +225,62 @@ def test_scd2_history_single_shuffle(spark):
         ]
 
     assert len(nodes("Exchange")) == 1
+
+
+def test_bloom_prune_sits_below_probe_exchange(spark):
+    """The bloom filter's whole value is pruning BEFORE the sort-merge
+    shuffle: in explain output children print below parents, so the
+    probe-side Exchange line must appear before (above) the Filter line
+    carrying the bitmap test.  A plan where the bloom test floats above
+    the exchange ships the full probe side and is a regression even
+    with identical results."""
+    from elastic_asset_etl_poc_spark.operators.bloom import bloom_semi_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    from pyspark.sql import functions as F
+
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # explain INSIDE the conf window: plans are lazy, restoring the
+        # threshold first would re-optimize the scrub join to broadcast
+        plan = fmt_plan(
+            bloom_semi_join(
+                lineitem, orders, probe_key="l_orderkey", build_key="o_orderkey"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    # formatted-mode detail blocks: "(N) NodeName" followed by argument
+    # lines; node numbers increase downstream (leaves first)
+    import re
+
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    filter_num = exchange_num = None
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\w+)", b)
+        if not m:
+            continue
+        num, node = int(m.group(1)), m.group(2)
+        if node == "Filter" and "element_at(" in b:
+            # constraint propagation may clone the predicate onto the
+            # build side (higher node number) — the probe-side instance
+            # is the lowest-numbered one
+            filter_num = num if filter_num is None else min(filter_num, num)
+        if node == "Exchange" and "hashpartitioning(l_orderkey" in b:
+            exchange_num = num
+    assert filter_num is not None, "bloom membership Filter not in plan"
+    assert exchange_num is not None, "probe-side Exchange not in plan"
+    assert filter_num < exchange_num, (
+        "bloom membership Filter must be upstream of the probe-side "
+        "Exchange (prune-before-shuffle)"
+    )
