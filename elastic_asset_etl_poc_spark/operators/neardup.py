@@ -148,6 +148,62 @@ def set_similarity_pairs(
     )
 
 
+def containment_pairs(
+    df: "DataFrame",
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
+) -> "DataFrame":
+    """ASYMMETRIC near-dup join: max-containment C = |A∩B| / min(|A|,|B|)
+    → (doc_a, doc_b, containment, jaccard).
+
+    Jaccard punishes size mismatch: a 100-shingle document fully embedded
+    in a 1000-shingle one scores J = 100/1000 = 0.1 and sails through a
+    0.8 dedup pass, yet for training-data purposes the small doc is pure
+    duplication (quote-inflation, boilerplate wrappers, article+comments
+    scrapes).  Containment is the score that catches doc-inside-doc; the
+    jaccard column rides along so consumers can see exactly the pairs the
+    symmetric pass misses (high C, low J).
+
+    Same inverted-index core as :func:`jaccard_pairs` (shared
+    ``capped_sets`` hot-shingle cap, hash joins/aggs only — no cross
+    product), so the scale posture is identical; only the final score
+    arithmetic differs.
+    """
+    sh, staging = capped_sets(
+        shingles(df, n=n, text_col=text_col, id_col=id_col), max_doc_freq
+    )
+    sh = sh.localCheckpoint(eager=True)
+    if staging is not None:
+        staging.unpersist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    c = F.round(F.col("i") / F.least(F.col("na"), F.col("nb")), 4)
+    j = F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            c.alias("containment"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,

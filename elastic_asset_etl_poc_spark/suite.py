@@ -7850,6 +7850,165 @@ def bloom_semi_join_lineitem(spark, sf_dir):
     return res
 
 
+@q(
+    "k_anonymity_customers",
+    """
+WITH ec AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+ks AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT k,
+       CAST(count(*) FILTER (WHERE c < k) AS BIGINT) AS n_violating_classes,
+       CAST(coalesce(sum(c) FILTER (WHERE c < k), 0) AS BIGINT)
+         AS n_violating_rows,
+       round(coalesce(sum(c) FILTER (WHERE c < k), 0) * 1.0 / sum(c), 6)
+         AS suppression_rate
+FROM ec CROSS JOIN ks
+GROUP BY k
+""",
+)
+def k_anonymity_customers(spark, sf_dir):
+    """k-anonymity risk report over the quasi-identifier pair
+    (nationkey, mktsegment): for each disclosure threshold k, how many
+    equivalence classes are smaller than k and what fraction of rows
+    would need suppression to publish k-anonymously — the re-identification
+    audit a training-data pipeline runs BEFORE releasing a corpus joined
+    from user-adjacent tables (small QI classes = linkable individuals;
+    complements redact_pii_docs, which scrubs direct identifiers but not
+    quasi-identifier combinations).  Scale shape: ONE map-side-combined
+    hash agg collapses the corpus to its equivalence classes (bounded by
+    the QI domain product, not rows), then the ×3 threshold explode and
+    final agg run on that tiny frame — the 100-TB cost is the same as
+    any single groupBy-count."""
+    ec = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = F.col("k")
+    viol = F.when(F.col("c") < k, F.col("c")).otherwise(F.lit(0))
+    return (
+        ec.withColumn(
+            "k", F.explode(F.array(F.lit(2), F.lit(5), F.lit(10)))
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("c") < k, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(viol).cast("bigint").alias("n_violating_rows"),
+            F.round(F.sum(viol) / F.sum("c"), 6).alias("suppression_rate"),
+        )
+    )
+
+
+_PSI_SPLIT_SQL = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@q(
+    "drift_psi_events",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE ts < {_PSI_SPLIT_SQL}) AS nr,
+         count(*) FILTER (WHERE ts >= {_PSI_SPLIT_SQL}) AS nc
+  FROM events WHERE ts <= {NOW_SQL} GROUP BY 1
+),
+t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM g),
+pq AS (
+  SELECT event_type,
+         greatest(nr * 1.0 / tr, 1e-6) AS p,
+         greatest(nc * 1.0 / tc, 1e-6) AS q
+  FROM g CROSS JOIN t
+)
+SELECT event_type,
+       round(p, 6) AS p_ref, round(q, 6) AS q_cur,
+       round((q - p) * ln(q / p), 6) AS psi_term
+FROM pq
+""",
+)
+def drift_psi_events(spark, sf_dir):
+    """Population Stability Index per event_type between a reference
+    window (Jan 1-15) and the current window (Jan 16-31): the standard
+    feature-drift gate a training pipeline runs before folding a new
+    crawl/ingest slice into the corpus (PSI > 0.2 on any feature =
+    investigate before training).  Per-category terms are returned
+    rather than only the scalar sum so the drifting category is
+    attributable; proportions are clamped at 1e-6 in BOTH engines — a
+    category absent from one window otherwise yields ln(0) = -inf, and
+    the clamp is the standard PSI smoothing, stated explicitly rather
+    than trusting either engine's silent NULL propagation.  Scale
+    shape: ONE conditional hash agg over the corpus (both window counts
+    in the same pass — no second scan), totals via a single-row
+    broadcast cross join onto the ≤|event_type| grouped frame."""
+    from datetime import datetime
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    g = (
+        # ts_range pushes the raw-ns upper bound to the parquet scan
+        load_table(
+            spark, sf_dir, "events", ts_range=(datetime(1970, 1, 1), PINNED_NOW)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("nc"),
+        )
+    )
+    t = g.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    p = F.greatest(F.col("nr") / F.col("tr"), F.lit(1e-6))
+    q = F.greatest(F.col("nc") / F.col("tc"), F.lit(1e-6))
+    return g.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("q_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
+
+
+@q(
+    "containment_neardup_docs",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10000),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / least(sa.n, sb.n), 4) AS containment,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / least(sa.n, sb.n), 4) >= 0.5
+""",
+)
+def containment_neardup_docs(spark, sf_dir):
+    """ASYMMETRIC near-dup: max-containment |A∩B|/min(|A|,|B|) ≥ 0.5
+    (operators/neardup.py containment_pairs).  Jaccard punishes size
+    mismatch — a short doc fully embedded in a long one (quote
+    inflation, boilerplate wrappers, article+comments scrapes) scores
+    J = |A|/|B| → 0 and survives a 0.8 Jaccard dedup pass; containment
+    is the score that catches doc-inside-doc, and the jaccard column
+    rides along to make the missed pairs visible (high C, low J).
+    Shares jaccard_pairs' inverted-index core and hot-shingle cap, so
+    the 100-TB posture is identical: hash joins/aggs on shingle and
+    pair keys, no cross product, quadratic-blowup stop-phrases capped
+    on both the intersection and size sides."""
+    from .operators.neardup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -888,3 +888,32 @@ def test_suite_classifier_label_null_lang_is_negative(spark):
     ).collect()
     lbl = {r["doc_id"]: r["__lbl"] for r in out}
     assert lbl == {"a": 1.0, "b": 0.0, "c": 0.0}
+
+
+def test_containment_catches_doc_inside_doc(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 while
+    jaccard stays far below a 0.8 dedup threshold — the asymmetric-dup
+    class the symmetric pass structurally misses."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(20))
+    long = short + " " + " ".join(f"x{i}" for i in range(200))
+    other = " ".join(f"y{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    c, j = pairs[(1, 2)]
+    assert c == 1.0  # every shingle of the short doc is in the long one
+    assert j < 0.2  # and the symmetric score would never flag it
+    # sanity: the jaccard operator at 0.8 indeed returns nothing here
+    assert jaccard_pairs(docs, threshold=0.8).count() == 0
