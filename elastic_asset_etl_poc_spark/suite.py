@@ -8009,6 +8009,123 @@ def containment_neardup_docs(spark, sf_dir):
     )
 
 
+@q(
+    "l_diversity_customers",
+    """
+WITH sv AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS c
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       CAST(sum(c) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS distinct_l,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy,
+       count(*) < 3 AS below_l3
+FROM sv GROUP BY c_nationkey
+""",
+)
+def l_diversity_customers(spark, sf_dir):
+    """l-diversity companion to k_anonymity_customers: per QI class
+    (nationkey), how many DISTINCT sensitive values (mktsegment) it
+    contains and their Shannon entropy — a class can be k-anonymous yet
+    100% 'AUTOMOBILE', which still discloses the attribute
+    (homogeneity attack; Machanavajjhala et al. 2007).  distinct-l is
+    the hard floor, entropy grades how evenly the sensitive values
+    spread; classes with l < 3 are flagged.  Scale shape: two
+    map-side-combined hash aggs — corpus → (QI, sensitive) cells, cells
+    → class stats — both bounded by domain products, never rows; the
+    entropy sum runs on the tiny cell frame."""
+    sv = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c")
+    # entropy from power sums in ONE agg: -Σ(c/T)ln(c/T) =
+    # ln(T) - Σ(c·ln c)/T — avoids a per-class window pass
+    return sv.groupBy("c_nationkey").agg(
+        total.cast("bigint").alias("class_size"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+        F.round(
+            F.log(total) - F.sum(F.col("c") * F.log("c")) / total, 6
+        ).alias("entropy"),
+        (F.count(F.lit(1)) < 3).alias("below_l3"),
+    )
+
+
+@q(
+    "cusum_changepoint_events",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events WHERE ts <= {NOW_SQL} GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day, x,
+         sum(x) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (row_number() OVER (PARTITION BY event_type ORDER BY day))
+           * (avg(x) OVER (PARTITION BY event_type)) AS cusum
+  FROM daily
+)
+SELECT event_type, day AS changepoint_day,
+       round(abs(cusum), 4) AS max_abs_cusum
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(cusum) DESC, day) AS rn
+  FROM c
+) WHERE rn = 1
+""",
+)
+def cusum_changepoint_events(spark, sf_dir):
+    """CUSUM changepoint detection per event stream: the day where the
+    cumulative deviation from the period mean peaks — the standard
+    single-changepoint estimator (Page 1954) a data pipeline runs over
+    ingest volumes to localize WHEN a feed changed behavior (the PSI
+    gate says THAT a window drifted; CUSUM says where to cut).  Stated
+    as sum(x)−t·mean rather than sum(x−mean) so both engines compute
+    the identical float expression.  Scale shape: the corpus collapses
+    to |type|×|days| daily counts in ONE map-side-combined agg; the
+    window passes (running sum, partition mean, argmax) all share one
+    partitioning on event_type over that tiny frame — rows never
+    re-enter."""
+    from datetime import datetime
+
+    daily = (
+        load_table(
+            spark, sf_dir, "events", ts_range=(datetime(1970, 1, 1), PINNED_NOW)
+        )
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    worder = Window.partitionBy("event_type").orderBy("day")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    c = daily.withColumn(
+        "cusum",
+        F.sum("x").over(wcum)
+        - F.row_number().over(worder) * F.avg("x").over(wall),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum")).desc(), F.col("day")
+        )
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("cusum")), 4).alias("max_abs_cusum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
