@@ -7956,6 +7956,13 @@ def drift_psi_events(spark, sf_dir):
             F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("nc"),
         )
     )
+    return _psi_tail(g)
+
+
+def _psi_tail(g: DataFrame) -> DataFrame:
+    """Shared PSI arithmetic over a (event_type, nr, nc) count frame —
+    the batch query and its streaming twin diverge only in WHO maintains
+    the counts; the O(|categories|) score math is identical."""
     t = g.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
     p = F.greatest(F.col("nr") / F.col("tr"), F.lit(1e-6))
     q = F.greatest(F.col("nc") / F.col("tc"), F.lit(1e-6))
@@ -7965,6 +7972,41 @@ def drift_psi_events(spark, sf_dir):
         F.round(q, 6).alias("q_cur"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+@q("stream_drift_psi_events", SUITE["drift_psi_events"][1])
+def stream_drift_psi_events(spark, sf_dir):
+    """§2.9 STREAMING twin of drift_psi_events, sharing its oracle: the
+    per-category reference/current counts are maintained as ONE running
+    streaming aggregation (streaming/monitor.py stream_drift_counts —
+    state is one row per category, bounded by the feature domain, never
+    by stream length) drained with availableNow into the memory sink;
+    the O(|categories|) PSI arithmetic is then a static view over the
+    drained state (_psi_tail, the identical expression tree as the
+    batch twin).  This is the production shape of a corpus drift
+    monitor: counts tick as ingest lands, the score is read off the
+    maintained state without a second corpus pass."""
+    import uuid
+
+    from datetime import datetime
+
+    from .streaming import run_to_memory
+    from .streaming.monitor import stream_drift_counts
+
+    name = f"psi_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = run_to_memory(
+            stream_drift_counts(
+                spark,
+                _staged_events(sf_dir),
+                split=datetime(2024, 1, 16),
+                now=PINNED_NOW,
+            ),
+            name,
+            "complete",
+        )
+        q.stop()
+    return _psi_tail(spark.table(name))
 
 
 @q(
@@ -8122,6 +8164,68 @@ def cusum_changepoint_events(spark, sf_dir):
             "event_type",
             F.col("day").alias("changepoint_day"),
             F.round(F.abs(F.col("cusum")), 4).alias("max_abs_cusum"),
+        )
+    )
+
+
+@q(
+    "embed_drift_centroid",
+    """
+WITH d AS (SELECT vec_id % 2 AS slice, embedding::DOUBLE[] AS v
+           FROM embeddings),
+pos AS (SELECT slice, i, v[i] AS x
+        FROM d, unnest(range(1, len(v) + 1)) AS t(i)),
+c AS (SELECT slice, i, avg(x) AS m FROM pos GROUP BY 1, 2),
+j AS (
+  SELECT sum(a.m * b.m) AS dot,
+         sum(a.m * a.m) AS n0, sum(b.m * b.m) AS n1,
+         sum((a.m - b.m) * (a.m - b.m)) AS d2
+  FROM c a JOIN c b USING (i)
+  WHERE a.slice = 0 AND b.slice = 1
+)
+SELECT round(dot / (sqrt(n0) * sqrt(n1)), 6) AS cos_centroid,
+       round(sqrt(n1) / sqrt(n0), 6) AS norm_ratio,
+       round(sqrt(d2), 6) AS mean_shift
+FROM j
+""",
+)
+def embed_drift_centroid(spark, sf_dir):
+    """Embedding-space drift: cosine / norm-ratio / euclidean shift
+    between the CENTROIDS of two corpus slices — the third leg of the
+    drift trio (drift_psi_events: categorical proportions;
+    cusum_changepoint_events: when counts broke; this: whether the
+    REPRESENTATION moved, e.g. an encoder version change or a new
+    source skewing the embedding distribution, which PSI over metadata
+    cannot see).  Slices here are the deterministic vec_id parity —
+    stand-ins for the time windows a production monitor would use.
+    Scale shape: posexplode to (slice, dim, value) is map-only; the
+    ONLY corpus-sized shuffle is one avg agg on (slice, dim) with
+    associative map-side partials (2·dims output rows); the centroid
+    join and score math run on the dims-sized frame."""
+    d = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("slice"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    c = d.groupBy("slice", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    a = c.filter(F.col("slice") == 0).select("pos", F.col("m").alias("m0"))
+    b = c.filter(F.col("slice") == 1).select("pos", F.col("m").alias("m1"))
+    m0, m1 = F.col("m0"), F.col("m1")
+    return (
+        a.join(b, "pos")
+        .agg(
+            F.sum(m0 * m1).alias("dot"),
+            F.sum(m0 * m0).alias("n0"),
+            F.sum(m1 * m1).alias("n1"),
+            F.sum((m0 - m1) * (m0 - m1)).alias("d2"),
+        )
+        .select(
+            F.round(F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6).alias(
+                "cos_centroid"
+            ),
+            F.round(F.sqrt("n1") / F.sqrt("n0"), 6).alias("norm_ratio"),
+            F.round(F.sqrt("d2"), 6).alias("mean_shift"),
         )
     )
 
