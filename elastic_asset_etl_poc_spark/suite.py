@@ -8230,6 +8230,107 @@ def embed_drift_centroid(spark, sf_dir):
     )
 
 
+@q(
+    "drift_psi_value_events",
+    f"""
+WITH s AS (
+  SELECT list_sort(list(CAST(value AS DOUBLE))) AS v, count(*) AS n
+  FROM events WHERE ts < {_PSI_SPLIT_SQL}
+),
+ed AS (
+  SELECT f,
+         (v[CAST(floor(f * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(f * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(f * (n - 1)) AS BIGINT) + 1])
+            * (f * (n - 1) - floor(f * (n - 1)))) AS edge
+  FROM s, unnest([0.25, 0.5, 0.75]) AS t(f)
+),
+e AS (
+  SELECT max(CASE WHEN f = 0.25 THEN edge END) AS q1,
+         max(CASE WHEN f = 0.50 THEN edge END) AS q2,
+         max(CASE WHEN f = 0.75 THEN edge END) AS q3
+  FROM ed
+),
+binned AS (
+  SELECT CASE WHEN CAST(value AS DOUBLE) >= q3 THEN 3
+              WHEN CAST(value AS DOUBLE) >= q2 THEN 2
+              WHEN CAST(value AS DOUBLE) >= q1 THEN 1
+              ELSE 0 END AS bin,
+         ts
+  FROM events CROSS JOIN e WHERE ts <= {NOW_SQL}
+),
+g AS (
+  SELECT bin,
+         count(*) FILTER (WHERE ts < {_PSI_SPLIT_SQL}) AS nr,
+         count(*) FILTER (WHERE ts >= {_PSI_SPLIT_SQL}) AS nc
+  FROM binned GROUP BY bin
+),
+t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM g)
+SELECT bin,
+       round(greatest(nr * 1.0 / tr, 1e-6), 6) AS p_ref,
+       round(greatest(nc * 1.0 / tc, 1e-6), 6) AS q_cur,
+       round((greatest(nc * 1.0 / tc, 1e-6) - greatest(nr * 1.0 / tr, 1e-6))
+             * ln(greatest(nc * 1.0 / tc, 1e-6)
+                  / greatest(nr * 1.0 / tr, 1e-6)), 6) AS psi_term
+FROM g CROSS JOIN t
+""",
+)
+def drift_psi_value_events(spark, sf_dir):
+    """NUMERIC-feature PSI: the value column binned by the REFERENCE
+    window's quartiles, then the same (q−p)·ln(q/p) terms as the
+    categorical gate — the standard production check for a continuous
+    feature (bin edges frozen on the reference so 'the distribution
+    moved' is measured against a fixed ruler, not a moving one).
+    Quartile edges use Spark's exact `percentile` with the oracle
+    replaying the identical index-interpolation over a sorted list (the
+    outlier_mad discipline); when (n−1)·f lands on an integer both
+    engines return the order statistic bit-exactly, so boundary rows
+    cannot flip bins.  Like outlier_mad_events, the exact-percentile
+    edge pass buffers the reference window in one agg buffer — this is
+    the ORACLE-CHECKABLE AUDIT form; at 100 TB the production edges
+    come from approx_percentile exactly as in outlier_mad_approx_events
+    (any consistent edge set is semantically valid for PSI — only
+    determinism matters for the hash).  Scale shape: two corpus scans
+    (edges, then binning — honest for frozen-ruler semantics), binning
+    is map-side against a broadcast single-row edge frame, final PSI on
+    the 4-row bin frame."""
+    from datetime import datetime
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = load_table(
+        spark, sf_dir, "events", ts_range=(datetime(1970, 1, 1), PINNED_NOW)
+    ).select("ts", F.col("value").cast("double").alias("x"))
+    edges = (
+        ev.filter(F.col("ts") < split)
+        .agg(
+            F.percentile(F.col("x"), F.lit(0.25)).alias("q1"),
+            F.percentile(F.col("x"), F.lit(0.50)).alias("q2"),
+            F.percentile(F.col("x"), F.lit(0.75)).alias("q3"),
+        )
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("x") >= F.col("q3"), 3)
+        .when(F.col("x") >= F.col("q2"), 2)
+        .when(F.col("x") >= F.col("q1"), 1)
+        .otherwise(0)
+        .alias("bin"),
+        "ts",
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("nc"),
+    )
+    t = g.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    p = F.greatest(F.col("nr") / F.col("tr"), F.lit(1e-6))
+    q = F.greatest(F.col("nc") / F.col("tc"), F.lit(1e-6))
+    return g.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("q_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -93,6 +93,21 @@ HEAVY = [
     ("incremental_rollup_orders", "linear"),  # touched-slice agg over 10× base
     ("train_classifier_docs", "linear"),  # fixed steps × one corpus pass each
     ("zorder_events", "linear"),  # map-only bit arithmetic
+    # round-10 additions: bloom prune (bitmap size constant in n; probe
+    # scan + scrub join linear), the drift trio over 10× denser events /
+    # 10× embeddings (single aggs; CUSUM's windows run on the fixed
+    # |type|×|days| frame), containment near-dup (same inverted-index
+    # core as jaccard, pair build is per-call — inherently cold), and
+    # the streaming PSI twin (state = one row per category).
+    # k_anonymity/l_diversity are excluded like fuzzy_link_parts:
+    # customer is a dimension table, copied verbatim at sf1 — no growth.
+    ("bloom_semi_join_lineitem", "linear"),
+    ("drift_psi_events", "linear"),
+    ("cusum_changepoint_events", "linear"),
+    ("containment_neardup_docs", "linear (pair build per-call — cold by construction)"),
+    ("embed_drift_centroid", "linear"),
+    ("stream_drift_psi_events", "linear"),
+    ("drift_psi_value_events", "linear (two corpus scans: frozen-ruler edges, then binning)"),
     # round-9 additions: native session windows over 10× denser per-user
     # event streams (single agg, sessions merge in-JVM; denser streams
     # mean FEWER, longer sessions — work stays one pass), the streaming
