@@ -8331,6 +8331,59 @@ def drift_psi_value_events(spark, sf_dir):
     )
 
 
+@q(
+    "dp_noisy_counts_events",
+    """
+WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, n,
+         (('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT + 0.5)
+           / 4294967296.0 AS u
+  FROM g
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_raw,
+       round(n - sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+         AS noisy_count
+FROM u
+""",
+)
+def dp_noisy_counts_events(spark, sf_dir):
+    """Differentially-private count release (ε = 1, sensitivity 1):
+    per-category counts plus Laplace(1/ε) noise via inverse-CDF —
+    u uniform in (0,1), noise = −b·sign(u−½)·ln(1−2|u−½|) — completing
+    the privacy family (redact_pii scrubs direct identifiers,
+    k_anonymity/l_diversity audit quasi-identifier risk; this is the
+    RELEASE mechanism for aggregate statistics).  The uniform is
+    deterministic — md5('dp:'||key) hex → (0,1), the repo's replayable-
+    sampling idiom — so both engines replay the identical noise draw
+    and the driver hash checks the mechanism's arithmetic end-to-end;
+    a production release would draw fresh randomness per publication
+    and DROP n_raw (kept here as the audit column).  Scale shape: ONE
+    map-side-combined count agg; the noise math runs on the
+    |categories| frame."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    noise = -F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_raw"),
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
