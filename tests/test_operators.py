@@ -855,3 +855,22 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in exact.collect()
     )
+
+
+def test_bloom_empty_build_side(spark):
+    """Empty build side → empty bitmap → every probe row fails the
+    membership test and the semi-join returns zero rows (not a crash on
+    a NULL map and not a pass-everything filter)."""
+    from elastic_asset_etl_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_densify,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    empty = probe.filter(F.lit(False))
+    words = bloom_densify(bloom_build(empty, "k"))
+    assert all(w == 0 for w in words)
+    assert probe.filter(bloom_might_contain(words, F.col("k"))).count() == 0
+    assert bloom_semi_join(probe, empty, probe_key="k").count() == 0

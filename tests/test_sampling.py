@@ -479,3 +479,35 @@ def test_stratified_weighted_topk_deterministic_and_matches_global(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_privacy_gates_edges(spark):
+    """k-anonymity / l-diversity / PSI edge semantics on constructed
+    frames: uniform classes suppress nothing, a single-value sensitive
+    class has exactly zero entropy, and identical windows yield exactly
+    zero PSI terms."""
+    import __spark_entry__ as e  # noqa: F401  (suite import side effects)
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.suite import _psi_tail
+
+    # PSI: identical reference/current counts -> every term exactly 0
+    g = spark.createDataFrame(
+        [("a", 10, 10), ("b", 30, 30), ("c", 60, 60)],
+        "event_type string, nr long, nc long",
+    )
+    terms = [r.psi_term for r in _psi_tail(g).collect()]
+    assert terms == [0.0, 0.0, 0.0]
+
+    # entropy l-diversity: one sensitive value -> entropy exactly 0
+    # after rounding (ln T - (T ln T)/T is ~1e-16 residue at worst)
+    sv = spark.createDataFrame(
+        [(1, "X", 7)], "qi int, sens string, c long"
+    )
+    total = F.sum("c")
+    ent = sv.groupBy("qi").agg(
+        F.round(
+            F.log(total) - F.sum(F.col("c") * F.log("c")) / total, 6
+        ).alias("entropy")
+    )
+    assert ent.collect()[0].entropy == 0.0
