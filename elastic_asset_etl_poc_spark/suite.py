@@ -8384,6 +8384,102 @@ def dp_noisy_counts_events(spark, sf_dir):
     )
 
 
+@q(
+    "source_overlap_docs",
+    """
+WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT source, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       round(i * 1.0 / sa.n, 4) AS containment_ab
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+""",
+)
+def source_overlap_docs(spark, sf_dir):
+    """Corpus-level overlap accounting: for every ordered source pair,
+    what fraction of source A's distinct shingles also appear in source
+    B — the dataset-curation matrix behind 'is source X already covered
+    by Y' (licensing exposure, dedup priority, mixture double-counting).
+    Doc-level containment finds individual embedded documents; this
+    collapses each SOURCE to its shingle set first, so the join runs on
+    |sources| × shingle-vocabulary rows, not documents — at 100 TB the
+    distinct-(source, shingle) agg is the only corpus-sized pass and is
+    map-side combined; the self-join operates on the deduplicated
+    vocabulary frame (the ordered-pair output is |sources|² rows).  No
+    hot-shingle cap here, deliberately: overlap accounting must count
+    common shingles — dropping them understates exposure; the quadratic
+    pair risk the cap guards against does not exist at source
+    granularity."""
+    from .operators.neardup import shingles
+
+    sh = shingles(
+        load_table(spark, sf_dir, "documents"), n=3, id_col="source"
+    ).withColumnRenamed("doc_id", "source")
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), F.col("shingle").alias("s"))
+    b = sh.select(F.col("source").alias("source_b"), F.col("shingle").alias("s"))
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    return inter.join(sa, "source_a").select(
+        "source_a",
+        "source_b",
+        F.round(F.col("i") / F.col("na"), 4).alias("containment_ab"),
+    )
+
+
+@q(
+    "decayed_counts_events",
+    f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       round(sum(pow(0.5, date_diff('microsecond', ts, {NOW_SQL})
+                          / 86400000000.0 / 7.0)), 4) AS decayed_count
+FROM events WHERE ts <= {NOW_SQL}
+GROUP BY event_type
+""",
+)
+def decayed_counts_events(spark, sf_dir):
+    """Exponentially time-decayed counts (half-life 7 days, pinned
+    NOW): the freshness-weighted popularity statistic behind trending
+    detection and recency-weighted mixture weights — a raw count treats
+    a hit 30 days ago like one 3 minutes ago; the decayed count is
+    dominated by the recent window without needing a hard cutoff.
+    Computed as Σ 0.5^(age_days/7) in ONE map-side-combined agg (decay
+    per row then sum — associative, unlike a post-hoc discount of the
+    total), with age from microsecond deltas so both engines share the
+    exact arithmetic.  Scale shape: identical to any groupBy-count —
+    the decay is a scan-rate expression inside whole-stage codegen."""
+    from datetime import datetime
+
+    ev = load_table(
+        spark, sf_dir, "events", ts_range=(datetime(1970, 1, 1), PINNED_NOW)
+    )
+    age_days = (
+        F.unix_micros(F.lit(PINNED_NOW).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 86_400_000_000.0
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.round(F.sum(F.pow(F.lit(0.5), age_days / 7.0)), 4).alias(
+            "decayed_count"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
