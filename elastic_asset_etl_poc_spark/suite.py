@@ -8480,6 +8480,67 @@ def decayed_counts_events(spark, sf_dir):
     )
 
 
+_SCORECARD_SQL = f"""
+WITH cat AS ({{cat}}),
+val AS ({{val}}),
+emb AS ({{emb}})
+SELECT 'psi_event_type' AS monitor, round(sum(psi_term), 6) AS score FROM cat
+UNION ALL
+SELECT 'psi_value_quartiles' AS monitor, round(sum(psi_term), 6) AS score FROM val
+UNION ALL
+SELECT 'embed_centroid_shift' AS monitor, round(sum(mean_shift), 6) AS score FROM emb
+"""
+
+
+@q(
+    "drift_scorecard_events",
+    None,  # oracle bound after all three component oracles exist (below)
+)
+def drift_scorecard_events(spark, sf_dir):
+    """The drift trio composed into ONE scorecard frame — (monitor,
+    score) rows for categorical PSI, quartile-binned value PSI, and
+    embedding centroid shift: the single source a monitoring dashboard
+    or a train/no-train gate reads.  Composition is the point (the
+    training_manifest discipline): each component is the already-
+    certified query function, collapsed to its headline scalar and
+    unioned, so this query pins the STAGE HANDOFF — a schema or
+    semantics change in any component breaks the scorecard hash, not
+    just the component's own check.  The oracle is built the same way,
+    by nesting the three component oracle SQLs as CTEs.  Scale shape:
+    the union of three independent subplans, each already certified
+    linear at sf1; nothing is recomputed twice."""
+    parts = [
+        ("psi_event_type", drift_psi_events(spark, sf_dir), "psi_term"),
+        (
+            "psi_value_quartiles",
+            drift_psi_value_events(spark, sf_dir),
+            "psi_term",
+        ),
+        (
+            "embed_centroid_shift",
+            embed_drift_centroid(spark, sf_dir),
+            "mean_shift",
+        ),
+    ]
+    out = None
+    for name, df, col in parts:
+        one = df.agg(F.round(F.sum(col), 6).alias("score")).select(
+            F.lit(name).alias("monitor"), "score"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+SUITE["drift_scorecard_events"] = (
+    SUITE["drift_scorecard_events"][0],
+    _SCORECARD_SQL.format(
+        cat=SUITE["drift_psi_events"][1],
+        val=SUITE["drift_psi_value_events"][1],
+        emb=SUITE["embed_drift_centroid"][1],
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
