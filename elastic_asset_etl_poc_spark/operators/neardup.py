@@ -117,6 +117,23 @@ def set_similarity_pairs(
     ends in distinct; adding one here would pay a redundant shuffle).
     See :func:`jaccard_pairs` for the cap rationale.
     """
+    stats = _pair_stats(sh0, max_doc_freq)
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def _pair_stats(
+    sh0: DataFrame, max_doc_freq: int | None = 10_000
+) -> DataFrame:
+    """Shared inverted-index pair core → (doc_a, doc_b, i, na, nb):
+    intersection size from the shingle self-join, set sizes joined back
+    — everything every set-overlap score (Jaccard, containment, Dice)
+    needs, with the score arithmetic left to the caller."""
     sh, staging = capped_sets(sh0, max_doc_freq)
     # Materialize eagerly: the frame feeds 3 branches of one action, and
     # concurrently-scheduled stages would each recompute a lazy cache.
@@ -134,18 +151,7 @@ def set_similarity_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def containment_pairs(
@@ -172,36 +178,17 @@ def containment_pairs(
     product), so the scale posture is identical; only the final score
     arithmetic differs.
     """
-    sh, staging = capped_sets(
+    stats = _pair_stats(
         shingles(df, n=n, text_col=text_col, id_col=id_col), max_doc_freq
     )
-    sh = sh.localCheckpoint(eager=True)
-    if staging is not None:
-        staging.unpersist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     c = F.round(F.col("i") / F.least(F.col("na"), F.col("nb")), 4)
     j = F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4)
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            c.alias("containment"),
-            j.alias("jaccard"),
-        )
-        .filter(F.col("containment") >= F.lit(threshold))
-    )
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        c.alias("containment"),
+        j.alias("jaccard"),
+    ).filter(F.col("containment") >= F.lit(threshold))
 
 
 def jaccard_pairs(
