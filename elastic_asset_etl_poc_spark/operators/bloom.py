@@ -61,7 +61,33 @@ from pyspark.sql import functions as F
 DEFAULT_M_BITS = 1 << 16
 DEFAULT_K = 7
 
+#: auto-sizing bounds: ~12 bits/key targets ≈0.1-0.3% FPP; the cap at
+#: 2^22 bits (512 KiB bitmap, 64 Ki longs) keeps the embedded literal
+#: broadcast-sized — beyond ~350 K build keys FPP degrades gracefully
+#: (the exact scrub keeps results correct regardless) and a deployment
+#: would shard the filter or raise the cap instead.
+BITS_PER_KEY = 12
+MIN_M_BITS = 1 << 10
+MAX_M_BITS = 1 << 22
+
 _SALT = 0x9E3779B9  # golden-ratio constant, any fixed odd salt works
+
+
+def bloom_params(n_keys: int) -> tuple[int, int]:
+    """Filter geometry for ``n_keys`` build keys: the smallest power-of-
+    two m ≥ BITS_PER_KEY·n (clamped), and the FPP-optimal k = m/n·ln 2
+    (clamped to [1, 12]).  A fixed default geometry SATURATES when the
+    build side outgrows it — n ≫ m drives FPP toward 1 and the prune
+    silently becomes a no-op (measured: 300 K keys against the 2^16
+    default pass 100% of a 6 M-row probe) — so size from n, always."""
+    import math
+
+    n = max(int(n_keys), 1)
+    m = MIN_M_BITS
+    while m < n * BITS_PER_KEY and m < MAX_M_BITS:
+        m <<= 1
+    k = min(12, max(1, round(m / n * math.log(2))))
+    return m, k
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
@@ -144,19 +170,18 @@ def bloom_might_contain(
     inside whole-stage codegen at scan rate — and, critically, one the
     optimizer keeps below the probe's exchange."""
     arr = F.lit(words).cast("array<bigint>")
-    tests = []
-    for p in _positions(key, m_bits, k):
+
+    def _bit_set(p):
         word = F.shiftright(p, 6).cast("int")
         bit = F.call_function(
             "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
         )
-        tests.append(
-            F.element_at(arr, word + F.lit(1)).bitwiseAND(bit) != F.lit(0)
-        )
-    out = tests[0]
-    for t in tests[1:]:
-        out = out & t
-    return out
+        return F.element_at(arr, word + F.lit(1)).bitwiseAND(bit) != F.lit(0)
+
+    # forall over the position array embeds the bitmap literal ONCE in
+    # the plan; k chained tests would clone the full array k times into
+    # the expression tree (64 Ki longs × 12 copies at the size cap).
+    return F.forall(F.array(*_positions(key, m_bits, k)), _bit_set)
 
 
 def bloom_semi_join(
@@ -164,8 +189,8 @@ def bloom_semi_join(
     build: DataFrame,
     probe_key: str,
     build_key: str | None = None,
-    m_bits: int = DEFAULT_M_BITS,
-    k: int = DEFAULT_K,
+    m_bits: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Exact left-semi join accelerated by a bloom pre-filter.
 
@@ -177,11 +202,21 @@ def bloom_semi_join(
     shuffling the full fact table and shuffling the matching sliver.
     """
     bk = build_key or probe_key
-    words = bloom_densify(bloom_build(build.select(F.col(bk)), bk, m_bits, k), m_bits)
+    keys = build.select(F.col(bk).alias("__bloom_bk")).distinct()
+    if m_bits is None or k is None:
+        # size the filter from the actual key count (one agg over the
+        # build side, which the bitmap build scans anyway) — a fixed
+        # geometry saturates on large build sides; see bloom_params
+        auto_m, auto_k = bloom_params(keys.count())
+        m_bits = m_bits or auto_m
+        k = k or auto_k
+    words = bloom_densify(
+        bloom_build(keys.withColumnRenamed("__bloom_bk", bk), bk, m_bits, k),
+        m_bits,
+    )
     pruned = probe.filter(
         bloom_might_contain(words, F.col(probe_key), m_bits, k)
     )
-    keys = build.select(F.col(bk).alias("__bloom_bk")).distinct()
     return pruned.join(
         keys, on=pruned[probe_key] == keys["__bloom_bk"], how="left_semi"
     )

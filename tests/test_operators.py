@@ -874,3 +874,38 @@ def test_bloom_empty_build_side(spark):
     assert all(w == 0 for w in words)
     assert probe.filter(bloom_might_contain(words, F.col("k"))).count() == 0
     assert bloom_semi_join(probe, empty, probe_key="k").count() == 0
+
+
+def test_bloom_autosizing_avoids_saturation(spark):
+    """The round-10 field lesson: a FIXED default geometry saturates
+    when the build side outgrows it (50k keys against 2^16 bits sets
+    ~99.9% of the bitmap and the prune passes nearly everything).
+    bloom_params sizes m from n, keeping the non-member pass rate near
+    the analytic FPP at any build size."""
+    from elastic_asset_etl_poc_spark.operators.bloom import (
+        DEFAULT_M_BITS,
+        bloom_build,
+        bloom_densify,
+        bloom_might_contain,
+        bloom_params,
+    )
+
+    members = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    others = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
+
+    # saturated: fixed default geometry, n*k/m = 5.3 bits set per slot
+    sat = bloom_densify(bloom_build(members, "k"))
+    sat_fp = others.filter(bloom_might_contain(sat, F.col("k"))).count()
+    assert sat_fp > 40_000  # the no-op-prune failure mode, demonstrated
+
+    # auto-sized: m grows with n, FPP back under control
+    m, kk = bloom_params(50_000)
+    assert m >= 50_000 * 10 and 1 <= kk <= 12
+    auto = bloom_densify(bloom_build(members, "k", m, kk), m)
+    fp = others.filter(bloom_might_contain(auto, F.col("k"), m, kk)).count()
+    assert fp / 50_000 < 0.01, f"auto-sized FP rate too high: {fp}/50000"
+    # and still zero false negatives
+    assert (
+        members.filter(bloom_might_contain(auto, F.col("k"), m, kk)).count()
+        == 50_000
+    )
