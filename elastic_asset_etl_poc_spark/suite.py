@@ -8541,6 +8541,146 @@ SUITE["drift_scorecard_events"] = (
 )
 
 
+@q(
+    "rrf_fusion_docs",
+    f"""
+WITH {_HASH_EMBED_CTE},
+qv AS (SELECT doc_id, dim_idx, w FROM sp WHERE doc_id < 5),
+dots AS (
+  SELECT qv.doc_id AS query_id, e.doc_id AS neighbor_id, sum(e.w * qv.w) AS dot
+  FROM sp e JOIN qv ON e.dim_idx = qv.dim_idx AND e.doc_id <> qv.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, dots.dot / (ne.nrm * nq.nrm) AS cos
+  FROM dots
+  JOIN n ne ON ne.doc_id = dots.neighbor_id
+  JOIN n nq ON nq.doc_id = dots.query_id
+),
+sem AS (
+  SELECT query_id, neighbor_id AS doc_id, r FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= 10
+),
+jtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+jidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM jtoks),
+jsh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM jidx),
+jhot AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) > 10000),
+jsh AS (SELECT doc_id, s FROM jsh0 WHERE s NOT IN (SELECT s FROM jhot)),
+jsz AS (SELECT doc_id, count(*) AS nn FROM jsh GROUP BY doc_id),
+jinter AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS i
+  FROM jsh q JOIN jsh d ON q.s = d.s AND q.doc_id < 5 AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+lex AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT query_id, jinter.doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY i * 1.0 / (sq.nn + sd.nn - i) DESC, jinter.doc_id
+           ) AS r
+    FROM jinter
+    JOIN jsz sq ON sq.doc_id = query_id
+    JOIN jsz sd ON sd.doc_id = jinter.doc_id
+  ) WHERE r <= 10
+),
+fused AS (
+  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + lex.r), 0) + coalesce(1.0 / (60 + sem.r), 0)
+           AS rrf
+  FROM lex FULL JOIN sem
+    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+)
+SELECT query_id, doc_id, round(rrf, 6) AS rrf_score, fused_rank FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+""",
+)
+def rrf_fusion_docs(spark, sf_dir):
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): a lexical ranking (3-gram Jaccard, the sparse/keyword
+    system) and a semantic ranking (hash-embedding cosine, the dense
+    system) over the same query documents, fused as
+    Σ 1/(60 + rank) with a full outer join — the standard production
+    shape for hybrid search, where fusion needs only RANKS, never
+    score calibration between incomparable systems.  Both component
+    rankings are already-certified machinery (shingles/jaccard core,
+    hash_embed + cosine_topk); fusion adds one tiny outer join and a
+    re-rank over ≤ 20 rows per query.  Scale shape: each system's
+    top-k is corpus-scale work already certified linear; the fusion
+    stage is O(queries × k).  RRF scores are sums of exact small
+    rationals (1/61..1/70), so both engines agree bit-for-bit before
+    the 1e-6 rounding."""
+    from .operators.neardup import capped_sets, shingles
+    from .operators.similarity import cosine_topk
+    from .operators.text import hash_embed
+
+    docs = load_table(spark, sf_dir, "documents")
+    # semantic arm: dense hash-embeddings, exact cosine top-10
+    emb = hash_embed(docs, dim=64)
+    sem = cosine_topk(
+        emb, emb.filter(F.col("doc_id") < 5), k=10, id_col="doc_id"
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
+    )
+    # lexical arm: capped 3-gram Jaccard, top-10 per query doc
+    sh, staging = capped_sets(shingles(docs))
+    sh = sh.localCheckpoint(eager=True)
+    if staging is not None:
+        staging.unpersist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    q = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    d = sh.select(F.col("doc_id").alias("doc_id"), "shingle")
+    inter = (
+        q.join(d, "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("nn").alias("nq"))
+    sd = sizes.select("doc_id", F.col("nn").alias("nd"))
+    jac = F.col("i") / (F.col("nq") + F.col("nd") - F.col("i"))
+    wl = Window.partitionBy("query_id").orderBy(jac.desc(), F.col("doc_id"))
+    lex = (
+        inter.join(sq, "query_id")
+        .join(sd, "doc_id")
+        .withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= 10)
+        .select("query_id", "doc_id", "r_lex")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("rrf"), 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
