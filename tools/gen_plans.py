@@ -22,6 +22,8 @@ PICKS = [
     ("bm25_topk_docs", "BM25 retrieval: term filter inside the token array pre-explode; dl carried through tf agg; broadcast df/N/avgdl; per-query top-k window"),
     ("decontam_docs", "Decontamination: broadcast eval-shingle probe + per-doc hit agg + anti-join - the corpus never shuffles on shingle"),
     ("funnel_fold_events", "Funnel: one per-user shuffle; the step state machine is an aggregate-fold lambda, not k self-joins"),
+    ("drift_psi_value_events", "Numeric PSI: frozen-ruler quartile edges broadcast as a single row; binning is a scan-rate CASE; both window counts in one conditional agg"),
+    ("rrf_fusion_docs", "Hybrid retrieval fusion: two independent top-k arms full-outer joined on (query, doc); the re-rank runs on <= 20 rows per query"),
 ]
 
 
@@ -37,6 +39,45 @@ def main() -> None:
         "the raw-ns time range and term equality, pruned `ReadSchema`,",
         "`BroadcastHashJoin ... LeftSemi`, and partial/final `HashAggregate` pairs.\n",
     ]
+    # bloom_semi_join's suite query returns a localCheckpoint (the plan
+    # audit lives in-operator), so capture the operator's lazy plan
+    # directly: the bitmap-literal Filter must sit below the probe-side
+    # Exchange of the sort-merge scrub join.
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.bloom import bloom_semi_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lineitem = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bloom_df = bloom_semi_join(
+        lineitem, orders, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+    bloom_plan = bloom_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    import re
+
+    # elide the bitmap literal (64Ki longs) so the plan stays readable
+    bloom_plan = re.sub(r"\[-?\d+(?:,-?\d+){64,}\]", "[<bitmap literal>]", bloom_plan)
+    tree = bloom_plan[: bloom_plan.find("(1)")].rstrip()
+    out.append(
+        "## bloom_semi_join (operator plan, broadcast disabled)\n\n"
+        "Bloom prune-below-exchange: the bitmap-literal Filter (2) sits "
+        "under the probe Exchange (3) of the sort-merge scrub join — the "
+        "shuffle moves only rows that passed the 512 KiB-max summary.\n\n"
+        "```\n" + tree + "\n```\n"
+    )
     for name, why in PICKS:
         df = qs[name](spark, sf)
         df.collect()  # AQE finalizes stages on execution
