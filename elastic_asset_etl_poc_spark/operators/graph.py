@@ -247,3 +247,85 @@ def hits(
             )
         )
     )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) → (node, component) with component = the
+    minimum node id, for every node that appears in ``pairs``.
+
+    The min-label propagation in neardup.dedup_survivors moves labels
+    one HOP per round — O(diameter) shuffles, fine for near-dup
+    clusters (pairs/triples) but slow on long chains.  Star contraction
+    rewires the GRAPH each round (large-star hangs every
+    greater-than-center neighbor off the neighborhood minimum,
+    small-star re-parents the smaller neighbors), which squares path
+    lengths away: O(log n) rounds on any topology — on a 100-TB edge
+    set the difference between ~60 shuffles and ~6.
+
+    Contract matches dedup_survivors: the pair endpoints are the FIRST
+    TWO columns, any equatable id type; singletons (nodes absent from
+    ``pairs``) are the caller's join-back, and each round is
+    localCheckpointed so plans don't snowball.  Convergence is checked
+    EXACTLY (count equality + one-sided exceptAll emptiness ⇒ multiset
+    equality of the canonical edge sets), not by signature.
+    """
+    a_col, b_col = pairs.columns[0], pairs.columns[1]
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        canon = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = canon.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = (
+            canon.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = m.select(F.col("u"), F.col("m").alias("v"))
+        return nbrs.union(centers).distinct()
+
+    prev_n = edges.count()
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        n = new_edges.count()
+        if n == prev_n and new_edges.exceptAll(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        edges, prev_n = new_edges, n
+
+    # fixpoint is a forest of stars: every edge is (node, component-min)
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )

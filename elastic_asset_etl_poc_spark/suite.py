@@ -8681,6 +8681,65 @@ def rrf_fusion_docs(spark, sf_dir):
     )
 
 
+@q("entity_clusters_star_parts", _ENTITY_CC_SQL)
+def entity_clusters_star_parts(spark, sf_dir):
+    """The SAME entity-resolution clustering as entity_clusters_parts,
+    resolved by large-star/small-star contraction
+    (operators/graph.py connected_components_star, Kiveris et al. SoCC
+    2014) instead of min-label propagation — and hash-checked against
+    the SAME recursive-CTE oracle, so the two distributed CC kernels
+    are proven interchangeable on real fuzzy-match edges, not just on
+    synthetic property-test graphs.  Why two kernels: label propagation
+    moves one hop per round (O(diameter) shuffles — fine for near-dup
+    pairs/triples), star contraction rewires the graph and converges in
+    O(log n) rounds on ANY topology — on a 100-TB edge set with long
+    merge chains that is ~6 shuffle rounds instead of ~60.  Singleton
+    records never enter the edge set; the join-back labels them as
+    their own cluster."""
+    from .operators.graph import connected_components_star
+    from .operators.linkage import blocked_fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.concat(F.lit("d:"), F.col("p_partkey").cast("string")).alias("rid"),
+        "p_brand",
+        F.concat(
+            F.substring("p_name", 1, 3),
+            F.lit("zz"),
+            F.expr("substring(p_name, 6)"),
+        ).alias("name"),
+    )
+    clean = part.select(
+        F.concat(F.lit("c:"), F.col("p_partkey").cast("string")).alias("crid"),
+        "p_brand",
+        F.col("p_name").alias("cname"),
+    )
+    edges = blocked_fuzzy_join(
+        dirty,
+        clean,
+        block_cols=["p_brand"],
+        dirty_text="name",
+        clean_text="cname",
+        dirty_id="rid",
+        clean_id="crid",
+        max_dist=2,
+        keep="all",
+    )
+    recs = dirty.select("rid").unionByName(
+        clean.select(F.col("crid").alias("rid"))
+    )
+    comp = connected_components_star(edges.select("rid", "crid"))
+    return recs.join(
+        comp.withColumnRenamed("node", "rid"), "rid", "left"
+    ).select(
+        F.col("rid").alias("record_id"),
+        F.coalesce(F.col("component"), F.col("rid")).alias("cluster"),
+        (
+            F.coalesce(F.col("component"), F.col("rid")) == F.col("rid")
+        ).alias("is_survivor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -928,3 +928,66 @@ def test_entity_clusters_changed_emit_is_exact_upsert_set(
     for rid, cl in changed.items():
         if rid in old:
             assert old[rid] != cl, (rid, cl)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_star_cc_equals_union_find_property(spark, edges):
+    """Property: connected_components_star's labeling equals a reference
+    union-find for arbitrary edge sets — self-loops, duplicates, chains
+    (the long-diameter case star contraction exists to kill), cliques.
+    Nodes absent from the edge list are out of scope by contract (the
+    caller joins back); the comparison covers every edge endpoint."""
+    from elastic_asset_etl_poc_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "a int, b int"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(pairs).collect()
+    }
+    touched = sorted({x for e in edges for x in e if e[0] != e[1]})
+    parent = {n: n for n in touched}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    want = {n: find(n) for n in touched}
+    assert got == want
+
+
+def test_star_cc_long_chain_converges(spark):
+    """A 64-node path graph: diameter 63, the worst case for one-hop
+    label propagation — star contraction must label it in ≤ 20
+    alternating rounds (O(log n))."""
+    from elastic_asset_etl_poc_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(63)]
+    got = {
+        r.node: r.component
+        for r in connected_components_star(
+            spark.createDataFrame(chain, "a int, b int")
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
