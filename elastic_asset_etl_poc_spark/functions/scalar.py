@@ -187,3 +187,41 @@ def canonicalize_url(
             query,
         ),
     )
+
+
+def rendezvous_shard(key: Column, n_shards: int) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment: the shard i
+    in [0, n) maximizing h(key, i) — Thaler & Ravishankar 1998, the
+    consistent-placement primitive behind stable storage sharding.
+
+    Why not ``pmod(hash, n)``: modular placement remaps ~HALF the keys
+    when n changes (every key whose residue shifts), invalidating caches
+    and forcing a near-full data move; rendezvous moves EXACTLY the keys
+    won by the new shard — an expected 1/(n+1) fraction, every one of
+    them moving TO the new shard — so cluster resizes cost what they
+    must and nothing more.
+
+    Built as ``array_max`` over (hash, i) structs: one expression inside
+    whole-stage codegen, no explode, no shuffle.  The per-shard hash is
+    the repo's replayable md5 idiom (48 hex bits — collision odds ~1e-9
+    per key across shard candidates, and a collision only flips a
+    tiebreak deterministically: struct comparison falls through to i).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    entries = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 12
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            F.lit(i).alias("i"),
+        )
+        for i in range(n_shards)
+    ]
+    return F.array_max(F.array(*entries))["i"]

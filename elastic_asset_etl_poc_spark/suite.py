@@ -8740,6 +8740,55 @@ def entity_clusters_star_parts(spark, sf_dir):
     )
 
 
+@q(
+    "rendezvous_shard_docs",
+    """
+WITH h AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || i), 1, 12))::BIGINT
+           AS hv
+  FROM documents, unnest(range(0, 11)) AS t(i)
+),
+a10 AS (SELECT doc_id, arg_max(i, hv) AS s FROM h WHERE i < 10 GROUP BY doc_id),
+a11 AS (SELECT doc_id, arg_max(i, hv) AS s FROM h GROUP BY doc_id)
+SELECT a10.s AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE a10.s <> a11.s) AS BIGINT) AS n_moved,
+       CAST(count(*) FILTER (WHERE a10.s <> a11.s AND a11.s = 10) AS BIGINT)
+         AS n_moved_to_new
+FROM a10 JOIN a11 USING (doc_id)
+GROUP BY a10.s
+""",
+)
+def rendezvous_shard_docs(spark, sf_dir):
+    """Rendezvous sharding under a RESIZE (functions/scalar.py
+    rendezvous_shard): every document assigned at 10 shards and again
+    at 11, reporting per-shard occupancy and churn.  The consistency
+    contract is IN the output: n_moved == n_moved_to_new for every
+    shard (a key only ever moves to the shard that newly won it —
+    pmod-placement would scatter movers everywhere), and Σ n_moved ≈
+    |docs|/11.  Both engines replay the identical md5-derived weights,
+    so the assignment — not just the statistics — is hash-checked.
+    Scale shape: the assignment is a map-only array_max expression at
+    scan rate (no explode on the Spark side; the oracle's unnest is
+    DuckDB's formulation); ONE shuffle for the per-shard aggregate."""
+    from .functions.scalar import rendezvous_shard
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        rendezvous_shard(F.col("doc_id"), 10).alias("s10"),
+        rendezvous_shard(F.col("doc_id"), 11).alias("s11"),
+    )
+    moved = F.col("s10") != F.col("s11")
+    return docs.groupBy(F.col("s10").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(moved, 1).otherwise(0)).cast("bigint").alias("n_moved"),
+        F.sum(F.when(moved & (F.col("s11") == 10), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

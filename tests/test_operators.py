@@ -909,3 +909,32 @@ def test_bloom_autosizing_avoids_saturation(spark):
         members.filter(bloom_might_contain(auto, F.col("k"), m, kk)).count()
         == 50_000
     )
+
+
+def test_rendezvous_shard_resize_contract(spark):
+    """Rendezvous sharding's reason to exist: on a 10 -> 11 resize,
+    every moved key lands on the NEW shard (pmod placement scatters
+    movers everywhere), the churn fraction is ~1/11, and occupancy
+    stays balanced."""
+    from elastic_asset_etl_poc_spark.functions.scalar import rendezvous_shard
+
+    keys = spark.range(0, 20_000).select(
+        rendezvous_shard(F.col("id"), 10).alias("s10"),
+        rendezvous_shard(F.col("id"), 11).alias("s11"),
+    )
+    agg = keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("s10") != F.col("s11"), 1).otherwise(0)).alias(
+            "moved"
+        ),
+        F.sum(
+            F.when(
+                (F.col("s10") != F.col("s11")) & (F.col("s11") != 10), 1
+            ).otherwise(0)
+        ).alias("moved_elsewhere"),
+    ).collect()[0]
+    assert agg.moved_elsewhere == 0  # movers go ONLY to the new shard
+    assert 0.05 < agg.moved / agg.n < 0.14  # ~1/11 expected churn
+    counts = [r["count"] for r in keys.groupBy("s10").count().collect()]
+    assert len(counts) == 10
+    assert max(counts) < 2 * min(counts)  # md5 weights balance the ring
