@@ -109,6 +109,7 @@ HEAVY = [
     ("stream_drift_psi_events", "linear"),
     ("drift_psi_value_events", "linear (two corpus scans: frozen-ruler edges, then binning)"),
     ("rrf_fusion_docs", "linear (two certified top-k arms over the corpus; fusion is O(queries x k))"),
+    ("rendezvous_shard_docs", "linear (map-only array_max assignment + one per-shard agg)"),
     # round-9 additions: native session windows over 10× denser per-user
     # event streams (single agg, sessions merge in-JVM; denser streams
     # mean FEWER, longer sessions — work stays one pass), the streaming
