@@ -40,6 +40,11 @@ from .similarity import (  # noqa: F401
     sq8_train,
 )
 from .skew import salted_agg, salted_join  # noqa: F401
+from .stats import (  # noqa: F401
+    chi2_independence,
+    kaplan_meier,
+    welch_ttest,
+)
 from .sampling import (  # noqa: F401
     deterministic_split,
     hash_sample,

@@ -1,0 +1,190 @@
+"""Statistical inference operators: is an observed difference real?
+
+The drift family (``operators/profile.py`` monitors, PSI/CUSUM/centroid)
+reports effect sizes — THAT a distribution moved.  These operators answer
+the follow-up a paging decision needs: is the move distinguishable from
+sampling noise?  Every test statistic is explicit power-sum / life-table
+arithmetic on DataFrame expressions (no engine stats builtins whose
+estimator conventions differ between engines, no SciPy), so the suite's
+DuckDB oracles can restate the identical formulas and the driver hash
+checks the inference math end to end.
+
+No reference-repo counterpart (the reference's 782-LoC TS PoC has no
+statistics surface); this extends the analytics families the way a
+100-TB curation pipeline needs: gate retrain/rollout decisions on
+significance, not raw deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    crit: float = 1.96,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per group.
+
+    ``cond_a`` / ``cond_b`` split each group's rows into the two samples
+    (rows matching neither are ignored; rows matching both would be
+    double-counted — caller's contract to keep them disjoint).  Returns
+    one row per group with n/mean per sample, the t statistic, the
+    Welch–Satterthwaite degrees of freedom, and a normal-approximation
+    significance flag at ``crit`` (df is typically huge here, where t≈z).
+
+    Scale shape: ONE map-side-combined aggregation over the group key
+    computes all six power sums (n, Σx, Σx²) for both samples; the test
+    arithmetic runs on the |groups| frame.  Sample variances are clamped
+    at 0 (catastrophic-cancellation guard for near-constant groups).
+    """
+    v = F.col(value_col)
+    g = df.groupBy(group_col).agg(
+        F.sum(F.when(cond_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(cond_a, v)).alias("sa1"),
+        F.sum(F.when(cond_a, v * v)).alias("sa2"),
+        F.sum(F.when(cond_b, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(cond_b, v)).alias("sb1"),
+        F.sum(F.when(cond_b, v * v)).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mean_a, mean_b = F.col("sa1") / na, F.col("sb1") / nb
+    qa = (
+        F.greatest(
+            (F.col("sa2") - F.col("sa1") * F.col("sa1") / na) / (na - 1),
+            F.lit(0),
+        )
+        / na
+    )
+    qb = (
+        F.greatest(
+            (F.col("sb2") - F.col("sb1") * F.col("sb1") / nb) / (nb - 1),
+            F.lit(0),
+        )
+        / nb
+    )
+    t = (mean_a - mean_b) / F.sqrt(qa + qb)
+    df_ws = (qa + qb) * (qa + qb) / (
+        qa * qa / (na - 1) + qb * qb / (nb - 1)
+    )
+    return g.filter((na > 1) & (nb > 1)).select(
+        group_col,
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        t.alias("t_stat"),
+        df_ws.alias("df"),
+        F.when(F.abs(t) > crit, 1).otherwise(0).cast("int").alias(
+            "significant"
+        ),
+    )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categoricals.
+
+    Returns the contingency table with per-cell expected counts and
+    contributions plus the (repeated) summed chi2 statistic and
+    dof = (R−1)(C−1), so the margin arithmetic — not just the scalar
+    verdict — is checkable.
+
+    Scale shape: ONE map-side-combined aggregation builds the observed
+    table; margins, expectations, and the statistic are window sums over
+    the |A|×|B| cell frame (tiny by construction — a categorical test
+    over unbounded-cardinality keys is the caller's modeling error).
+    """
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct(col_a).alias("r"),
+        F.countDistinct(col_b).alias("c"),
+    )
+    m = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("row_tot", F.sum("o").over(Window.partitionBy(col_a)))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy(col_b)))
+    )
+    x = m.withColumn(
+        "e", F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    )
+    contrib = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col(
+        "e"
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return x.select(
+        col_a,
+        col_b,
+        F.col("o").cast("bigint").alias("n_obs"),
+        F.col("e").alias("expected"),
+        contrib.alias("contrib"),
+        F.sum(contrib).over(w_all).alias("chi2_stat"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+    )
+
+
+def kaplan_meier(episodes: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival estimator from an episode frame.
+
+    ``episodes`` must carry integer ``t_day`` (duration) and integer
+    ``observed`` (1 = the terminal event happened, 0 = right-censored —
+    the subject was still alive when observation stopped, so its
+    duration is a lower bound).  Returns the life table: per distinct
+    duration t, at-risk count nₜ = total − Σ_{s<t}(dₛ+cₛ), event and
+    censor counts, and S(t) = Π_{s≤t}(1 − dₛ/nₛ) computed as exp of a
+    cumulative Σln (associative, engine-portable), with a cumulative
+    dead_seen flag replacing ln(0) when a day absorbs everyone at risk.
+
+    Scale shape: ONE shuffle aggregates episodes to the life table; the
+    table is O(distinct durations) — days, not subjects — so the
+    single-partition cumulative windows run on a constant-size frame.
+    """
+    life = episodes.groupBy("t_day").agg(
+        F.sum(F.col("observed")).alias("d"),
+        F.sum(1 - F.col("observed")).alias("c"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.partitionBy().orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.partitionBy().orderBy("t_day")
+    r = life.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    s = r.withColumn(
+        "dead_seen",
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(
+            w_cum
+        ),
+    ).withColumn(
+        "logsum",
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+                F.log(1 - F.col("d") * 1.0 / F.col("n_risk")),
+            ).otherwise(0.0)
+        ).over(w_cum),
+    )
+    return s.select(
+        F.col("t_day").cast("bigint").alias("t_day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(F.col("dead_seen") == 1, 0.0)
+        .otherwise(F.exp(F.col("logsum")))
+        .alias("survival"),
+    )

@@ -8790,6 +8790,225 @@ def rendezvous_shard_docs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Statistical inference: the measure-the-difference family.  Drift monitors
+# (PSI/CUSUM/centroid) say THAT a distribution moved; these say whether the
+# move is DISTINGUISHABLE FROM NOISE — the gate a data-quality alert or an
+# A/B rollout reads before paging anyone.  All test statistics are stated as
+# explicit power-sum arithmetic in BOTH engines (the moments_profile /
+# outlier_mad discipline): no scipy, no engine stats builtins whose
+# estimator conventions could differ.
+# ---------------------------------------------------------------------------
+
+@q(
+    "welch_ttest_events",
+    f"""
+WITH g AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE ts >= {NOW_SQL} - INTERVAL 15 DAY) AS na,
+         sum(value) FILTER (WHERE ts >= {NOW_SQL} - INTERVAL 15 DAY) AS sa1,
+         sum(value * value) FILTER (WHERE ts >= {NOW_SQL} - INTERVAL 15 DAY)
+           AS sa2,
+         count(*) FILTER (WHERE ts < {NOW_SQL} - INTERVAL 15 DAY) AS nb,
+         sum(value) FILTER (WHERE ts < {NOW_SQL} - INTERVAL 15 DAY) AS sb1,
+         sum(value * value) FILTER (WHERE ts < {NOW_SQL} - INTERVAL 15 DAY)
+           AS sb2
+  FROM events
+  WHERE ts >= {NOW_SQL} - INTERVAL 30 DAY AND ts <= {NOW_SQL}
+  GROUP BY event_type
+),
+w AS (
+  SELECT event_type, na, nb,
+         sa1 / na AS mean_a, sb1 / nb AS mean_b,
+         greatest((sa2 - sa1 * sa1 / na) / (na - 1), 0) / na AS qa,
+         greatest((sb2 - sb1 * sb1 / nb) / (nb - 1), 0) / nb AS qb
+  FROM g WHERE na > 1 AND nb > 1
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_recent, CAST(nb AS BIGINT) AS n_prior,
+       round(mean_a, 4) AS mean_recent, round(mean_b, 4) AS mean_prior,
+       round((mean_a - mean_b) / sqrt(qa + qb), 4) AS t_stat,
+       round((qa + qb) * (qa + qb)
+             / (qa * qa / (na - 1) + qb * qb / (nb - 1)), 1) AS df,
+       CAST(CASE WHEN abs((mean_a - mean_b) / sqrt(qa + qb)) > 1.96
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM w
+""",
+)
+def welch_ttest_events(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test per event_type: value
+    in the last 15 days vs the prior 15 — the is-this-shift-real gate
+    that drift_psi_events' effect-size number deliberately does not
+    answer.  One conditional aggregation computes both windows' power
+    sums (n, Σx, Σx²) in a single corpus pass; t and the
+    Welch–Satterthwaite df are then exact arithmetic on the six sums,
+    with sample variance clamped at 0 (the moments_profile guard
+    against catastrophic cancellation on near-constant groups).  The
+    significance flag uses the normal-approximation 1.96 critical value
+    (df here is ~10^4, where t and z are indistinguishable) so no
+    t-distribution CDF is needed in either engine.  Scale shape: ONE
+    map-side-combined agg on event_type; everything after runs on the
+    |event_type| frame."""
+    from .operators.stats import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.expr(f"{NOW_SQL} - INTERVAL 30 DAY"))
+        & (F.col("ts") <= F.expr(NOW_SQL))
+    )
+    recent = F.col("ts") >= F.expr(f"{NOW_SQL} - INTERVAL 15 DAY")
+    w = welch_ttest(ev, "event_type", "value", recent, ~recent)
+    return w.select(
+        "event_type",
+        F.col("n_a").alias("n_recent"),
+        F.col("n_b").alias("n_prior"),
+        F.round("mean_a", 4).alias("mean_recent"),
+        F.round("mean_b", 4).alias("mean_prior"),
+        F.round("t_stat", 4).alias("t_stat"),
+        F.round("df", 1).alias("df"),
+        "significant",
+    )
+
+
+@q(
+    "chi2_independence_events",
+    """
+WITH cells AS (
+  SELECT event_type,
+         CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS INT)
+           AS is_weekend,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT event_type) AS r,
+         count(DISTINCT is_weekend) AS c
+  FROM cells
+),
+m AS (
+  SELECT cells.*, tot.n, tot.r, tot.c,
+         sum(o) OVER (PARTITION BY event_type) AS row_tot,
+         sum(o) OVER (PARTITION BY is_weekend) AS col_tot
+  FROM cells CROSS JOIN tot
+),
+x AS (
+  SELECT *, row_tot * col_tot * 1.0 / n AS e FROM m
+)
+SELECT event_type, is_weekend, CAST(o AS BIGINT) AS n_obs,
+       round(e, 4) AS expected,
+       round((o - e) * (o - e) / e, 4) AS contrib,
+       round(sum((o - e) * (o - e) / e) OVER (), 4) AS chi2_stat,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+FROM x
+""",
+)
+def chi2_independence_events(spark, sf_dir):
+    """Pearson chi-squared test of independence between event_type and
+    a weekend indicator: is traffic mix different on weekends, or is
+    the contingency table consistent with independent margins?  The
+    observed table is ONE corpus aggregation; expected counts
+    e = row·col/N, per-cell contributions (o−e)²/e, the summed χ²
+    statistic, and dof = (R−1)(C−1) are all computed on the
+    |types|×2 cell frame — window sums over a ~10-row frame, stated
+    identically in both engines (weekday via ISO day-of-week ≥ 6 ==
+    Spark `weekday(ts) >= 5`, both Sat/Sun).  Emitting per-cell rows
+    (not just the scalar χ²) hash-checks the margin arithmetic, and
+    the repeated chi2_stat/dof columns make the verdict readable off
+    any row.  Scale shape: one map-side-combined agg; the test itself
+    is O(cells)."""
+    from .operators.stats import chi2_independence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.expr("weekday(ts)") >= 5, 1).otherwise(0).cast("int").alias(
+            "is_weekend"
+        ),
+    )
+    x = chi2_independence(ev, "event_type", "is_weekend")
+    return x.select(
+        "event_type",
+        "is_weekend",
+        "n_obs",
+        F.round("expected", 4).alias("expected"),
+        F.round("contrib", 4).alias("contrib"),
+        F.round("chi2_stat", 4).alias("chi2_stat"),
+        "dof",
+    )
+
+
+@q(
+    "kaplan_meier_events",
+    f"""
+WITH per_user AS (
+  SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events GROUP BY user_id, event_type
+),
+life AS (
+  SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+           AS t_day,
+         count(*) FILTER (WHERE last_ts <  {NOW_SQL} - INTERVAL 3 DAY) AS d,
+         count(*) FILTER (WHERE last_ts >= {NOW_SQL} - INTERVAL 3 DAY) AS c
+  FROM per_user GROUP BY 1
+),
+r AS (
+  SELECT t_day, d, c,
+         sum(d + c) OVER ()
+           - coalesce(sum(d + c) OVER (
+               ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_risk
+  FROM life
+),
+s AS (
+  SELECT t_day, d, c, n_risk,
+         max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t_day) AS dead_seen,
+         sum(CASE WHEN d > 0 AND d < n_risk THEN ln(1 - d * 1.0 / n_risk)
+                  ELSE 0 END) OVER (ORDER BY t_day) AS logsum
+  FROM r
+)
+SELECT CAST(t_day AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       round(CASE WHEN dead_seen = 1 THEN 0.0 ELSE exp(logsum) END, 4)
+         AS survival
+FROM s
+""",
+)
+def kaplan_meier_events(spark, sf_dir):
+    """Kaplan-Meier survival estimator over engagement episodes: the
+    subject is a (user, event_type) pair, lifetime = calendar days
+    between its first and last event; episodes whose last event falls
+    within 3 days of the pinned NOW are right-CENSORED (still active —
+    their lifetime is a lower bound, which naive avg(lifetime) silently
+    treats as exact; handling that bias is the entire point of KM).
+    The life table groups lifetimes by day:
+    at-risk nₜ = total − Σ_{{s<t}}(dₛ+cₛ), survival
+    S(t) = Π_{{s≤t}}(1 − dₛ/nₛ) computed as exp of a cumulative log-sum
+    (associative; the Π stated as identical ln/exp arithmetic in both
+    engines), with a cumulative dead_seen flag instead of ln(0) when a
+    day absorbs everyone at risk.  Scale shape: ONE corpus shuffle
+    (per-episode min/max agg on (user_id, event_type), map-side
+    combined); the life table is
+    O(max lifetime in days) — 31 rows here — so the
+    single-partition windows run on a constant-size frame."""
+    from .operators.stats import kaplan_meier
+
+    now = F.expr(NOW_SQL)
+    episodes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select(
+            F.datediff(
+                F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+            ).alias("t_day"),
+            F.when(F.col("last_ts") < now - F.expr("INTERVAL 3 DAY"), 1)
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    km = kaplan_meier(episodes)
+    return km.withColumn("survival", F.round("survival", 4))
+
+
+# ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
 # exact expected rows are stated as VALUES literals generated once by

@@ -1,0 +1,153 @@
+"""Statistical-inference operators vs pure-Python references.
+
+Each operator's DataFrame arithmetic (power sums, contingency margins,
+life-table products) is replayed in plain Python on hypothesis-generated
+data — the same engine-vs-reference discipline as the dedup union-find
+and EWMA property tests.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elastic_asset_etl_poc_spark.operators.stats import (
+    chi2_independence,
+    kaplan_meier,
+    welch_ttest,
+)
+
+finite = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+)
+
+
+def _welch_ref(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    qa = max((sum(x * x for x in xs) - sum(xs) ** 2 / na) / (na - 1), 0) / na
+    qb = max((sum(y * y for y in ys) - sum(ys) ** 2 / nb) / (nb - 1), 0) / nb
+    t = (ma - mb) / math.sqrt(qa + qb)
+    df = (qa + qb) ** 2 / (qa**2 / (na - 1) + qb**2 / (nb - 1))
+    return t, df
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    xs=st.lists(finite, min_size=2, max_size=20),
+    ys=st.lists(finite, min_size=2, max_size=20),
+)
+def test_welch_ttest_matches_reference_property(spark, xs, ys):
+    """t and df agree with a plain-Python Welch computation, and the
+    significance flag is consistent with |t| vs the critical value."""
+    if max(xs) == min(xs) and max(ys) == min(ys):
+        return  # both samples constant: t undefined (0/0), out of contract
+    rows = [("g", float(v), 1) for v in xs] + [("g", float(v), 0) for v in ys]
+    df = spark.createDataFrame(rows, "grp string, value double, arm int")
+    from pyspark.sql import functions as F
+
+    out = welch_ttest(
+        df, "grp", "value", F.col("arm") == 1, F.col("arm") == 0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    t_ref, df_ref = _welch_ref(xs, ys)
+    assert r.n_a == len(xs) and r.n_b == len(ys)
+    assert math.isclose(r.t_stat, t_ref, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(r.df, df_ref, rel_tol=1e-9, abs_tol=1e-9)
+    assert r.significant == (1 if abs(t_ref) > 1.96 else 0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(1, 9)),
+        min_size=2,
+        max_size=9,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_chi2_matches_reference_property(spark, counts):
+    """chi2 equals the plain-Python Σ(o−e)²/e over the same table, and
+    per-cell expected counts reproduce row·col/N."""
+    cells = {(a, b): n for a, b, n in counts}
+    if len({a for a, _ in cells}) < 2 or len({b for _, b in cells}) < 2:
+        return  # degenerate margin: dof 0, nothing to test
+    rows = [(f"a{a}", f"b{b}") for (a, b), n in cells.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_independence(df, "a", "b").collect()
+    n = sum(cells.values())
+    row_tot = {}
+    col_tot = {}
+    for (a, b), c in cells.items():
+        row_tot[a] = row_tot.get(a, 0) + c
+        col_tot[b] = col_tot.get(b, 0) + c
+    chi2_ref = sum(
+        (c - row_tot[a] * col_tot[b] / n) ** 2 / (row_tot[a] * col_tot[b] / n)
+        for (a, b), c in cells.items()
+    )
+    assert len(out) == len(cells)
+    for r in out:
+        a, b = int(r.a[1:]), int(r.b[1:])
+        e_ref = row_tot[a] * col_tot[b] / n
+        assert r.n_obs == cells[(a, b)]
+        assert math.isclose(r.expected, e_ref, rel_tol=1e-9)
+        assert math.isclose(r.chi2_stat, chi2_ref, rel_tol=1e-9, abs_tol=1e-9)
+        assert r.dof == (len(row_tot) - 1) * (len(col_tot) - 1)
+
+
+def _km_ref(episodes):
+    """Plain-Python Kaplan-Meier life table: {t: (n_risk, d, c, S)}."""
+    from collections import Counter
+
+    d = Counter(t for t, obs in episodes if obs)
+    c = Counter(t for t, obs in episodes if not obs)
+    total = len(episodes)
+    out, removed, s = {}, 0, 1.0
+    for t in sorted(set(d) | set(c)):
+        n_risk = total - removed
+        if d[t] > 0:
+            s *= 1 - d[t] / n_risk
+        out[t] = (n_risk, d[t], c[t], s)
+        removed += d[t] + c[t]
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    episodes=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_kaplan_meier_matches_reference_property(spark, episodes):
+    """Life table matches the sequential-product reference exactly
+    (counts) and to 1e-9 (survival); survival is non-increasing and
+    hits 0 exactly when a day absorbs everyone at risk."""
+    df = spark.createDataFrame(
+        [(t, 1 if obs else 0) for t, obs in episodes],
+        "t_day int, observed int",
+    )
+    out = sorted(kaplan_meier(df).collect(), key=lambda r: r.t_day)
+    ref = _km_ref(episodes)
+    assert [r.t_day for r in out] == sorted(ref)
+    prev_s = 1.0
+    for r in out:
+        n_risk, d, c, s = ref[r.t_day]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d, c)
+        assert math.isclose(r.survival, s, rel_tol=1e-9, abs_tol=1e-9)
+        assert r.survival <= prev_s + 1e-12
+        prev_s = r.survival
+
+
+def test_kaplan_meier_censoring_changes_the_answer(spark):
+    """The reason KM exists: censored subjects keep contributing to the
+    at-risk denominator, so S(t) sits ABOVE the naive all-events curve.
+    5 events at t=1 plus 5 censored at t=2: KM S(1) = 0.5; treating the
+    censored as events would give the same S(1) but S(2)=0 — KM leaves
+    S(2) at 0.5 because no event ever occurs at t=2."""
+    rows = [(1, 1)] * 5 + [(2, 0)] * 5
+    df = spark.createDataFrame(rows, "t_day int, observed int")
+    out = {r.t_day: r for r in kaplan_meier(df).collect()}
+    assert out[1].n_risk == 10 and abs(out[1].survival - 0.5) < 1e-12
+    assert out[2].n_risk == 5 and abs(out[2].survival - 0.5) < 1e-12
+    assert out[2].n_events == 0 and out[2].n_censored == 5
