@@ -185,3 +185,56 @@ def seasonal_anomalies(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Theil-Sen robust trend estimator per group: slope = median over
+    all point pairs (i<j) of (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept = median of
+    (yᵢ − slope·xᵢ).  Up to ~29% of the points can be arbitrary
+    outliers without dragging the fit — the line-fitting sibling of the
+    median/MAD outlier family (OLS has a 0% breakdown point: one bad
+    day of telemetry bends the least-squares trend).
+
+    Input is one row per (group, x) — typically a per-day aggregate the
+    caller has already reduced — so the pairwise self-join is bounded by
+    O(window-length²) per group, INDEPENDENT of corpus size: the corpus
+    was collapsed before pairing.  Medians are Spark's exact
+    interpolated ``percentile`` (the outlier_mad idiom — fine here
+    because the per-group buffer is pairs-of-days, not corpus rows).
+    """
+    a = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x1"),
+        F.col(y_col).cast("double").alias("y1"),
+    )
+    b = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x2"),
+        F.col(y_col).cast("double").alias("y2"),
+    )
+    pairs = a.join(b, "g").filter(F.col("x1") < F.col("x2"))
+    slopes = pairs.groupBy("g").agg(
+        F.expr(
+            "percentile((y2 - y1) / (x2 - x1), 0.5D)"
+        ).alias("slope"),
+        (F.count(F.lit(1))).alias("n_pairs"),
+    )
+    resid = (
+        a.join(F.broadcast(slopes), "g")
+        .groupBy("g")
+        .agg(
+            F.expr("percentile(y1 - slope * x1, 0.5D)").alias("intercept"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.first("slope").alias("slope"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+    return resid.select(
+        F.col("g").alias(group_col),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "slope",
+        "intercept",
+    )

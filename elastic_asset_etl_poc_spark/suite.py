@@ -9008,6 +9008,139 @@ def kaplan_meier_events(spark, sf_dir):
     return km.withColumn("survival", F.round("survival", 4))
 
 
+@q(
+    "basket_rules_lineitem",
+    """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+i AS (SELECT item, count(*) AS n_item FROM b GROUP BY item),
+p AS (
+  SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab * 1.0 / n_baskets, 4) AS support,
+       round(n_ab * 1.0 / ia.n_item, 4) AS conf_a_to_b,
+       round(n_ab * 1.0 / ib.n_item, 4) AS conf_b_to_a,
+       round(n_ab * 1.0 * n_baskets / (ia.n_item * ib.n_item), 4) AS lift
+FROM p JOIN i ia ON p.item_a = ia.item
+       JOIN i ib ON p.item_b = ib.item
+       CROSS JOIN n
+WHERE n_ab * 1.0 / n_baskets >= 0.02
+""",
+)
+def basket_rules_lineitem(spark, sf_dir):
+    """Market-basket association rules over order baskets: which part
+    brands co-occur in one order beyond what independent demand
+    predicts (operators/rules.py basket_rules) — support, both
+    directed confidences, and lift per unordered brand pair at 2%
+    minimum support.  Scale shape: brand lookup is a broadcast dim
+    join; the pair build self-joins the distinct (order, brand) frame
+    on the ORDER key — both sides co-partitioned by one shuffle, pair
+    explosion bounded by Σ basket_size² (basket size is a data
+    contract, not corpus size); per-brand counts (25 rows) and the
+    basket total are broadcast.  Apriori pruning is unnecessary at
+    pair depth: the candidate space is |brands|², already enumerable."""
+    from .operators.rules import basket_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("item"))
+    r = basket_rules(baskets, "bk", "item", min_support=0.02)
+    return r.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        F.round("support", 4).alias("support"),
+        F.round("conf_a_to_b", 4).alias("conf_a_to_b"),
+        F.round("conf_b_to_a", 4).alias("conf_b_to_a"),
+        F.round("lift", 4).alias("lift"),
+    )
+
+
+@q(
+    "theil_sen_trend_events",
+    """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pr AS (
+  SELECT a.event_type,
+         list_sort(list((b.y - a.y) * 1.0 / (b.x - a.x))) AS v,
+         count(*) AS n
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x
+  GROUP BY 1
+),
+sl AS (
+  SELECT event_type, n AS n_pairs,
+         (v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+          + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+             - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+            * (0.5 * (n - 1) - floor(0.5 * (n - 1)))) AS slope
+  FROM pr
+),
+ic AS (
+  SELECT d.event_type, any_value(sl.slope) AS slope,
+         any_value(sl.n_pairs) AS n_pairs,
+         list_sort(list(d.y - sl.slope * d.x)) AS v, count(*) AS n
+  FROM daily d JOIN sl USING (event_type) GROUP BY d.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(slope, 4) AS slope,
+       round(v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+             + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+                - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+               * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 4) AS intercept
+FROM ic
+""",
+)
+def theil_sen_trend_events(spark, sf_dir):
+    """Theil-Sen robust trend per event_type over the daily count
+    series (operators/profile.py theil_sen): slope = median of all
+    pairwise day-slopes, intercept = median residual — up to ~29% of
+    days can be arbitrarily corrupted (outage, backfill spike) without
+    bending the line, where OLS breaks on one bad day.  Complements
+    cusum_changepoint (WHEN it broke) with HOW FAST it's moving,
+    robustly.  Scale shape: the corpus collapses to |types|×31 daily
+    rows in ONE map-side-combined agg; the pairwise self-join is then
+    O(days²) per type — 465 pairs here — independent of corpus size,
+    and the exact interpolated-percentile medians (stated as the same
+    index arithmetic in the oracle) buffer pairs-of-days, not corpus
+    rows."""
+    from .operators.profile import theil_sen
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    t = theil_sen(daily, "event_type", "x", "y")
+    return t.select(
+        "event_type",
+        "n_points",
+        "n_pairs",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

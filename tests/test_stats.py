@@ -151,3 +151,105 @@ def test_kaplan_meier_censoring_changes_the_answer(spark):
     assert out[1].n_risk == 10 and abs(out[1].survival - 0.5) < 1e-12
     assert out[2].n_risk == 5 and abs(out[2].survival - 0.5) < 1e-12
     assert out[2].n_events == 0 and out[2].n_censored == 5
+
+
+def _interp_median(vals):
+    v = sorted(vals)
+    pos = 0.5 * (len(v) - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    return v[lo] + (v[hi] - v[lo]) * (pos - lo)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ys=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_theil_sen_matches_reference_property(spark, ys):
+    """Slope/intercept equal the plain-Python median-of-pairwise-slopes
+    (interpolated median, same index arithmetic)."""
+    from elastic_asset_etl_poc_spark.operators.profile import theil_sen
+
+    rows = [("g", float(i), float(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = theil_sen(df, "g", "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    slopes = [
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    ]
+    slope_ref = _interp_median(slopes)
+    icept_ref = _interp_median([y - slope_ref * i for i, y in enumerate(ys)])
+    assert r.n_points == len(ys) and r.n_pairs == len(slopes)
+    assert math.isclose(r.slope, slope_ref, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(r.intercept, icept_ref, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_theil_sen_breakdown_resists_outliers(spark):
+    """The robustness claim itself: corrupt 2 of 10 days of a perfect
+    slope-3 line by +1000 and the Theil-Sen slope stays exactly 3
+    (OLS on the same data gives ~48)."""
+    from elastic_asset_etl_poc_spark.operators.profile import theil_sen
+
+    ys = [3.0 * i for i in range(10)]
+    ys[4] += 1000
+    ys[7] += 1000
+    df = spark.createDataFrame(
+        [("g", float(i), y) for i, y in enumerate(ys)],
+        "g string, x double, y double",
+    )
+    r = theil_sen(df, "g", "x", "y").collect()[0]
+    assert abs(r.slope - 3.0) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.lists(st.integers(0, 4), min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_basket_rules_matches_bruteforce_property(spark, baskets):
+    """Every pair's n_ab/support/confidence/lift equals the itertools
+    brute force over the same basket sets, and no pair is missing."""
+    from itertools import combinations
+
+    from elastic_asset_etl_poc_spark.operators.rules import basket_rules
+
+    rows = [
+        (bk, f"i{it}") for bk, items in baskets for it in items
+    ]
+    df = spark.createDataFrame(rows, "bk int, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_rules(df, "bk", "item", min_support=0.0).collect()
+    }
+    sets = {bk: {f"i{i}" for i in items} for bk, items in baskets}
+    n = len(sets)
+    item_n = {}
+    pair_n = {}
+    for s in sets.values():
+        for it in s:
+            item_n[it] = item_n.get(it, 0) + 1
+        for a, b in combinations(sorted(s), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    assert set(out) == set(pair_n)
+    for (a, b), nab in pair_n.items():
+        r = out[(a, b)]
+        assert r.n_ab == nab
+        assert math.isclose(r.support, nab / n, rel_tol=1e-12)
+        assert math.isclose(r.conf_a_to_b, nab / item_n[a], rel_tol=1e-12)
+        assert math.isclose(r.conf_b_to_a, nab / item_n[b], rel_tol=1e-12)
+        assert math.isclose(
+            r.lift, nab * n / (item_n[a] * item_n[b]), rel_tol=1e-12
+        )
