@@ -188,3 +188,103 @@ def kaplan_meier(episodes: DataFrame) -> DataFrame:
         .otherwise(F.exp(F.col("logsum")))
         .alias("survival"),
     )
+
+
+#: Cumulative Poisson(1) probabilities c_k = Σ_{j≤k} e⁻¹/j! for k = 0..6.
+#: A deterministic uniform u maps to the weight k with c_{k-1} ≤ u < c_k
+#: (u ≥ c_6 → 7; P ≈ 8e-5 truncation, mean preserved to ~1e-4).  Computed
+#: once here and interpolated into BOTH the Spark expression and the suite's
+#: DuckDB oracle SQL, so the two engines compare u against bit-identical
+#: literals.
+POISSON1_CUM: list[float] = []
+_acc, _term = 0.0, 2.718281828459045**-1.0
+for _k in range(7):
+    _acc += _term
+    POISSON1_CUM.append(_acc)
+    _term /= _k + 1
+
+
+def poisson_weight_case_sql(u_expr: str) -> str:
+    """The weight CASE as ANSI SQL over a uniform expression."""
+    arms = "\n".join(
+        f"         WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(POISSON1_CUM)
+    )
+    return f"    CASE\n{arms}\n         ELSE 7 END"
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 32,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean.
+
+    The classic bootstrap resamples n rows WITH replacement — a
+    per-replicate global operation that cannot be expressed as one scan.
+    The Poisson bootstrap (Kleiner et al.'s streaming approximation)
+    replaces the multinomial with an independent Poisson(1) weight per
+    (row, replicate): each replicate's weighted mean is then an ordinary
+    associative aggregation, so R replicates are ONE map-side-combined
+    shuffle over an exploded (row × replicate) stream — no resampling
+    pass, no driver state.
+
+    The weight draw is the repo's replayable idiom: u = md5(id ‖ ':' ‖
+    rep) → (0,1), mapped through the POISSON1_CUM thresholds — fully
+    deterministic, so an oracle can replay the exact draws and the CI is
+    hash-checkable (a production run would salt the hash per publication).
+
+    Returns per group: row count, plain mean, and the interpolated
+    [alpha/2, 1−alpha/2] percentile interval over the R replicate means
+    (exact `percentile` — the buffer is R values per group, constant).
+    """
+    lo_q, hi_q = alpha / 2.0, 1.0 - alpha / 2.0
+    v = F.col(value_col)
+    x = df.select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("rid"), v.alias("v")
+    ).withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("rid").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    wt = F.lit(7)
+    for k in range(len(POISSON1_CUM) - 1, -1, -1):
+        wt = F.when(u < F.lit(POISSON1_CUM[k]), k).otherwise(wt)
+    w = x.withColumn("wt", wt)
+    m = w.groupBy("g", "rep").agg(
+        (F.sum(F.col("wt") * F.col("v")) / F.sum("wt")).alias("mboot")
+    )
+    ci = m.groupBy("g").agg(
+        F.expr(f"percentile(mboot, {lo_q}D)").alias("boot_lo"),
+        F.expr(f"percentile(mboot, {hi_q}D)").alias("boot_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+    )
+    base = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum(v) / F.count(F.lit(1))).alias("mean"),
+    )
+    return base.join(F.broadcast(ci), "g").select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "mean",
+        "boot_lo",
+        "boot_hi",
+        "n_reps",
+    )

@@ -9141,6 +9141,83 @@ def theil_sen_trend_events(spark, sf_dir):
     )
 
 
+def _bootstrap_ci_sql() -> str:
+    from .operators.stats import poisson_weight_case_sql
+
+    interp = (
+        "v[CAST(floor({q} * (n - 1)) AS BIGINT) + 1]"
+        " + (v[CAST(ceil({q} * (n - 1)) AS BIGINT) + 1]"
+        " - v[CAST(floor({q} * (n - 1)) AS BIGINT) + 1])"
+        " * ({q} * (n - 1) - floor({q} * (n - 1)))"
+    )
+    return f"""
+WITH x AS (
+  SELECT e.event_type, e.value, r.rep,
+         (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                              || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS u
+  FROM events e CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r
+),
+w AS (
+  SELECT event_type, rep, value,
+{poisson_weight_case_sql("u")} AS wt
+  FROM x
+),
+m AS (
+  SELECT event_type, rep, sum(wt * value) / sum(wt) AS mboot
+  FROM w GROUP BY 1, 2
+),
+ci AS (
+  SELECT event_type, list_sort(list(mboot)) AS v, count(*) AS n
+  FROM m GROUP BY 1
+),
+base AS (
+  SELECT event_type, count(*) AS n_rows, sum(value) / count(*) AS mean
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, CAST(b.n_rows AS BIGINT) AS n_rows,
+       round(b.mean, 4) AS mean,
+       round({interp.format(q=0.025)}, 4) AS boot_lo,
+       round({interp.format(q=0.975)}, 4) AS boot_hi,
+       CAST(ci.n AS BIGINT) AS n_reps
+FROM base b JOIN ci ON b.event_type = ci.event_type
+"""
+
+
+@q("bootstrap_ci_events", _bootstrap_ci_sql())
+def bootstrap_ci_events(spark, sf_dir):
+    """Poisson-bootstrap 95% confidence interval for mean(value) per
+    event_type (operators/stats.py bootstrap_mean_ci): the classic
+    bootstrap's resample-with-replacement is a per-replicate global
+    pass, but giving each (row, replicate) an independent Poisson(1)
+    weight makes every replicate mean an ordinary associative
+    aggregation — 32 replicates ride ONE map-side-combined shuffle over
+    the exploded row×replicate stream, no resampling pass, no driver
+    state.  Weights are the repo's replayable md5-uniform idiom pushed
+    through the cumulative-Poisson thresholds (POISSON1_CUM — the SAME
+    Python floats are interpolated into this oracle and the Spark CASE,
+    so both engines replay bit-identical draws and the driver hash
+    checks the whole mechanism).  The CI is the interpolated
+    [2.5%, 97.5%] percentile of the 32 replicate means — an exact
+    `percentile` whose buffer is 32 doubles per group, constant.
+    Welch (welch_ttest_events) answers is-A-different-from-B; this
+    answers how-sure-are-we-about-A without any normality assumption."""
+    from .operators.stats import bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    ci = bootstrap_mean_ci(
+        ev, "event_type", "event_id", "value", n_reps=32, alpha=0.05
+    )
+    return ci.select(
+        "event_type",
+        "n_rows",
+        F.round("mean", 4).alias("mean"),
+        F.round("boot_lo", 4).alias("boot_lo"),
+        F.round("boot_hi", 4).alias("boot_hi"),
+        "n_reps",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -253,3 +253,68 @@ def test_basket_rules_matches_bruteforce_property(spark, baskets):
         assert math.isclose(
             r.lift, nab * n / (item_n[a] * item_n[b]), rel_tol=1e-12
         )
+
+
+def _interp_pct(vals, q):
+    v = sorted(vals)
+    pos = q * (len(v) - 1)
+    lo, hi = math.floor(pos), math.ceil(pos)
+    return v[lo] + (v[hi] - v[lo]) * (pos - lo)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=4,
+        max_size=25,
+    ),
+    reps=st.sampled_from([8, 16]),
+)
+def test_bootstrap_ci_replays_exactly_property(spark, vals, reps):
+    """The whole mechanism — md5 uniform, Poisson threshold walk,
+    replicate weighted means, interpolated percentile CI — replayed in
+    plain Python with hashlib agrees to 1e-9."""
+    import hashlib
+
+    from elastic_asset_etl_poc_spark.operators.stats import (
+        POISSON1_CUM,
+        bootstrap_mean_ci,
+    )
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, rid int, v double")
+    out = bootstrap_mean_ci(df, "g", "rid", "v", n_reps=reps).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def weight(rid, rep):
+        u = (
+            int(
+                hashlib.md5(f"{rid}:{rep}".encode()).hexdigest()[:8], 16
+            )
+            + 0.5
+        ) / 4294967296.0
+        for k, c in enumerate(POISSON1_CUM):
+            if u < c:
+                return k
+        return 7
+
+    means = []
+    for rep in range(reps):
+        ws = [weight(i, rep) for i in range(len(vals))]
+        if sum(ws) > 0:
+            means.append(
+                sum(w * v for w, v in zip(ws, vals)) / sum(ws)
+            )
+    if len(means) < reps:
+        return  # a replicate drew all-zero weights: out of contract
+    assert r.n_rows == len(vals) and r.n_reps == reps
+    assert math.isclose(r.mean, sum(vals) / len(vals), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(
+        r.boot_lo, _interp_pct(means, 0.025), rel_tol=1e-9, abs_tol=1e-9
+    )
+    assert math.isclose(
+        r.boot_hi, _interp_pct(means, 0.975), rel_tol=1e-9, abs_tol=1e-9
+    )
+    assert r.boot_lo <= r.boot_hi
