@@ -74,6 +74,9 @@ def main() -> None:
     # (pair build fused end-to-end).  Emitted in both JSON artifacts so
     # the caveat travels with the numbers.
     memoized = [
+        # _SHINGLE_FRAMES (shared capped shingle postings)
+        "rrf_fusion_docs",
+        "mmr_rerank_docs",
         # _PAIR_FRAMES (shared jaccard/minhash pair build)
         "jaccard_neardup_docs",
         "minhash_neardup_docs",

@@ -100,3 +100,88 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank (Carbonell &
+    Goldstein 1998): greedily pick k results maximizing
+    ``lam·rel − (1−lam)·max_sim_to_already_selected`` — the
+    relevance/redundancy trade every retrieval surface needs once the
+    top of the ranking is five near-copies of the same document.
+
+    ``candidates``: (query_id, doc_id, rel) — the caller's bounded
+    top-N per query (the contract that keeps this cheap).  ``sims``:
+    (doc_a, doc_b, sim) pairwise candidate similarities in either or
+    both orientations (symmetrized and max-deduped here; missing pairs
+    count as similarity 0).  Returns (query_id, doc_id, rank,
+    mmr_score) with rank 1..k per query (fewer if candidates run out).
+
+    The greedy recurrence is inherently sequential in k, so it unrolls
+    as k−1 fixed DataFrame stages (anti-join the chosen set, max-sim
+    against it, window argmax with doc_id tiebreak) — k is a small
+    constant, each stage touches only the candidate frame: O(queries ×
+    N × k) work after the caller's corpus-scale candidate build, no
+    driver loop over data, no collect.  Scores stay raw floats of
+    int-ratio inputs, so an oracle replaying the same arithmetic picks
+    bit-identical argmaxes.
+    """
+    cand = candidates.select("query_id", "doc_id", "rel")
+    s_sym = (
+        sims.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), "sim")
+        .unionByName(
+            sims.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b"), "sim"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.max("sim").alias("sim"))
+        .select(F.col("a").alias("sa"), F.col("b").alias("sb"), "sim")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "doc_id")
+    sel = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit(1).cast("int").alias("rank"),
+            (F.lit(lam) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        chosen = sel.select("query_id", F.col("doc_id").alias("b"))
+        rem = cand.join(
+            chosen.select("query_id", F.col("b").alias("doc_id")),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
+        scored = (
+            rem.join(chosen, "query_id")
+            .join(
+                s_sym,
+                (F.col("doc_id") == F.col("sa"))
+                & (F.col("b") == F.col("sb")),
+                "left",
+            )
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.coalesce(F.max("sim"), F.lit(0.0)).alias("ms"))
+        )
+        score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("ms")
+        wk = Window.partitionBy("query_id").orderBy(score.desc(), "doc_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "doc_id",
+                F.lit(step).cast("int").alias("rank"),
+                score.alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel

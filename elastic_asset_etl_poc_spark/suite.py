@@ -682,6 +682,25 @@ def _shared_pairs(spark, sf_dir: str, kind: str) -> DataFrame:
     return _PAIR_FRAMES[key]
 
 
+#: per-sf_dir capped 3-gram shingle postings, checkpointed once per
+#: process — rrf_fusion and mmr_rerank both consume the identical
+#: deterministic (doc_id, shingle) frame; same rationale as _PAIR_FRAMES.
+_SHINGLE_FRAMES: dict = {}
+
+
+def _shared_shingles(spark, sf_dir: str) -> DataFrame:
+    if sf_dir not in _SHINGLE_FRAMES:
+        from .operators.neardup import capped_sets, shingles
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh, staging = capped_sets(shingles(docs))
+        sh = sh.localCheckpoint(eager=True)
+        if staging is not None:
+            staging.unpersist()
+        _SHINGLE_FRAMES[sf_dir] = sh
+    return _SHINGLE_FRAMES[sf_dir]
+
+
 @q(
     "jaccard_neardup_docs",
     f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp",
@@ -8567,9 +8586,9 @@ sem AS (
 ),
 jtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 jidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM jtoks),
-jsh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM jidx),
+jsh0 AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM jidx),
 jhot AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) > 10000),
-jsh AS (SELECT doc_id, s FROM jsh0 WHERE s NOT IN (SELECT s FROM jhot)),
+jsh AS MATERIALIZED (SELECT doc_id, s FROM jsh0 WHERE s NOT IN (SELECT s FROM jhot)),
 jsz AS (SELECT doc_id, count(*) AS nn FROM jsh GROUP BY doc_id),
 jinter AS (
   SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS i
@@ -8619,7 +8638,6 @@ def rrf_fusion_docs(spark, sf_dir):
     stage is O(queries × k).  RRF scores are sums of exact small
     rationals (1/61..1/70), so both engines agree bit-for-bit before
     the 1e-6 rounding."""
-    from .operators.neardup import capped_sets, shingles
     from .operators.similarity import cosine_topk
     from .operators.text import hash_embed
 
@@ -8632,10 +8650,7 @@ def rrf_fusion_docs(spark, sf_dir):
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_sem")
     )
     # lexical arm: capped 3-gram Jaccard, top-10 per query doc
-    sh, staging = capped_sets(shingles(docs))
-    sh = sh.localCheckpoint(eager=True)
-    if staging is not None:
-        staging.unpersist()
+    sh = _shared_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
     q = sh.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "shingle"
@@ -9215,6 +9230,235 @@ def bootstrap_ci_events(spark, sf_dir):
         F.round("boot_lo", 4).alias("boot_lo"),
         F.round("boot_hi", 4).alias("boot_hi"),
         "n_reps",
+    )
+
+
+@q(
+    "compaction_bins_docs",
+    """
+WITH files AS (
+  SELECT source, doc_id % 64 AS file_id, sum(n_chars) AS bytes
+  FROM documents GROUP BY 1, 2
+),
+x AS (
+  SELECT source, file_id, bytes,
+         coalesce(sum(bytes) OVER (
+           PARTITION BY source ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM files
+)
+SELECT source, CAST(floor(cum_before / 32768.0) AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(file_id) AS BIGINT) AS first_file,
+       CAST(max(file_id) AS BIGINT) AS last_file
+FROM x GROUP BY 1, 2
+""",
+)
+def compaction_bins_docs(spark, sf_dir):
+    """Small-file compaction planner (the OPTIMIZE/bin-packing step
+    every long-lived parquet table needs once streaming ingest has
+    sprayed it with KiB-sized files): synthetic per-(source, doc_id%64)
+    'files' are packed into ~32 KiB output bins by cumulative
+    chunking — bin = floor(running_bytes_before / target) in stable
+    file order.  This is next-fit packing where a bin may overflow by
+    at most one file (never underfill-then-split), the same policy
+    table-compactors use because it is a single window pass: no greedy
+    sequential state, no driver loop.  Each bin's files are contiguous
+    in layout order by construction, so one compaction task reads one
+    consecutive file range (first_file..last_file).  Scale shape: ONE
+    shuffle to build the file manifest (corpus → |files| rows), a
+    per-source window and tiny agg on the manifest — planning cost is
+    O(files), never O(rows); at a real 100-TB table the manifest comes
+    from file metadata, not a data scan, and the window partitions by
+    table partition exactly as here."""
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", (F.col("doc_id") % 64).alias("file_id"))
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    w_prev = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w_prev), F.lit(0))
+    )
+    return x.groupBy(
+        "source",
+        F.floor(F.col("cum_before") / 32768.0).cast("bigint").alias(
+            "bin_id"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+    )
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled-greedy MMR oracle: the k-step argmax recurrence as k−1
+    mechanical CTE stages (generated, like _bootstrap_ci_sql).  The
+    1−lam literal is repr'd from the SAME Python float the Spark side
+    multiplies by, so both engines score with bit-identical constants."""
+    lit_l, lit_m = repr(lam), repr(1.0 - lam)
+    parts = [
+        f"""
+WITH jtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+jidx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM jtoks),
+jsh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM jidx),
+jhot AS (SELECT s FROM jsh0 GROUP BY s HAVING count(*) > 10000),
+jsh AS (SELECT doc_id, s FROM jsh0 WHERE s NOT IN (SELECT s FROM jhot)),
+jsz AS MATERIALIZED (SELECT doc_id, count(*) AS nn FROM jsh GROUP BY doc_id),
+jinter AS (
+  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, count(*) AS i
+  FROM jsh q JOIN jsh d ON q.s = d.s AND q.doc_id < 5 AND d.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+rel0 AS (
+  SELECT query_id, jinter.doc_id, i * 1.0 / (sq.nn + sd.nn - i) AS rel
+  FROM jinter JOIN jsz sq ON sq.doc_id = query_id
+              JOIN jsz sd ON sd.doc_id = jinter.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM rel0
+  ) WHERE rn <= 20
+),
+csh AS (SELECT * FROM jsh WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)),
+pint AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM csh x JOIN csh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sim0 AS (
+  SELECT a, b, i * 1.0 / (sa.nn + sb.nn - i) AS sim
+  FROM pint JOIN jsz sa ON sa.doc_id = a JOIN jsz sb ON sb.doc_id = b
+),
+sims AS MATERIALIZED (SELECT a, b, sim FROM sim0
+         UNION ALL SELECT b AS a, a AS b, sim FROM sim0),
+prev1 AS MATERIALIZED (
+  SELECT query_id, doc_id, 1 AS rank, {lit_l} * rel AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f""",
+scored{s} AS (
+  SELECT c.query_id, c.doc_id, c.rel, coalesce(max(sm.sim), 0.0) AS ms
+  FROM cand c
+  JOIN prev{s - 1} p ON p.query_id = c.query_id
+  LEFT JOIN sims sm ON sm.a = c.doc_id AND sm.b = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM prev{s - 1} x
+                    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+  GROUP BY 1, 2, 3
+),
+sel{s} AS (
+  SELECT query_id, doc_id, {s} AS rank,
+         {lit_l} * rel - {lit_m} * ms AS mmr_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {lit_l} * rel - {lit_m} * ms DESC, doc_id) AS rn
+    FROM scored{s}
+  ) WHERE rn = 1
+),
+prev{s} AS MATERIALIZED (SELECT * FROM prev{s - 1} UNION ALL SELECT * FROM sel{s})"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, doc_id, rank, round(mmr_score, 6) AS mmr_score
+FROM prev{k}
+"""
+    )
+    return "".join(parts)
+
+
+@q("mmr_rerank_docs", _mmr_sql())
+def mmr_rerank_docs(spark, sf_dir):
+    """Maximal Marginal Relevance diversity rerank
+    (operators/retrieval.py mmr_rerank) completing the retrieval
+    family's third axis: bm25/knn RANK, rrf FUSES, MMR DIVERSIFIES —
+    greedily pick 5 of the top-20 lexical candidates per query
+    maximizing 0.7·rel − 0.3·max-sim-to-selected, so the result set
+    stops being five near-copies of the best hit.  rel and
+    candidate-pair sim are both the certified capped-3-gram Jaccard
+    core; scores are raw floats of integer ratios with identical
+    lam/(1−lam) literals in both engines, so the oracle's unrolled
+    greedy CTE picks bit-identical argmaxes (doc_id tiebreak).  Scale
+    shape: the corpus-scale work is the one inverted-index candidate
+    build (already linear-certified for jaccard/rrf); candidate
+    pair-sims restrict the index to ≤ |queries|×20 docs before the
+    self-join, and the greedy unroll is k−1 fixed stages over the
+    candidate frame — O(queries × 20 × k), no collect, no driver
+    loop over data.  Candidates and sims are localCheckpointed once
+    (the serving-tail pattern: 5 reuse sites each)."""
+    from .operators.retrieval import mmr_rerank
+
+    sh = _shared_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nn"))
+    q_sh = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    inter = (
+        q_sh.join(sh, "shingle")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sq = sizes.select(
+        F.col("doc_id").alias("query_id"), F.col("nn").alias("nq")
+    )
+    sd = sizes.select("doc_id", F.col("nn").alias("nd"))
+    rel = F.col("i") / (F.col("nq") + F.col("nd") - F.col("i"))
+    wc = Window.partitionBy("query_id").orderBy(rel.desc(), F.col("doc_id"))
+    cand = (
+        inter.join(sq, "query_id")
+        .join(sd, "doc_id")
+        .withColumn("rel", rel)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "doc_id", "rel")
+        .localCheckpoint(eager=True)
+    )
+    cids = cand.select("doc_id").distinct()
+    csh = sh.join(F.broadcast(cids), "doc_id")
+    x = csh.select(F.col("doc_id").alias("a"), "shingle")
+    y = csh.select(F.col("doc_id").alias("b"), "shingle")
+    pint = (
+        x.join(y, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("nn").alias("nsa"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("nn").alias("nsb"))
+    sims = (
+        pint.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            (F.col("i") / (F.col("nsa") + F.col("nsb") - F.col("i"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = mmr_rerank(cand, sims, k=5, lam=0.7)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "rank",
+        F.round("mmr_score", 6).alias("mmr_score"),
     )
 
 

@@ -60,3 +60,82 @@ def test_bm25_top_k_cuts_and_tiebreaks(spark):
     assert [(r.rank, r.doc_id) for r in sorted(got, key=lambda r: r.rank)] == [
         (1, 1), (2, 2), (3, 3)
     ]
+
+
+def test_mmr_rerank_matches_greedy_reference(spark):
+    """mmr_rerank reproduces the sequential greedy exactly on a
+    hand-built candidate set where relevance and diversity disagree:
+    docs 1,2 are near-identical top hits, doc 3 is less relevant but
+    novel — MMR must pick 1 then 3, demoting 2."""
+    from elastic_asset_etl_poc_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, 0.88), ("q", 3, 0.5), ("q", 4, 0.45)],
+        "query_id string, doc_id int, rel double",
+    )
+    sims = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.05), (2, 3, 0.05), (3, 4, 0.9)],
+        "doc_a int, doc_b int, sim double",
+    )
+    out = sorted(
+        mmr_rerank(cand, sims, k=3, lam=0.7).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    # scores replay the recurrence: pick1 = .7*.9; pick2 scores
+    # 2:.7*.88-.3*.95, 3:.7*.5-.3*.05, 4:.7*.45-.3*0 -> 3 wins (.335)
+    assert abs(out[0].mmr_score - 0.7 * 0.9) < 1e-12
+    assert abs(out[1].mmr_score - (0.7 * 0.5 - 0.3 * 0.05)) < 1e-12
+    # pick3: 2:.7*.88-.3*.95=.331, 4:.7*.45-.3*.9=.045 -> 2 wins
+    assert abs(out[2].mmr_score - (0.7 * 0.88 - 0.3 * 0.95)) < 1e-12
+
+
+def test_mmr_rerank_random_matches_python_greedy(spark):
+    """Randomized parity: the DataFrame unroll equals a plain-Python
+    greedy on seeded random candidates/sims across multiple queries."""
+    import random
+
+    from elastic_asset_etl_poc_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(7)
+    qs = ["a", "b"]
+    cand_rows = [
+        (q, d, round(rng.random(), 6)) for q in qs for d in range(8)
+    ]
+    sim_rows = [
+        (i, j, round(rng.random(), 6))
+        for i in range(8)
+        for j in range(i + 1, 8)
+        if rng.random() < 0.6
+    ]
+    cand = spark.createDataFrame(
+        cand_rows, "query_id string, doc_id int, rel double"
+    )
+    sims = spark.createDataFrame(sim_rows, "doc_a int, doc_b int, sim double")
+    k, lam = 4, 0.7
+    out = {
+        (r.query_id, r.rank): (r.doc_id, r.mmr_score)
+        for r in mmr_rerank(cand, sims, k=k, lam=lam).collect()
+    }
+    smap = {}
+    for i, j, s in sim_rows:
+        smap[(i, j)] = s
+        smap[(j, i)] = s
+    for q in qs:
+        rels = {d: r for qq, d, r in cand_rows if qq == q}
+        chosen = []
+        for rank in range(1, k + 1):
+            best = None
+            for d, r in rels.items():
+                if d in chosen:
+                    continue
+                ms = max(
+                    (smap.get((d, c), 0.0) for c in chosen), default=0.0
+                )
+                score = lam * r - (1.0 - lam) * ms if chosen else lam * r
+                key = (-score, d)
+                if best is None or key < best[0]:
+                    best = (key, d, score)
+            chosen.append(best[1])
+            assert out[(q, rank)][0] == best[1], (q, rank)
+            assert abs(out[(q, rank)][1] - best[2]) < 1e-12
