@@ -7,11 +7,12 @@ algebra: distinct basket-item pairs, a self-join on the basket key, and
 two tiny dimension joins; the classic Apriori pruning is unnecessary at
 pair depth because the candidate space is |items|², already bounded.
 
-Scale posture: the self-join shuffles both sides on the basket key once
-(co-partitioned, so the pair explosion happens locally per basket and is
-bounded by Σ basket_size² — basket size is a data contract, not corpus
-size).  Per-item counts and the basket total are broadcast; no
-all-pairs-of-corpus anything.
+Scale posture: ONE corpus shuffle collapses each basket to its item SET;
+pair generation is then a map-side double-explode over the (sorted)
+array — bounded by Σ basket_size², where basket size is a data contract,
+not corpus size — feeding a map-side-combined pair count whose shuffle
+carries at most |items|² rows.  Per-item counts and the basket total are
+broadcast; no basket-key self-join, no all-pairs-of-corpus anything.
 """
 
 from __future__ import annotations
@@ -36,18 +37,26 @@ def basket_rules(
     ``min_support`` are dropped.  Duplicate (basket, item) input rows
     are collapsed first (a basket holds a SET of items).
     """
-    b = df.select(
-        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
-    ).distinct()
-    n_total = b.agg(F.countDistinct("bk").alias("n_baskets"))
-    item_n = b.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    sets = (
+        df.groupBy(F.col(basket_col).alias("bk"))
+        .agg(F.collect_set(F.col(item_col)).alias("items"))
+        .select("bk", F.array_sort("items").alias("items"))
+    )
+    n_total = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_n = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pairs = (
-        b.alias("x")
-        .join(b.alias("y"), "bk")
-        .filter(F.col("x.item") < F.col("y.item"))
-        .groupBy(
-            F.col("x.item").alias("item_a"), F.col("y.item").alias("item_b")
+        sets.select(F.explode("items").alias("item_a"), "items")
+        .select(
+            "item_a",
+            F.explode(
+                F.filter("items", lambda x: x > F.col("item_a"))
+            ).alias("item_b"),
         )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     out = (

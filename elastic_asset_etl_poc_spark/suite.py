@@ -9054,12 +9054,13 @@ def basket_rules_lineitem(spark, sf_dir):
     predicts (operators/rules.py basket_rules) — support, both
     directed confidences, and lift per unordered brand pair at 2%
     minimum support.  Scale shape: brand lookup is a broadcast dim
-    join; the pair build self-joins the distinct (order, brand) frame
-    on the ORDER key — both sides co-partitioned by one shuffle, pair
-    explosion bounded by Σ basket_size² (basket size is a data
-    contract, not corpus size); per-brand counts (25 rows) and the
-    basket total are broadcast.  Apriori pruning is unnecessary at
-    pair depth: the candidate space is |brands|², already enumerable."""
+    join; ONE corpus shuffle collapses each order to its brand SET,
+    pair generation is a map-side double-explode over the sorted array
+    (bounded by Σ basket_size² — basket size is a data contract, not
+    corpus size) into a map-side-combined count whose shuffle carries
+    ≤ |brands|² rows; per-brand counts (25 rows) and the basket total
+    are broadcast.  Apriori pruning is unnecessary at pair depth: the
+    candidate space is |brands|², already enumerable."""
     from .operators.rules import basket_rules
 
     li = load_table(spark, sf_dir, "lineitem").select(
