@@ -53,6 +53,17 @@ def welch_ttest(
         F.sum(F.when(cond_b, v)).alias("sb1"),
         F.sum(F.when(cond_b, v * v)).alias("sb2"),
     )
+    return welch_from_sums(g, group_col, crit=crit)
+
+
+def welch_from_sums(
+    g: DataFrame, group_col: str, crit: float = 1.96
+) -> DataFrame:
+    """The Welch tail over an already-aggregated power-sum frame
+    (columns na, sa1, sa2, nb, sb1, sb2 per group) — split out so the
+    STREAMING twin can maintain the six sums as one running aggregation
+    and read t/df off the drained state with the identical expression
+    tree as the batch form."""
     na, nb = F.col("na"), F.col("nb")
     mean_a, mean_b = F.col("sa1") / na, F.col("sb1") / nb
     qa = (

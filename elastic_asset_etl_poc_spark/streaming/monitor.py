@@ -45,3 +45,40 @@ def stream_drift_counts(
             F.sum(F.when(F.col("ts") >= split_c, 1).otherwise(0)).alias("nc"),
         )
     )
+
+
+def stream_welch_sums(
+    spark: SparkSession,
+    source_dir: str,
+    split: datetime,
+    lower: datetime,
+    now: datetime,
+) -> DataFrame:
+    """Streaming per-group Welch power sums: the six running aggregates
+    (n, Σx, Σx²) for the recent window [split, now] vs the prior window
+    [lower, split) — the live form of the batch A/B significance gate.
+    One running grouped aggregation; state is six numbers per group,
+    bounded by the group domain, never by stream length.  The t/df
+    arithmetic (operators/stats.py welch_from_sums) is a static view
+    over the drained state — the monitor ticks as ingest lands and the
+    verdict is read without a second corpus pass."""
+    ev = stream_events_typed(spark, source_dir)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    split_c = F.lit(split.strftime(fmt)).cast("timestamp")
+    recent = F.col("ts") >= split_c
+    v = F.col("value")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(lower.strftime(fmt)).cast("timestamp"))
+            & (F.col("ts") <= F.lit(now.strftime(fmt)).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(recent, 1).otherwise(0)).alias("na"),
+            F.sum(F.when(recent, v)).alias("sa1"),
+            F.sum(F.when(recent, v * v)).alias("sa2"),
+            F.sum(F.when(~recent, 1).otherwise(0)).alias("nb"),
+            F.sum(F.when(~recent, v)).alias("sb1"),
+            F.sum(F.when(~recent, v * v)).alias("sb2"),
+        )
+    )

@@ -9463,6 +9463,211 @@ def mmr_rerank_docs(spark, sf_dir):
     )
 
 
+@q("stream_welch_ttest_events", SUITE["welch_ttest_events"][1])
+def stream_welch_ttest_events(spark, sf_dir):
+    """§2.9 STREAMING twin of welch_ttest_events, sharing its oracle:
+    the six Welch power sums (n, Σx, Σx²) for both windows are
+    maintained per event_type as ONE running streaming aggregation
+    (streaming/monitor.py stream_welch_sums — state is six numbers per
+    group, bounded by the group domain, never by stream length) drained
+    with availableNow into the memory sink; t and the
+    Welch–Satterthwaite df are then a static view over the drained
+    state (operators/stats.py welch_from_sums — the IDENTICAL
+    expression tree as the batch form).  This is the production shape
+    of a live A/B significance monitor: sums tick as ingest lands, the
+    verdict is read off the maintained state without a second corpus
+    pass.  Micro-batch accumulation reorders the double summation
+    (~1e-12 relative vs batch), far below the 4-dp rounding grain —
+    the same disclosure as the PSI twin."""
+    import uuid
+    from datetime import datetime
+
+    from .operators.stats import welch_from_sums
+    from .streaming import run_to_memory
+    from .streaming.monitor import stream_welch_sums
+
+    name = f"welch_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        sq = run_to_memory(
+            stream_welch_sums(
+                spark,
+                _staged_events(sf_dir),
+                split=datetime(2024, 1, 16),
+                lower=datetime(2024, 1, 1),
+                now=PINNED_NOW,
+            ),
+            name,
+            "complete",
+        )
+        sq.stop()
+    w = welch_from_sums(spark.table(name), "event_type")
+    return w.select(
+        "event_type",
+        F.col("n_a").alias("n_recent"),
+        F.col("n_b").alias("n_prior"),
+        F.round("mean_a", 4).alias("mean_recent"),
+        F.round("mean_b", 4).alias("mean_prior"),
+        F.round("t_stat", 4).alias("t_stat"),
+        F.round("df", 1).alias("df"),
+        "significant",
+    )
+
+
+@q(
+    "ab_test_report_events",
+    """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase'
+                  AND ts >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END) AS converted,
+         sum(value) AS value_sum
+  FROM events GROUP BY user_id
+),
+pa AS (
+  SELECT *,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 2 AS arm
+  FROM pu
+),
+conv AS (
+  SELECT count(*) FILTER (WHERE arm = 0) AS na,
+         sum(converted) FILTER (WHERE arm = 0) AS sa,
+         count(*) FILTER (WHERE arm = 1) AS nb,
+         sum(converted) FILTER (WHERE arm = 1) AS sb
+  FROM pa
+),
+convm AS (
+  SELECT 'conversion_rate' AS metric, na, nb,
+         sa * 1.0 / na AS mean_a, sb * 1.0 / nb AS mean_b,
+         (sa * 1.0 / na - sb * 1.0 / nb)
+           / sqrt(((sa + sb) * 1.0 / (na + nb))
+                  * (1 - (sa + sb) * 1.0 / (na + nb))
+                  * (1.0 / na + 1.0 / nb)) AS stat
+  FROM conv
+),
+vg AS (
+  SELECT count(*) FILTER (WHERE arm = 0) AS na,
+         sum(value_sum) FILTER (WHERE arm = 0) AS sa1,
+         sum(value_sum * value_sum) FILTER (WHERE arm = 0) AS sa2,
+         count(*) FILTER (WHERE arm = 1) AS nb,
+         sum(value_sum) FILTER (WHERE arm = 1) AS sb1,
+         sum(value_sum * value_sum) FILTER (WHERE arm = 1) AS sb2
+  FROM pa
+),
+vw AS (
+  SELECT na, nb, sa1 / na AS mean_a, sb1 / nb AS mean_b,
+         greatest((sa2 - sa1 * sa1 / na) / (na - 1), 0) / na AS qa,
+         greatest((sb2 - sb1 * sb1 / nb) / (nb - 1), 0) / nb AS qb
+  FROM vg
+),
+vm AS (
+  SELECT 'value_per_user' AS metric, na, nb, mean_a, mean_b,
+         (mean_a - mean_b) / sqrt(qa + qb) AS stat
+  FROM vw
+),
+u AS (SELECT * FROM convm UNION ALL SELECT * FROM vm)
+SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+       round(stat, 4) AS stat,
+       CAST(CASE WHEN abs(stat) > 1.96 THEN 1 ELSE 0 END AS INT)
+         AS significant
+FROM u
+""",
+)
+def ab_test_report_events(spark, sf_dir):
+    """The A/B EXPERIMENT REPORT end-to-end, composing the inference
+    family the way a rollout gate consumes it: users are assigned to
+    arms by the deterministic md5 hash of their id (exactly how a real
+    experiment service buckets — sticky, uniform, replayable; both
+    engines replay the identical assignment), per-user outcomes are ONE
+    corpus aggregation (converted = purchased within the last 3 days —
+    the month-long window is degenerate at p=1 on this corpus, and a
+    degenerate proportion is exactly what the pooled-z denominator
+    sqrt(p̂(1−p̂)·…) = 0 guards you from trusting; value_sum), and the
+    report emits one row per metric: conversion rate under the pooled
+    two-proportion z-test, value-per-user under Welch's t
+    (operators/stats.py welch_ttest on the per-user frame).  On this
+    synthetic corpus the arms are exchangeable, so the expected verdict
+    is NOT significant — an A/A test; the report showing |stat| < 1.96
+    on both metrics is the null-calibration check an experiment
+    platform runs before anyone trusts its positives.  Scale shape: ONE
+    corpus shuffle (per-user agg); arm assignment is a map-side hash;
+    both tests are arithmetic over a 2-arm frame."""
+    from .operators.stats import welch_ttest
+
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (
+                        F.col("ts")
+                        >= F.expr(f"{NOW_SQL} - INTERVAL 3 DAY")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("converted"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    pa = pu.withColumn("arm", arm)
+    conv = pa.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("sb"),
+    )
+    p_a = F.col("sa") * 1.0 / F.col("na")
+    p_b = F.col("sb") * 1.0 / F.col("nb")
+    pool = (F.col("sa") + F.col("sb")) * 1.0 / (F.col("na") + F.col("nb"))
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    convm = conv.select(
+        F.lit("conversion_rate").alias("metric"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(p_a, 4).alias("mean_a"),
+        F.round(p_b, 4).alias("mean_b"),
+        F.round(z, 4).alias("stat"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
+            "significant"
+        ),
+    )
+    vw = welch_ttest(
+        pa.withColumn("metric", F.lit("value_per_user")),
+        "metric",
+        "value_sum",
+        F.col("arm") == 0,
+        F.col("arm") == 1,
+    )
+    vm = vw.select(
+        "metric",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("t_stat", 4).alias("stat"),
+        "significant",
+    )
+    return convm.unionByName(vm)
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

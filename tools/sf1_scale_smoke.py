@@ -142,6 +142,21 @@ HEAVY = [
     ("outlier_mad_events", "linear (exact percentile: O(group) agg buffer — audit form; see approx twin)"),
     ("outlier_mad_approx_events", "linear"),
     ("cube_status_priority", "linear"),
+    # round-10 continuation: the inference/rules/retrieval wave.  welch/
+    # chi2/KM/bootstrap/theil-sen all collapse the corpus in ONE
+    # map-side-combined agg (bootstrap's is over a ×32 exploded stream —
+    # constant-factor, not slope); basket pair-gen is a map-side array
+    # explode bounded by basket size; compaction plans on the |files|
+    # manifest; mmr's corpus-scale work is the shared shingle candidate
+    # build (cleared per timing — cold), the greedy unroll is O(q×20×k).
+    ("welch_ttest_events", "linear"),
+    ("chi2_independence_events", "linear"),
+    ("kaplan_meier_events", "linear"),
+    ("bootstrap_ci_events", "linear (x32 replicate explode: constant factor on the map side)"),
+    ("theil_sen_trend_events", "linear (pair join runs on the fixed |types|x|days| frame)"),
+    ("basket_rules_lineitem", "linear (pair explode bounded by basket size)"),
+    ("compaction_bins_docs", "linear"),
+    ("mmr_rerank_docs", "linear (cold: shared shingle build cleared per timing; greedy tail is O(queries x 20 x k))"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
@@ -153,6 +168,9 @@ COLD_CACHES = {
     "minhash_neardup_docs",
     "dedup_survivors_minhash",
     "cluster_split_docs",
+    # _SHINGLE_FRAMES consumers: clearing prices the shingle build
+    "rrf_fusion_docs",
+    "mmr_rerank_docs",
 }
 
 
@@ -270,6 +288,7 @@ def main() -> None:
             for _ in range(args.runs):
                 if name in COLD_CACHES:
                     suite._PAIR_FRAMES.clear()
+                    suite._SHINGLE_FRAMES.clear()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
