@@ -9668,6 +9668,94 @@ def ab_test_report_events(spark, sf_dir):
     return convm.unionByName(vm)
 
 
+def _quality_gate_sql() -> str:
+    fk = SUITE["fk_integrity_audit"][1]
+    fresh = SUITE["freshness_lag_events"][1]
+    dup = SUITE["dup_rate_daily_docs"][1]
+    return f"""
+WITH fk_rows AS ({fk}),
+fresh_rows AS ({fresh}),
+dup_rows AS ({dup}),
+gate AS (
+  SELECT 'fk_orphans' AS check_name, relation AS target,
+         (n_null_fk + n_orphans) * 100.0 / n_rows AS value,
+         CAST(0.5 AS DOUBLE) AS threshold
+  FROM fk_rows
+  UNION ALL
+  SELECT 'freshness_min', event_type, staleness_min * 1.0, CAST(1440.0 AS DOUBLE)
+  FROM fresh_rows
+  UNION ALL
+  SELECT 'dup_pct', 'documents',
+         sum(n_dup_docs) * 100.0 / sum(n_docs), CAST(10.0 AS DOUBLE)
+  FROM dup_rows
+)
+SELECT check_name, target, round(value, 4) AS value, threshold,
+       CAST(CASE WHEN value <= threshold THEN 1 ELSE 0 END AS INT)
+         AS passed
+FROM gate
+"""
+
+
+@q("data_quality_gate", _quality_gate_sql())
+def data_quality_gate(spark, sf_dir):
+    """The DATA QUALITY GATE: referential integrity, freshness, and
+    duplicate-rate checks composed into the single (check, target,
+    value, threshold, passed) frame an ingest pipeline reads before
+    promoting a drop — the drift_scorecard pattern applied to data
+    CONTRACTS rather than distributions.  Each row derives from an
+    already-certified component RESULT frame (fk_integrity_audit's
+    orphan counts, freshness_lag_events' staleness, dup_rate_daily's
+    duplicate counts aggregated corpus-wide), and the oracle nests the
+    same three component oracle SQLs as CTEs — the Spark composition
+    and the SQL composition check each other, so a drift in any
+    component surfaces twice.  Thresholds (0.5% orphans, 1440 min
+    staleness, 10% duplicates) are the gate's contract, stated as
+    literals in both engines.  Scale shape: inherits each component's
+    certified shape (anti-join audits, one agg, hash-group dups);
+    the gate itself is a union of tiny result frames."""
+    fk = SUITE["fk_integrity_audit"][0](spark, sf_dir).select(
+        F.lit("fk_orphans").alias("check_name"),
+        F.col("relation").alias("target"),
+        (
+            (F.col("n_null_fk") + F.col("n_orphans"))
+            * 100.0
+            / F.col("n_rows")
+        ).alias("value"),
+        F.lit(0.5).alias("threshold"),
+    )
+    fresh = SUITE["freshness_lag_events"][0](spark, sf_dir).select(
+        F.lit("freshness_min").alias("check_name"),
+        F.col("event_type").alias("target"),
+        (F.col("staleness_min") * 1.0).alias("value"),
+        F.lit(1440.0).alias("threshold"),
+    )
+    dup = (
+        SUITE["dup_rate_daily_docs"][0](spark, sf_dir)
+        .agg(
+            (
+                F.sum("n_dup_docs") * 100.0 / F.sum("n_docs")
+            ).alias("value")
+        )
+        .select(
+            F.lit("dup_pct").alias("check_name"),
+            F.lit("documents").alias("target"),
+            "value",
+            F.lit(10.0).alias("threshold"),
+        )
+    )
+    gate = fk.unionByName(fresh).unionByName(dup)
+    return gate.select(
+        "check_name",
+        "target",
+        F.round("value", 4).alias("value"),
+        "threshold",
+        F.when(F.col("value") <= F.col("threshold"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
