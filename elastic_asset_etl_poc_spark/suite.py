@@ -9756,6 +9756,95 @@ def data_quality_gate(spark, sf_dir):
     )
 
 
+@q(
+    "attribution_credit_events",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT user_id, ts AS pts, event_id AS conv_id FROM events
+  WHERE event_type = 'purchase'
+),
+pr AS (
+  SELECT t.event_type AS channel, t.ts, t.event_id, p.conv_id
+  FROM t JOIN p ON t.user_id = p.user_id
+   AND t.ts < p.pts AND t.ts >= p.pts - INTERVAL 7 DAY
+),
+sc AS (
+  SELECT *, count(*) OVER (PARTITION BY conv_id) AS n_t,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY ts DESC, event_id) AS rk
+  FROM pr
+)
+SELECT 'linear' AS model, channel,
+       round(sum(1.0 / n_t), 4) AS credit,
+       CAST(count(*) AS BIGINT) AS n_touchpoints
+FROM sc GROUP BY 1, 2
+UNION ALL
+SELECT 'last_touch', channel, round(sum(1.0), 4),
+       CAST(count(*) AS BIGINT)
+FROM sc WHERE rk = 1 GROUP BY 1, 2
+""",
+)
+def attribution_credit_events(spark, sf_dir):
+    """Multi-touch MARKETING ATTRIBUTION: every purchase's credit split
+    across the click/view touchpoints that preceded it within a 7-day
+    lookback, under two standard models side by side — last_touch (all
+    credit to the latest touch; ties broken by event_id) and linear
+    (1/n to each touch).  Per-model-per-channel credit sums answer the
+    budget question the conversion count can't: which channel ASSISTS
+    vs which channel CLOSES.  The touch↔conversion pairing rides the
+    certified banded equi-join (operators/temporal.py band_join —
+    bucketed epochs, never a theta cross-product) filtered one-sided
+    (touch strictly before purchase); per-conversion windows partition
+    on the globally-unique conversion event_id.  Scale shape: ONE
+    banded shuffle on (user, epoch-bucket); pair volume is
+    density-quadratic per user-week like the streaming attribution
+    twin (stream_band_join_attrib), bounded by per-user activity, not
+    corpus size; credit aggregation is map-side combined over
+    |models|×|channels| groups."""
+    from .operators.temporal import band_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view")
+    ).select("user_id", "ts", "event_id", F.col("event_type").alias("channel"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("conv_id")
+    )
+    pairs = band_join(
+        touches, purch, on="user_id", band_seconds=7 * 86400
+    ).filter(F.col("ts") < F.col("ts_r"))
+    w_n = Window.partitionBy("conv_id")
+    w_rk = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id")
+    )
+    sc = pairs.withColumn("n_t", F.count(F.lit(1)).over(w_n)).withColumn(
+        "rk", F.row_number().over(w_rk)
+    )
+    linear = sc.groupBy("channel").agg(
+        F.round(F.sum(1.0 / F.col("n_t")), 4).alias("credit"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+    ).select(F.lit("linear").alias("model"), "channel", "credit", "n_touchpoints")
+    last = (
+        sc.filter(F.col("rk") == 1)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum(F.lit(1.0)), 4).alias("credit"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touchpoints"),
+        )
+        .select(
+            F.lit("last_touch").alias("model"),
+            "channel",
+            "credit",
+            "n_touchpoints",
+        )
+    )
+    return linear.unionByName(last)
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

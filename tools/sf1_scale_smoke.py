@@ -157,6 +157,16 @@ HEAVY = [
     ("basket_rules_lineitem", "linear (pair explode bounded by basket size)"),
     ("compaction_bins_docs", "linear"),
     ("mmr_rerank_docs", "linear (cold: shared shingle build cleared per timing; greedy tail is O(queries x 20 x k))"),
+    # wave 6/7: A/B report is one per-user agg + 2-arm arithmetic; the
+    # quality gate inherits its components' certified shapes; welch's
+    # streaming twin is state-bounded like the PSI twin; attribution
+    # pairs touches with conversions through the banded equi-join, so
+    # its volume grows with per-user activity DENSITY squared (the
+    # stream_band_join_attrib class), not corpus size.
+    ("ab_test_report_events", "linear"),
+    ("data_quality_gate", "linear (union of certified component audits)"),
+    ("stream_welch_ttest_events", "linear (state = six sums per group)"),
+    ("attribution_credit_events", "quadratic-in-density: 10x denser 7-day touch windows per user"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
