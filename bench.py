@@ -112,6 +112,8 @@ def main() -> None:
         # process — its live-train cost shows in its warm medians,
         # which retrain every run
         "classifier_calibration_docs",
+        # _CLF_MODELS consumer like calibration (scores the memoized model)
+        "conformal_threshold_docs",
     ]
     # Host-load stamp (the r7 lesson: six >2× "regressions" on unchanged
     # code were a noisy host; numbers without load context are not

@@ -6610,10 +6610,13 @@ def train_classifier_docs(spark, sf_dir):
     return model.select("bucket", F.round("weight", 4).alias("weight"))
 
 
-@q(
-    "classifier_calibration_docs",
-    _train_clf_sql().rsplit("SELECT CAST(-1", 1)[0]
-    + f""",
+def _clf_scored_sql() -> str:
+    """Unrolled train + score CTEs ending in ``sc (doc_id, y, score)``
+    with score rounded 4dp — shared by the calibration and conformal
+    oracles so both compositions replay the identical scored frame."""
+    return (
+        _train_clf_sql().rsplit("SELECT CAST(-1", 1)[0]
+        + f""",
 sc AS (
   SELECT t.doc_id, t.y,
          round(1.0 / (1.0 + exp(-((SELECT bv FROM bias{_CLF_STEPS})
@@ -6623,7 +6626,14 @@ sc AS (
                sum(coalesce(w.w, 0.0) * f.cnt) AS s
         FROM f LEFT JOIN w{_CLF_STEPS} w ON f.b = w.b
         GROUP BY f.doc_id) s ON t.doc_id = s.doc_id
-)
+)"""
+    )
+
+
+@q(
+    "classifier_calibration_docs",
+    _clf_scored_sql()
+    + """
 SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(score), 4) AS mean_score,
        round(avg(y), 4) AS en_rate
@@ -9843,6 +9853,207 @@ def attribution_credit_events(spark, sf_dir):
         )
     )
     return linear.unionByName(last)
+
+
+@q(
+    "partitioned_scan_events",
+    """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-24'
+GROUP BY 1
+""",
+)
+def partitioned_scan_events(spark, sf_dir):
+    """DIRECTORY PARTITION PRUNING certified with file-level evidence:
+    events written out partitioned by event_date (the Hive-style layout
+    every 100-TB log table uses), read back with a date filter, and the
+    query SELF-AUDITS twice before aggregating — it raises unless (a)
+    the scan's PartitionFilters actually carries the date predicate
+    (pruning at PLANNING time, the mechanism column-level PushedFilters
+    asserts elsewhere cannot see), and (b) the pruned scan touches
+    strictly fewer concrete files than the unfiltered read (distinct
+    input_file_name() over an EXECUTED scan — evidence at the FILE
+    level, not the plan level; DataFrame.inputFiles() is a
+    logical-relation snapshot that ignores pruning, measured 30/30).  At 100 TB this is the
+    difference between scanning 7 days and scanning 3 years; a filter
+    that silently lands post-scan is a cost regression the result hash
+    can never catch, which is exactly why it is an in-query error
+    here.  Write-then-read is the honest cost, as with the bucketed
+    join; the tiny per-date agg is map-side combined."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="suite_part_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        full = spark.read.parquet(path)
+        back = full.filter(
+            F.col("event_date") >= F.lit("2024-01-24").cast("date")
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or "PartitionFilters: []" in plan:
+            raise RuntimeError(
+                "date predicate did not reach the scan's PartitionFilters "
+                "— partition pruning regressed to a full-table scan"
+            )
+        def _files_read(df) -> int:
+            # input_file_name() on an EXECUTED scan reflects pruning;
+            # DataFrame.inputFiles() is a logical-relation snapshot that
+            # ignores it (measured: 30/30) — execution is the evidence
+            return (
+                df.select(F.input_file_name().alias("f")).distinct().count()
+            )
+
+        n_pruned, n_all = _files_read(back), _files_read(full)
+        if not n_pruned < n_all:
+            raise RuntimeError(
+                f"pruned scan read {n_pruned} of {n_all} files — "
+                "partition pruning had no file-level effect"
+            )
+        res = (
+            back.groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .localCheckpoint()  # materialize before the directory drops
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
+@q(
+    "conformal_threshold_docs",
+    _clf_scored_sql()
+    + """,
+labeled AS (
+  SELECT doc_id, y, score,
+         (('0x' || substr(md5('cf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT + 0.5) / 4294967296.0 AS u,
+         abs(y - score) AS nonconf
+  FROM sc
+),
+calib AS (SELECT * FROM labeled WHERE u < 0.5),
+test AS (SELECT * FROM labeled WHERE u >= 0.5),
+cs AS (SELECT list_sort(list(nonconf)) AS v, count(*) AS n FROM calib),
+qs AS (
+  SELECT alpha, n,
+         CAST(least(ceil((1 - alpha) * (n + 1)), n) AS BIGINT) AS k,
+         v[CAST(least(ceil((1 - alpha) * (n + 1)), n) AS BIGINT)] AS qhat
+  FROM cs CROSS JOIN (SELECT unnest([0.1, 0.2]::DOUBLE[]) AS alpha) a
+)
+SELECT qs.alpha, CAST(qs.n AS BIGINT) AS n_calib,
+       CAST(count(*) AS BIGINT) AS n_test,
+       qs.k, round(qs.qhat, 6) AS qhat,
+       round(sum(CASE WHEN t.nonconf <= qs.qhat THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS coverage
+FROM test t CROSS JOIN qs
+GROUP BY qs.alpha, qs.n, qs.k, qs.qhat
+""",
+)
+def conformal_threshold_docs(spark, sf_dir):
+    """SPLIT CONFORMAL PREDICTION over the in-engine classifier — the
+    distribution-free sibling of classifier_calibration_docs'
+    reliability table: hash-split documents into calibration/test,
+    nonconformity = |label − score| (absolute residual on the
+    probability), threshold q̂ = the k-th smallest calibration
+    nonconformity with k = min(⌈(1−α)(n+1)⌉, n) — the EXACT order
+    statistic the finite-sample coverage guarantee is stated for (no
+    interpolation, so both engines index the identical element), and
+    measured test coverage alongside.  Scores ride the memoized
+    trained model (the calibration pattern; training priced live by
+    train_classifier_docs), the hash split is the replayable md5
+    idiom, and score is the scorer's 4-dp rounded output so the order
+    statistic is bit-identical cross-engine.  Scale note: the sorted
+    calibration list is ONE collect_list agg buffer — right for an
+    eval-set-sized calibration frame (the standard split-conformal
+    setup); a corpus-scale calibration set would swap in
+    approx_percentile exactly as the MAD family documents."""
+    from .operators.text import linear_classifier_score
+
+    docs = _clf_docs(spark, sf_dir)
+    rows = _clf_model_rows(spark, sf_dir)
+    bias = next(r.weight for r in rows if r.bucket == -1)
+    w = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in rows if r.bucket >= 0],
+        "bucket int, weight double",
+    )
+    scored = linear_classifier_score(
+        docs.filter(F.col("text").isNotNull()),
+        w,
+        n_buckets=_CLF_BUCKETS,
+        bias=bias,
+        out_col="score",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cf:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    lab = scored.join(docs.select("doc_id", "__lbl"), "doc_id").select(
+        "doc_id",
+        F.col("__lbl").cast("double").alias("y"),
+        "score",
+        u.alias("u"),
+        F.abs(F.col("__lbl") - F.col("score")).alias("nonconf"),
+    )
+    calib = lab.filter(F.col("u") < 0.5)
+    test = lab.filter(F.col("u") >= 0.5)
+    cs = calib.agg(
+        F.array_sort(F.collect_list("nonconf")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    alphas = spark.createDataFrame([(0.1,), (0.2,)], "alpha double")
+    k = F.least(
+        F.ceil((1 - F.col("alpha")) * (F.col("n") + 1)), F.col("n")
+    ).cast("bigint")
+    qs = (
+        cs.crossJoin(F.broadcast(alphas))
+        .withColumn("k", k)
+        .select(
+            "alpha",
+            F.col("n").cast("bigint").alias("n_calib"),
+            "k",
+            F.element_at("v", F.col("k").cast("int")).alias("qhat"),
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(qs))
+        .groupBy("alpha", "n_calib", "k", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nonconf") <= F.col("qhat"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+        .select(
+            "alpha",
+            "n_calib",
+            "n_test",
+            "k",
+            F.round("qhat", 6).alias("qhat"),
+            "coverage",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

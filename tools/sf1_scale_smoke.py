@@ -167,6 +167,12 @@ HEAVY = [
     ("data_quality_gate", "linear (union of certified component audits)"),
     ("stream_welch_ttest_events", "linear (state = six sums per group)"),
     ("attribution_credit_events", "quadratic-in-density: 10x denser 7-day touch windows per user"),
+    # wave 8: conformal rides the memoized model like calibration (its
+    # corpus-scale work is the scoring scan + one collect_list over the
+    # calibration split); partitioned_scan's honest cost is the 10×
+    # layout write + the pruned read-back.
+    ("conformal_threshold_docs", "linear (scoring scan + eval-set order statistic)"),
+    ("partitioned_scan_events", "linear (layout write + pruned scan)"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
