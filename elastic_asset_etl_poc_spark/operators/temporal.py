@@ -604,3 +604,91 @@ def funnel(
     return counts.selectExpr(
         f"stack({k}, {triples}) AS (step_idx, step, n_users, pct)"
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per group — level +
+    trend state folded through the series, one-step-ahead SSE, and an
+    h-step forecast.  The recurrence (l' = αy + (1−α)(l+b);
+    b' = β(l'−l) + (1−β)b) is inherently sequential, which usually
+    pushes engines to a Python loop; here it runs as a JVM-side
+    ``F.aggregate`` fold over the group's collected (x, y) array —
+    whole-stage-codegen arithmetic, no UDF, no window recursion.
+
+    Input is one row per (group, x), the already-aggregated series;
+    state initializes from the first two points (l₀ = y₂,
+    b₀ = y₂ − y₁ — level AT the second point, so a perfectly linear
+    series yields zero one-step error) and folds from the third on.  Requires ≥ 2 points
+    per group (fewer are filtered out).  Squared errors are computed as
+    d·d, never pow(d, 2) — Java Math.pow and C pow can differ in the
+    last ulp, and the oracle replays this exact operand order.
+
+    Scale shape: ONE shuffle collapses the corpus to per-group series;
+    the fold is O(series length) per group inside the agg projection.
+    The collected array is the series, not the corpus — days, not rows
+    (a group's series must fit in one array, the same contract as every
+    windowed-forecast formulation).
+    """
+    oma, omb = 1.0 - alpha, 1.0 - beta
+    g = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .filter(F.size("arr") >= 2)
+    )
+    init = F.struct(
+        F.element_at("arr", 2)["y"].alias("l"),
+        (F.element_at("arr", 2)["y"] - F.element_at("arr", 1)["y"]).alias(
+            "b"
+        ),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, e):
+        pred = acc["l"] + acc["b"]
+        l2 = F.lit(alpha) * e["y"] + F.lit(oma) * pred
+        b2 = F.lit(beta) * (l2 - acc["l"]) + F.lit(omb) * acc["b"]
+        d = e["y"] - pred
+        return F.struct(
+            l2.alias("l"), b2.alias("b"), (acc["sse"] + d * d).alias("sse")
+        )
+
+    st = g.select(
+        "g",
+        F.size("arr").cast("bigint").alias("n_points"),
+        F.aggregate(
+            F.slice("arr", 3, F.greatest(F.size("arr") - 2, F.lit(0))),
+            init,
+            step,
+        ).alias("st"),
+    )
+    fcols = [
+        (F.col("st")["l"] + F.lit(float(h)) * F.col("st")["b"]).alias(
+            f"forecast_{h}"
+        )
+        for h in range(1, horizon + 1)
+    ]
+    return st.select(
+        F.col("g").alias(group_col),
+        "n_points",
+        F.col("st")["l"].alias("level"),
+        F.col("st")["b"].alias("trend"),
+        F.col("st")["sse"].alias("sse"),
+        *fcols,
+    )

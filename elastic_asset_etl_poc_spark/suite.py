@@ -10056,6 +10056,196 @@ def conformal_threshold_docs(spark, sf_dir):
     )
 
 
+def _holt_sql(alpha: float = 0.5, beta: float = 0.3) -> str:
+    """Recursive-CTE oracle for the Holt fold: the same recurrence with
+    the same operand order (l2 expanded inline, d·d not pow), constants
+    repr'd from the SAME Python floats the Spark fold multiplies by."""
+    a, oma = repr(alpha), repr(1.0 - alpha)
+    b, omb = repr(beta), repr(1.0 - beta)
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+ord AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS i
+  FROM daily
+),
+nn AS (SELECT event_type, max(i) AS n FROM ord GROUP BY 1),
+rec AS (
+  SELECT o1.event_type, CAST(2 AS BIGINT) AS i,
+         o2.y AS l, o2.y - o1.y AS b, CAST(0.0 AS DOUBLE) AS sse
+  FROM ord o1 JOIN ord o2 USING (event_type)
+  WHERE o1.i = 1 AND o2.i = 2
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         {a} * o.y + {oma} * (r.l + r.b),
+         {b} * (({a} * o.y + {oma} * (r.l + r.b)) - r.l) + {omb} * r.b,
+         r.sse + (o.y - (r.l + r.b)) * (o.y - (r.l + r.b))
+  FROM rec r
+  JOIN ord o ON o.event_type = r.event_type AND o.i = r.i + 1
+)
+SELECT r.event_type, CAST(nn.n AS BIGINT) AS n_points,
+       round(r.l, 4) AS level, round(r.b, 4) AS trend,
+       round(r.sse, 4) AS sse,
+       round(r.l + 1.0 * r.b, 4) AS forecast_1,
+       round(r.l + 2.0 * r.b, 4) AS forecast_2,
+       round(r.l + 3.0 * r.b, 4) AS forecast_3
+FROM rec r JOIN nn ON r.event_type = nn.event_type AND r.i = nn.n
+"""
+
+
+@q("holt_forecast_events", _holt_sql())
+def holt_forecast_events(spark, sf_dir):
+    """FORECASTING: Holt's linear-trend exponential smoothing over each
+    event_type's daily count series (operators/temporal.py
+    holt_linear) — level/trend state, one-step-ahead SSE, and a 3-day
+    forecast.  The recurrence is inherently SEQUENTIAL — the shape that
+    usually forces a Python loop — but here it folds through the
+    collected series as a JVM-side F.aggregate (whole-stage-codegen
+    arithmetic, zero UDFs), and the oracle replays the identical chain
+    as a recursive CTE with the same operand order (l2 expanded inline,
+    squared error as d·d never pow(d,2) — Java Math.pow and C pow can
+    disagree in the last ulp), constants repr'd from the same Python
+    floats — so a 29-step float recurrence is bit-identical
+    cross-engine before the 4-dp rounding.  Complements the trend
+    family: theil_sen says how fast it HAS been moving (robust, no
+    model), holt says where it is GOING (recency-weighted state).
+    Scale shape: ONE corpus shuffle to daily series; the fold is
+    O(days) per group inside the agg projection — the array is the
+    series, never corpus rows."""
+    from .operators.temporal import holt_linear
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    h = holt_linear(daily, "event_type", "x", "y", alpha=0.5, beta=0.3)
+    return h.select(
+        "event_type",
+        "n_points",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("sse", 4).alias("sse"),
+        F.round("forecast_1", 4).alias("forecast_1"),
+        F.round("forecast_2", 4).alias("forecast_2"),
+        F.round("forecast_3", 4).alias("forecast_3"),
+    )
+
+
+@q(
+    "leadlag_corr_events",
+    """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT * FROM (VALUES ('click', 'purchase'), ('view', 'purchase'))
+    AS t(leader, follower)
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+m AS (
+  SELECT p.leader, p.follower, lg.lag,
+         count(*) AS n, sum(a.y) AS sx, sum(b.y) AS sy,
+         sum(a.y * a.y) AS sxx, sum(b.y * b.y) AS syy,
+         sum(a.y * b.y) AS sxy
+  FROM pairs p CROSS JOIN lags lg
+  JOIN daily a ON a.event_type = p.leader
+  JOIN daily b ON b.event_type = p.follower AND b.x = a.x + lg.lag
+  GROUP BY 1, 2, 3
+)
+SELECT leader, follower, CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS corr
+FROM m
+WHERE n >= 3 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+""",
+)
+def leadlag_corr_events(spark, sf_dir):
+    """LEAD-LAG cross-correlation between daily event series: Pearson r
+    between the leader's count on day t and the follower's on day
+    t+lag, for lags −3..+3 — the does-click-volume-LEAD-purchase-volume
+    question a forecasting/attribution analysis starts from (the lag
+    maximizing r is the candidate causal delay; attribution_credit then
+    allocates within it).  r is stated as raw power sums
+    (nΣxy−ΣxΣy)/√(…) — the moments discipline, no engine corr()
+    builtin whose NULL/ddof conventions could differ — and degenerate
+    lags (constant series, <3 overlapping days) are filtered on the
+    same computed values in both engines.  Scale shape: ONE corpus
+    shuffle to the daily frame; the lag×pair join and the correlation
+    arithmetic run on |types|×|days| rows — constant-size, corpus-
+    independent."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    pairs = F.broadcast(
+        daily.sparkSession.createDataFrame(
+            [("click", "purchase"), ("view", "purchase")],
+            "leader string, follower string",
+        )
+    )
+    a = daily.select(
+        F.col("event_type").alias("leader"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    ).join(pairs, "leader")
+    al = a.withColumn(
+        "lag", F.explode(F.sequence(F.lit(-3), F.lit(3)))
+    )
+    b = daily.select(
+        F.col("event_type").alias("follower"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    m = (
+        al.join(
+            b,
+            (al.follower == b.follower) & (b.xb == al.xa + al.lag),
+        )
+        .drop(b.follower)
+        .groupBy("leader", "follower", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ya").alias("sx"),
+            F.sum("yb").alias("sy"),
+            F.sum(F.col("ya") * F.col("ya")).alias("sxx"),
+            F.sum(F.col("yb") * F.col("yb")).alias("syy"),
+            F.sum(F.col("ya") * F.col("yb")).alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_term = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return m.filter((n >= 3) & (var_term > 0)).select(
+        "leader",
+        "follower",
+        F.col("lag").cast("bigint").alias("lag"),
+        n.cast("bigint").alias("n_days"),
+        F.round((n * sxy - sx * sy) / F.sqrt(var_term), 4).alias("corr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -318,3 +318,63 @@ def test_bootstrap_ci_replays_exactly_property(spark, vals, reps):
         r.boot_hi, _interp_pct(means, 0.975), rel_tol=1e-9, abs_tol=1e-9
     )
     assert r.boot_lo <= r.boot_hi
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    ys=st.lists(
+        st.floats(min_value=0, max_value=500, allow_nan=False),
+        min_size=2,
+        max_size=15,
+    ),
+    ab=st.tuples(
+        st.floats(min_value=0.1, max_value=0.9),
+        st.floats(min_value=0.1, max_value=0.9),
+    ),
+)
+def test_holt_linear_matches_reference_property(spark, ys, ab):
+    """The JVM array fold replays the plain-Python Holt recurrence
+    exactly: level, trend, one-step SSE, and h-step forecasts."""
+    from elastic_asset_etl_poc_spark.operators.temporal import holt_linear
+
+    alpha, beta = ab
+    df = spark.createDataFrame(
+        [("g", float(i), float(y)) for i, y in enumerate(ys)],
+        "g string, x double, y double",
+    )
+    out = holt_linear(
+        df, "g", "x", "y", alpha=alpha, beta=beta, horizon=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    l, b, sse = ys[1], ys[1] - ys[0], 0.0
+    for y in ys[2:]:
+        pred = l + b
+        l2 = alpha * y + (1.0 - alpha) * pred
+        b2 = beta * (l2 - l) + (1.0 - beta) * b
+        d = y - pred
+        sse += d * d
+        l, b = l2, b2
+    assert r.n_points == len(ys)
+    assert math.isclose(r.level, l, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(r.trend, b, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(r.sse, sse, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(r.forecast_1, l + b, rel_tol=1e-12, abs_tol=1e-12)
+    assert math.isclose(
+        r.forecast_2, l + 2.0 * b, rel_tol=1e-12, abs_tol=1e-12
+    )
+
+
+def test_holt_linear_tracks_a_perfect_line(spark):
+    """On an exact line y = 5 + 2x the smoother locks on: one-step
+    predictions are exact (SSE 0) and forecasts continue the line."""
+    from elastic_asset_etl_poc_spark.operators.temporal import holt_linear
+
+    df = spark.createDataFrame(
+        [("g", float(i), 5.0 + 2.0 * i) for i in range(12)],
+        "g string, x double, y double",
+    )
+    r = holt_linear(df, "g", "x", "y", alpha=0.4, beta=0.2).collect()[0]
+    assert abs(r.sse) < 1e-18
+    assert abs(r.trend - 2.0) < 1e-12
+    assert abs(r.forecast_3 - (5.0 + 2.0 * 14)) < 1e-9

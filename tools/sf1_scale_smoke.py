@@ -173,6 +173,10 @@ HEAVY = [
     # layout write + the pruned read-back.
     ("conformal_threshold_docs", "linear (scoring scan + eval-set order statistic)"),
     ("partitioned_scan_events", "linear (layout write + pruned scan)"),
+    # wave 9: both collapse the corpus to the |types|x|days| daily frame
+    # in one agg; holt's fold and the lag-pair correlation run on it.
+    ("holt_forecast_events", "linear (fold runs on the fixed daily frame)"),
+    ("leadlag_corr_events", "linear (lag joins run on the fixed daily frame)"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
