@@ -9179,9 +9179,14 @@ def _bootstrap_ci_sql() -> str:
     return f"""
 WITH x AS (
   SELECT e.event_type, e.value, r.rep,
-         (('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
-                              || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT
-          + 0.5) / 4294967296.0 AS u
+         (('0x' || substr(
+              CASE CAST(r.rep // 8 AS INT)
+                WHEN 0 THEN md5(CAST(e.event_id AS VARCHAR) || ':0')
+                WHEN 1 THEN md5(CAST(e.event_id AS VARCHAR) || ':1')
+                WHEN 2 THEN md5(CAST(e.event_id AS VARCHAR) || ':2')
+                ELSE md5(CAST(e.event_id AS VARCHAR) || ':3') END,
+              CAST((r.rep % 8) * 4 + 1 AS INT), 4))::BIGINT
+          + 0.5) / 65536.0 AS u
   FROM events e CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r
 ),
 w AS (

@@ -289,12 +289,9 @@ def test_bootstrap_ci_replays_exactly_property(spark, vals, reps):
     r = out[0]
 
     def weight(rid, rep):
-        u = (
-            int(
-                hashlib.md5(f"{rid}:{rep}".encode()).hexdigest()[:8], 16
-            )
-            + 0.5
-        ) / 4294967296.0
+        h = hashlib.md5(f"{rid}:{rep // 8}".encode()).hexdigest()
+        off = (rep % 8) * 4
+        u = (int(h[off : off + 4], 16) + 0.5) / 65536.0
         for k, c in enumerate(POISSON1_CUM):
             if u < c:
                 return k
