@@ -86,6 +86,8 @@ def main() -> None:
         "cluster_split_docs",
         "audit_split_leakage",
         "triangle_docs",
+        # _IVF_INCR_STORES (standing assignment store + frozen centroids)
+        "embed_knn_ivf_incr",
         # _MINHASH_STORES (parquet band/fingerprint stores built once)
         "minhash_incremental_docs",
         "recall_simhash_incremental_vs_full",

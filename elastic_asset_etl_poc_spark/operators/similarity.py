@@ -280,6 +280,131 @@ def load_centroids(spark, path: str):
     return np.array([r.vector for r in rows], dtype=np.float64)
 
 
+def _ivf_idtype(df, id_col):
+    return df.schema[id_col].dataType
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """IVF list assignment: every vector maps to its nearest coarse
+    centroid via one Arrow numpy matmul against the broadcast centroid
+    matrix — map-side, no shuffle.  Returns ``(centroid, out_id, __v)``,
+    the inverted-file STORE layout (parquet-persistable, so a standing
+    index can be maintained incrementally: assigning a new batch against
+    FROZEN centroids is this same stateless map over just the delta —
+    no retrain, no touch of the standing lists)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    idtype = _ivf_idtype(embeddings, id_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
+    schema = T.StructType(
+        [
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField(out_id, idtype),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign_nearest(it):
+        Cm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.where(n == 0, 1.0, n)
+            cid = np.argmax(vn @ Cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"centroid": cid, out_id: pdf[id_col], "__v": list(vecs)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign_nearest, schema
+    )
+
+
+def ivf_probe(
+    store: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an assigned IVF store ``(centroid, neighbor_id, __v)``:
+    each query replicates to its ``nprobe`` nearest centroids' lists
+    (map-side matmul), candidates come from an equi-join on the
+    centroid id (queries broadcast), exact cosine re-ranks.  nprobe =
+    n_centroids is the full probe — exact KNN served THROUGH the store
+    layout, the property the incremental-maintenance audit leans on."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    idtype = _ivf_idtype(queries, id_col)
+    bc = queries.sparkSession.sparkContext.broadcast(C)
+    schema = T.StructType(
+        [
+            T.StructField("centroid", T.IntegerType()),
+            T.StructField("query_id", idtype),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def probe(it):
+        Cm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vn = vecs / np.where(n == 0, 1.0, n)
+            order = np.argsort(-(vn @ Cm.T), axis=1)[:, : min(nprobe, len(Cm))]
+            nq, probes = order.shape
+            yield pd.DataFrame(
+                {
+                    "centroid": order.reshape(-1).astype(np.int32),
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), probes),
+                    "__v": [v for v in vecs for _ in range(probes)],
+                }
+            )
+
+    e = store.select("centroid", "neighbor_id", F.col("__v").alias("ev"))
+    q = queries.select(id_col, vec_col).mapInPandas(probe, schema).select(
+        "centroid", "query_id", F.col("__v").alias("qv")
+    )
+    cand = e.join(F.broadcast(q), "centroid").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = (
+        _dot(F.col("ev"), F.col("qv"))
+        / (_norm(F.col("ev")) * _norm(F.col("qv")))
+    ).alias("cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -295,18 +420,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) ANN → (query_id, neighbor_id, rank).
 
-    The classic coarse-quantizer layout (FAISS-style IVF-Flat):
+    The classic coarse-quantizer layout (FAISS-style IVF-Flat), now
+    composed from the reusable stages:
 
     1. **train** — :func:`ivf_train` (bounded-sample spherical k-means);
        pass a pre-trained ``centroids`` matrix to skip this stage — a
        static corpus should train once and reuse, not re-run the
        count+collect jobs per query batch;
-    2. **assign** — every vector maps to its nearest centroid via one
-       Arrow numpy matmul against the broadcast centroids (map-side, no
-       shuffle);
-    3. **probe** — each query replicates to its ``nprobe`` nearest
-       centroids' lists; candidates come from an equi-join on
-       ``centroid`` (queries broadcast); exact cosine re-ranks.
+    2. **assign** — :func:`ivf_assign` (map-side, no shuffle; also the
+       incremental-add primitive for a persisted store);
+    3. **probe** — :func:`ivf_probe`.
 
     Raising ``nprobe`` trades compute for recall without re-training.
     Complements :func:`lsh_topk`: IVF adapts its partitions to the data
@@ -316,10 +439,9 @@ def ivf_topk(
     clustered real corpora concentrate neighbors in few lists.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    idtype = embeddings.schema[id_col].dataType
+    idtype = _ivf_idtype(embeddings, id_col)
     C = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
@@ -333,7 +455,7 @@ def ivf_topk(
             seed=seed,
         )
     )
-    if C.size == 0:  # empty corpus → empty result, like the other operators
+    if len(C) == 0:
         return embeddings.sparkSession.createDataFrame(
             [],
             T.StructType(
@@ -344,67 +466,9 @@ def ivf_topk(
                 ]
             ),
         )
-    bc = embeddings.sparkSession.sparkContext.broadcast(C)
-
-    def assigned_schema(extra_id: str):
-        return T.StructType(
-            [
-                T.StructField("centroid", T.IntegerType()),
-                T.StructField(extra_id, idtype),
-                T.StructField("__v", T.ArrayType(T.DoubleType())),
-            ]
-        )
-
-    def assign_nearest(it):
-        Cm = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vn = vecs / np.where(n == 0, 1.0, n)
-            cid = np.argmax(vn @ Cm.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"centroid": cid, "neighbor_id": pdf[id_col], "__v": list(vecs)}
-            )
-
-    def probe(it):
-        Cm = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vn = vecs / np.where(n == 0, 1.0, n)
-            order = np.argsort(-(vn @ Cm.T), axis=1)[:, : min(nprobe, len(Cm))]
-            n, probes = order.shape
-            yield pd.DataFrame(
-                {
-                    "centroid": order.reshape(-1).astype(np.int32),
-                    "query_id": np.repeat(pdf[id_col].to_numpy(), probes),
-                    "__v": [v for v in vecs for _ in range(probes)],
-                }
-            )
-
-    e = embeddings.select(id_col, vec_col).mapInPandas(
-        assign_nearest, assigned_schema("neighbor_id")
-    ).select("centroid", "neighbor_id", F.col("__v").alias("ev"))
-    q = queries.select(id_col, vec_col).mapInPandas(
-        probe, assigned_schema("query_id")
-    ).select("centroid", "query_id", F.col("__v").alias("qv"))
-
-    cand = e.join(F.broadcast(q), "centroid").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    cos = (_dot(F.col("ev"), F.col("qv")) / (_norm(F.col("ev")) * _norm(F.col("qv")))).alias(
-        "cos"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        cand.select("query_id", "neighbor_id", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    store = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col)
+    return ivf_probe(
+        store, queries, C, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -10251,6 +10251,135 @@ def leadlag_corr_events(spark, sf_dir):
     )
 
 
+#: per-sf_dir incremental IVF index: centroids trained ONCE on the
+#: standing corpus (vec_id % 5 != 0), standing assignment persisted as a
+#: parquet store — the _MINHASH_STORES pattern for the ANN family.  The
+#: incremental query folds the delta batch in WITHOUT retraining or
+#: touching the standing lists.
+_IVF_INCR_STORES: dict = {}
+
+
+def _ivf_incr_store(spark, sf_dir: str):
+    if sf_dir not in _IVF_INCR_STORES:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .operators.similarity import ivf_assign, ivf_train
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        standing = emb.filter(F.col("vec_id") % 5 != 0)
+        cents = ivf_train(standing)
+        path = tempfile.mkdtemp(prefix="suite_ivfstore_")
+        ivf_assign(standing, cents).write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _IVF_INCR_STORES[sf_dir] = (cents, path)
+    return _IVF_INCR_STORES[sf_dir]
+
+
+@q("embed_knn_ivf_incr", _KNN_SQL)
+def embed_knn_ivf_incr(spark, sf_dir):
+    """INCREMENTAL ANN index maintenance (the minhash_incremental
+    pattern applied to IVF): the standing store holds assignments for
+    80% of the corpus under centroids trained on that standing corpus
+    alone; the 20% delta batch folds in as ONE stateless map-side
+    assignment against the FROZEN centroids (operators/similarity.py
+    ivf_assign — no retrain, no rewrite of standing lists, the
+    append-only maintenance a production vector index runs per ingest
+    batch).  Serving probes the UNION of standing parquet + fresh delta
+    at nprobe = n_centroids, and the oracle is the EXACT brute-force
+    KNN SQL — full probe through the incrementally-built store must
+    reproduce exact top-10 EXACTLY, so a fold-in bug (wrong list, lost
+    vector, stale centroid matrix) breaks the driver hash rather than
+    surfacing as a quiet recall dip.  (Partial-probe recall economics
+    are certified separately: embed_knn_ivf + recall_ivf_full_probe.)
+    Scale shape: delta assignment is map-only over the batch; the
+    standing store is read, never recomputed; probe cost is the
+    served-query path, independent of how many batches were folded."""
+    from .operators.similarity import ivf_assign, ivf_probe
+
+    cents, path = _ivf_incr_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    store = spark.read.parquet(path).unionByName(ivf_assign(delta, cents))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_probe(store, queries, cents, k=10, nprobe=len(cents))
+
+
+@q(
+    "event_paths_top",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, d, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= 3 GROUP BY user_id, d
+),
+c AS (SELECT path, count(*) AS n FROM p GROUP BY path)
+SELECT path, CAST(n AS BIGINT) AS n_journeys, CAST(rnk AS INT) AS rnk
+FROM (SELECT path, n,
+             row_number() OVER (ORDER BY n DESC, path) AS rnk
+      FROM c)
+WHERE rnk <= 10
+""",
+)
+def event_paths_top(spark, sf_dir):
+    """JOURNEY PATH MINING: the top 10 most common 3-step user-day
+    journey prefixes (first three events of each user's day, in time
+    order, joined 'a>b>c') — the sequence-level view event_transitions'
+    one-step Markov matrix cannot give: a Markov chain sees P(b|a) and
+    P(c|b) but not which full OPENINGS dominate, and openings are what
+    onboarding/funnel design reads.  Ties in the per-day ordering break
+    on event_id, path ranking breaks on the path string — deterministic
+    in both engines.  Scale shape: ONE corpus window partitioned by
+    (user, day) — the key's cardinality grows with the corpus, so the
+    sort is fully parallel with no hot partition — then two tiny aggs;
+    the path domain is ≤ |types|³ rows, and the final top-10 window
+    runs on that constant-size frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    )
+    w_rn = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    e = ev.withColumn("rn", F.row_number().over(w_rn)).filter(
+        F.col("rn") <= 3
+    )
+    p = e.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn").alias("rn"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    w_top = Window.partitionBy().orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "path",
+            F.col("n").cast("bigint").alias("n_journeys"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

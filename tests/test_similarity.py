@@ -413,3 +413,44 @@ def test_sq8_topk_high_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ivf_incremental_store_serves_exact_under_full_probe(spark):
+    """The incremental-maintenance contract: assignments built in two
+    batches against frozen centroids (standing + delta), probed at
+    nprobe = n_centroids, reproduce exact cosine top-k exactly — the
+    same property embed_knn_ivf_incr hash-checks against the brute
+    force oracle, pinned here on random data for the assign/probe
+    refactor."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_probe,
+        ivf_train,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    standing = emb.filter("vec_id % 5 != 0")
+    delta = emb.filter("vec_id % 5 == 0")
+    cents = ivf_train(standing, n_centroids=4, max_train_sample=64)
+    store = ivf_assign(standing, cents).unionByName(
+        ivf_assign(delta, cents)
+    )
+    queries = emb.filter("vec_id < 3")
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_probe(
+            store, queries, cents, k=5, nprobe=len(cents)
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    assert got == want

@@ -177,6 +177,12 @@ HEAVY = [
     # in one agg; holt's fold and the lag-pair correlation run on it.
     ("holt_forecast_events", "linear (fold runs on the fixed daily frame)"),
     ("leadlag_corr_events", "linear (lag joins run on the fixed daily frame)"),
+    # wave 10: path mining is one (user, day)-partitioned window + tiny
+    # aggs; incremental IVF's timed cost is the delta assignment (map
+    # over the 20% batch) + the full-probe serve over the unioned store
+    # (store build is memoized — cold-cleared like the pair frames).
+    ("event_paths_top", "linear"),
+    ("embed_knn_ivf_incr", "linear (cold: store+centroids rebuilt per timing)"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
@@ -191,6 +197,8 @@ COLD_CACHES = {
     # _SHINGLE_FRAMES consumers: clearing prices the shingle build
     "rrf_fusion_docs",
     "mmr_rerank_docs",
+    # _IVF_INCR_STORES consumer: clearing prices train+standing assign
+    "embed_knn_ivf_incr",
 }
 
 
@@ -309,6 +317,7 @@ def main() -> None:
                 if name in COLD_CACHES:
                     suite._PAIR_FRAMES.clear()
                     suite._SHINGLE_FRAMES.clear()
+                    suite._IVF_INCR_STORES.clear()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
