@@ -10380,6 +10380,304 @@ def event_paths_top(spark, sf_dir):
     )
 
 
+@q(
+    "randomized_response_events",
+    """
+WITH cats AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) - 1 AS ci
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+k AS (SELECT count(*) AS k FROM cats),
+r AS (
+  SELECT e.event_id, e.event_type,
+         (('0x' || substr(md5('rr1:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+            ::BIGINT + 0.5) / 4294967296.0 AS u_lie,
+         ('0x' || substr(md5('rr2:' || CAST(e.event_id AS VARCHAR)), 1, 8))
+            ::BIGINT AS h_pick
+  FROM events e
+),
+rep AS (
+  SELECT CASE WHEN r.u_lie < 0.75 THEN r.event_type
+              ELSE (SELECT event_type FROM cats
+                    WHERE ci = r.h_pick % (SELECT k FROM k)) END
+           AS reported
+  FROM r
+),
+truth AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+obs AS (SELECT reported AS event_type, count(*) AS n_reported
+        FROM rep GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM events)
+SELECT t.event_type, CAST(t.n_true AS BIGINT) AS n_true,
+       CAST(o.n_reported AS BIGINT) AS n_reported,
+       round((o.n_reported - 0.25 * tot.n / k.k) / 0.75, 4) AS n_est,
+       round(abs((o.n_reported - 0.25 * tot.n / k.k) / 0.75 - t.n_true),
+             4) AS abs_err
+FROM truth t JOIN obs o USING (event_type)
+CROSS JOIN tot CROSS JOIN k
+""",
+)
+def randomized_response_events(spark, sf_dir):
+    """LOCAL differential privacy via k-ary randomized response — the
+    collection-side mechanism completing the privacy family
+    (redact_pii scrubs, k_anonymity/l_diversity audit,
+    dp_noisy_counts is the CENTRAL release; here each record lies
+    about its category with probability 1−p BEFORE aggregation, so the
+    aggregator never holds the truth).  Each row draws two replayable
+    md5 uniforms: keep-truth at p = 0.75, else report the hash-picked
+    category; the de-biased estimator n̂_c = (reported_c − (1−p)·n/k)/p
+    is exact arithmetic, and emitting n_true/abs_err beside it makes
+    the mechanism's utility (not just its output) hash-checked — both
+    engines replay identical lies.  Category indexing is alphabetical
+    row_number, stated in both engines.  Scale shape: the perturbation
+    is map-side (category table broadcast: tiny by construction); ONE
+    count agg each for truth and reported."""
+    ev = load_table(spark, sf_dir, "events")
+    cats = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "ci",
+            F.row_number().over(
+                Window.partitionBy().orderBy("event_type")
+            )
+            - 1,
+        )
+    )
+    kk = cats.agg(F.count(F.lit(1)).alias("k"))
+
+    def u(salt):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt), F.col("event_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    r = ev.select(
+        "event_id",
+        "event_type",
+        ((u("rr1:").cast("double") + 0.5) / 4294967296.0).alias("u_lie"),
+        u("rr2:").alias("h_pick"),
+    ).crossJoin(F.broadcast(kk))
+    pick = cats.select(
+        F.col("ci").alias("pick_ci"), F.col("event_type").alias("lie_type")
+    )
+    rep = r.withColumn("pick_ci", (F.col("h_pick") % F.col("k"))).join(
+        F.broadcast(pick), "pick_ci"
+    ).select(
+        F.when(F.col("u_lie") < 0.75, F.col("event_type"))
+        .otherwise(F.col("lie_type"))
+        .alias("reported")
+    )
+    truth = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    obs = rep.groupBy(F.col("reported").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_reported")
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    est = (F.col("n_reported") - 0.25 * F.col("n") / F.col("k")) / 0.75
+    return (
+        truth.join(obs, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "event_type",
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_reported").cast("bigint").alias("n_reported"),
+            F.round(est, 4).alias("n_est"),
+            F.round(F.abs(est - F.col("n_true")), 4).alias("abs_err"),
+        )
+    )
+
+
+@q(
+    "cumulative_users_daily",
+    """
+WITH fs AS (
+  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_d
+  FROM events GROUP BY 1, 2
+),
+daily AS (SELECT event_type, first_d AS d, count(*) AS new_users
+          FROM fs GROUP BY 1, 2)
+SELECT event_type, d AS day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+""",
+)
+def cumulative_users_daily(spark, sf_dir):
+    """Running DISTINCT-user ADOPTION curve per event_type via the
+    first-seen trick: window count(DISTINCT) does not exist in any
+    engine, and the naive per-day distinct-over-growing-prefix rescans
+    the corpus once per day (O(days × corpus)); instead each (type,
+    user) collapses to its FIRST day (one agg), and the running
+    distinct count is a cumulative sum of daily first-appearances —
+    exactly equivalent because a user enters a type's distinct set
+    once, on their first day, and never leaves.  Scale shape: ONE
+    corpus shuffle (per-(type, user) min), then a |types|×|days| frame;
+    the per-type cumsum windows run on that constant-size frame."""
+    fs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_d"))
+    )
+    daily = fs.groupBy("event_type", F.col("first_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@q(
+    "benford_audit_lineitem",
+    """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+o AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM o)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / tot, 4) AS observed_freq,
+       round(log10(1.0 + 1.0 / digit), 4) AS benford_freq,
+       round((n * 1.0 / tot - log10(1.0 + 1.0 / digit))
+             * (n * 1.0 / tot - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM o CROSS JOIN t
+""",
+)
+def benford_audit_lineitem(spark, sf_dir):
+    """BENFORD'S LAW forensic audit over line-item prices: leading
+    digits of naturally-spanning monetary amounts should follow
+    P(d) = log₁₀(1 + 1/d) ≈ 30.1% ones down to 4.6% nines, and
+    fabricated or truncated data visibly doesn't — the data-forensics
+    screen auditors and quality teams run before deeper review (this
+    TPC-H-ish price column is uniform-ish by construction, so the
+    observed-vs-Benford gap here IS the signal: the audit correctly
+    flags synthetic pricing).  Per-digit chi-square terms ride along so
+    the divergence is attributable to specific digits.  Leading digit
+    extracted via integer-string truncation, identical in both engines
+    (never log-based extraction, whose floor(log10) edge cases at
+    powers of ten differ in the last ulp).  Scale shape: map-side digit
+    extraction, ONE 9-group count agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    o = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = o.agg(F.sum("n").alias("tot"))
+    freq = F.col("n") * 1.0 / F.col("tot")
+    ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    return o.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(freq, 4).alias("observed_freq"),
+        F.round(ben, 4).alias("benford_freq"),
+        F.round((freq - ben) * (freq - ben) / ben, 6).alias("chi2_term"),
+    )
+
+
+@q(
+    "gini_revenue_customers",
+    """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS r
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+         count(*) OVER () AS n, sum(r) OVER () AS tot
+  FROM rev
+),
+g AS (
+  SELECT max(n) AS n, max(tot) AS tot,
+         sum(i * r) AS weighted,
+         sum(CASE WHEN i > max_i - CAST(floor(max_i * 0.2) AS BIGINT)
+                  THEN r ELSE 0 END) AS top20_rev
+  FROM (SELECT *, max(i) OVER () AS max_i FROM rk)
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(tot, 2) AS total_revenue,
+       round(2.0 * weighted / (n * tot) - (n + 1.0) / n, 4) AS gini,
+       round(top20_rev / tot, 4) AS top20_share
+FROM g
+""",
+)
+def gini_revenue_customers(spark, sf_dir):
+    """REVENUE CONCENTRATION: the Gini coefficient of per-customer
+    revenue (G = 2Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending-ranked
+    revenues) plus the top-20% revenue share (the Pareto 80/20 check) —
+    the concentration view skew_report_events' hot-KEY histogram
+    doesn't give: skew_report answers 'will a partition hotspot', this
+    answers 'how dependent is the business on few customers'.  Rank
+    ties break on customer key, stated in both engines.  Scale shape:
+    ONE corpus shuffle (per-customer agg); the rank is a global sort of
+    the CUSTOMER frame (dimension-sized, not fact-sized) and the Gini
+    arithmetic is one agg over it.  At a truly fact-scale entity count
+    the global row_number would become the bottleneck — then rank via
+    range-partitioned sort + partition-offset cumsum (the zorder/epoch
+    pattern); stated here because the honest plan differs at 100 TB."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w_rank = Window.partitionBy().orderBy("r", "o_custkey")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = rev.select(
+        "r",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("r").over(w_all).alias("tot"),
+    ).withColumn("max_i", F.max("i").over(w_all))
+    g = rk.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+        F.sum(
+            F.when(
+                F.col("i")
+                > F.col("max_i")
+                - F.floor(F.col("max_i") * 0.2).cast("bigint"),
+                F.col("r"),
+            ).otherwise(0)
+        ).alias("top20_rev"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+        F.round(F.col("top20_rev") / F.col("tot"), 4).alias("top20_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -183,6 +183,14 @@ HEAVY = [
     # (store build is memoized — cold-cleared like the pair frames).
     ("event_paths_top", "linear"),
     ("embed_knn_ivf_incr", "linear (cold: store+centroids rebuilt per timing)"),
+    # wave 11: all four collapse the corpus in one or two aggs; the
+    # randomized-response perturbation is a map-side hash, gini ranks
+    # the CUSTOMER dimension frame (copied verbatim at sf1 — its slope
+    # is the fact-side per-customer agg over 10x orders).
+    ("randomized_response_events", "linear"),
+    ("cumulative_users_daily", "linear"),
+    ("benford_audit_lineitem", "linear"),
+    ("gini_revenue_customers", "linear"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
