@@ -10678,6 +10678,127 @@ def gini_revenue_customers(spark, sf_dir):
     )
 
 
+@q(
+    "dpp_scan_events",
+    """
+WITH dim AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+         CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END
+           AS is_weekend
+  FROM events
+)
+SELECT f.event_date, CAST(count(*) AS BIGINT) AS n,
+       round(sum(f.value), 4) AS total_value
+FROM (SELECT CAST(ts AS DATE) AS event_date, value FROM events) f
+JOIN dim ON f.event_date = dim.event_date
+WHERE dim.is_weekend = 1
+GROUP BY 1
+""",
+)
+def dpp_scan_events(spark, sf_dir):
+    """DYNAMIC PARTITION PRUNING certified: the fact table is written
+    partitioned by event_date, the date DIMENSION is written as its own
+    parquet (so Catalyst cannot constant-fold it away), and the join
+    filters the dim on is_weekend — a predicate the fact scan cannot
+    see statically.  DPP injects the dim's surviving keys into the fact
+    scan's PartitionFilters AT RUNTIME, and the query RAISES unless the
+    executed plan carries the `dynamicpruning` subquery on the fact
+    scan — completing the scan-economy trio (partitioned_scan_events:
+    static pruning; bucketed_join_orders: shuffle elision; here:
+    join-driven pruning, the mechanism star-schema dashboards live on
+    at 100 TB, where 'weekend days only' must prune 5/7 of the fact
+    files before IO, not after).  Result is hash-checked against the
+    plain filtered join.  Write-then-read is the honest cost, as with
+    the trio's other members."""
+    import shutil
+    import tempfile
+
+    fact_path = tempfile.mkdtemp(prefix="suite_dppf_")
+    dim_path = tempfile.mkdtemp(prefix="suite_dppd_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date")
+        )
+        ev.select("event_date", "value").write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(fact_path)
+        ev.select("event_date").distinct().withColumn(
+            "is_weekend",
+            F.when(F.expr("weekday(event_date)") >= 5, 1)
+            .otherwise(0)
+            .cast("int"),
+        ).write.mode("overwrite").parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter(
+            F.col("is_weekend") == 1
+        )
+        joined = fact.join(dim, "event_date")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in plan:
+            raise RuntimeError(
+                "fact scan carries no dynamicpruning subquery — DPP "
+                "regressed to a full-partition scan behind the join"
+            )
+        res = (
+            joined.groupBy("event_date")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .localCheckpoint()  # materialize before the dirs drop
+        )
+    finally:
+        shutil.rmtree(fact_path, ignore_errors=True)
+        shutil.rmtree(dim_path, ignore_errors=True)
+    return res
+
+
+@q(
+    "daily_percentiles_events",
+    """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS day,
+         list_sort(list(CAST(value AS DOUBLE))) AS v, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n,
+       round(v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1]
+             + (v[CAST(ceil(0.5 * (n - 1)) AS BIGINT) + 1]
+                - v[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1])
+               * (0.5 * (n - 1) - floor(0.5 * (n - 1))), 4) AS p50,
+       round(v[CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1]
+             + (v[CAST(ceil(0.95 * (n - 1)) AS BIGINT) + 1]
+                - v[CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1])
+               * (0.95 * (n - 1) - floor(0.95 * (n - 1))), 4) AS p95,
+       round(v[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1]
+             + (v[CAST(ceil(0.99 * (n - 1)) AS BIGINT) + 1]
+                - v[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1])
+               * (0.99 * (n - 1) - floor(0.99 * (n - 1))), 4) AS p99
+FROM s
+""",
+)
+def daily_percentiles_events(spark, sf_dir):
+    """The OBSERVABILITY staple: daily P50/P95/P99 of value — the
+    tail-latency band chart every service dashboard opens with, as one
+    grouped percentile aggregation with the family's exact
+    interpolated-index arithmetic stated in both engines.  Scale
+    shape: ONE shuffle on day; exact `percentile` buffers each day's
+    values in the agg buffer — the outlier_mad disclosure applies
+    verbatim (a 100-TB day swaps in approx_percentile's constant-state
+    sketch, certified by the outlier_mad_approx_events twin; the exact
+    form is the oracle-checkable audit)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

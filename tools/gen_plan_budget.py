@@ -52,6 +52,7 @@ EXCLUSION_RULES: tuple[tuple[str, str], ...] = (
     ("bloom_semi_join", "bloom bitmap collected at build time (bounded 8 KiB) and result localCheckpointed under the no-broadcast conf; prune-below-exchange plan shape asserted in tests/test_plans_physical.py"),
     ("mmr_rerank", "retrieval serving tail: candidate/sim frames localCheckpointed once, the visible plan is the k-step greedy unroll"),
     ("partitioned_scan", "writes the partitioned layout at build time and returns a localCheckpoint; the pruning shape self-audits in-query (PartitionFilters + inputFiles)"),
+    ("dpp_scan", "writes the partitioned fact + dim layouts at build time and returns a localCheckpoint; the dynamicpruning plan shape self-audits in-query"),
 )
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -191,6 +191,11 @@ HEAVY = [
     ("cumulative_users_daily", "linear"),
     ("benford_audit_lineitem", "linear"),
     ("gini_revenue_customers", "linear"),
+    # wave 12: DPP pays the 10x fact+dim layout writes then reads the
+    # pruned join; daily percentiles is one grouped exact-percentile agg
+    # (the outlier_mad buffer disclosure applies).
+    ("dpp_scan_events", "linear (layout writes + pruned join)"),
+    ("daily_percentiles_events", "linear (exact percentile: O(day) agg buffer - audit form)"),
 ]
 MAX_LINEAR_SLOPE = 15.0
 
