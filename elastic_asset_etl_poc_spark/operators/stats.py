@@ -80,9 +80,16 @@ def welch_from_sums(
         )
         / nb
     )
-    t = (mean_a - mean_b) / F.sqrt(qa + qb)
-    df_ws = (qa + qb) * (qa + qb) / (
-        qa * qa / (na - 1) + qb * qb / (nb - 1)
+    # degenerate guard: if BOTH sample variances are 0 (constant
+    # samples, or squares underflowing to 0 for subnormal values —
+    # found by hypothesis), t is undefined; emit NULLs rather than
+    # letting ANSI mode throw DIVIDE_BY_ZERO mid-pipeline
+    defined = (qa + qb) > 0
+    t = F.when(defined, (mean_a - mean_b) / F.sqrt(qa + qb))
+    df_ws = F.when(
+        defined,
+        (qa + qb) * (qa + qb)
+        / (qa * qa / (na - 1) + qb * qb / (nb - 1)),
     )
     return g.filter((na > 1) & (nb > 1)).select(
         group_col,
@@ -92,9 +99,10 @@ def welch_from_sums(
         mean_b.alias("mean_b"),
         t.alias("t_stat"),
         df_ws.alias("df"),
-        F.when(F.abs(t) > crit, 1).otherwise(0).cast("int").alias(
-            "significant"
-        ),
+        F.when(F.abs(t) > crit, 1)
+        .when(t.isNotNull(), 0)
+        .cast("int")
+        .alias("significant"),
     )
 
 

@@ -8851,11 +8851,15 @@ w AS (
 SELECT event_type,
        CAST(na AS BIGINT) AS n_recent, CAST(nb AS BIGINT) AS n_prior,
        round(mean_a, 4) AS mean_recent, round(mean_b, 4) AS mean_prior,
-       round((mean_a - mean_b) / sqrt(qa + qb), 4) AS t_stat,
-       round((qa + qb) * (qa + qb)
-             / (qa * qa / (na - 1) + qb * qb / (nb - 1)), 1) AS df,
-       CAST(CASE WHEN abs((mean_a - mean_b) / sqrt(qa + qb)) > 1.96
-                 THEN 1 ELSE 0 END AS INT) AS significant
+       round(CASE WHEN qa + qb > 0
+                  THEN (mean_a - mean_b) / sqrt(qa + qb) END, 4) AS t_stat,
+       round(CASE WHEN qa + qb > 0
+                  THEN (qa + qb) * (qa + qb)
+                       / (qa * qa / (na - 1) + qb * qb / (nb - 1)) END, 1)
+         AS df,
+       CAST(CASE WHEN qa + qb > 0 AND
+                      abs((mean_a - mean_b) / sqrt(qa + qb)) > 1.96 THEN 1
+                 WHEN qa + qb > 0 THEN 0 END AS INT) AS significant
 FROM w
 """,
 )
@@ -9578,7 +9582,8 @@ vw AS (
 ),
 vm AS (
   SELECT 'value_per_user' AS metric, na, nb, mean_a, mean_b,
-         (mean_a - mean_b) / sqrt(qa + qb) AS stat
+         CASE WHEN qa + qb > 0
+              THEN (mean_a - mean_b) / sqrt(qa + qb) END AS stat
   FROM vw
 ),
 u AS (SELECT * FROM convm UNION ALL SELECT * FROM vm)

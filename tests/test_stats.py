@@ -40,8 +40,6 @@ def _welch_ref(xs, ys):
 def test_welch_ttest_matches_reference_property(spark, xs, ys):
     """t and df agree with a plain-Python Welch computation, and the
     significance flag is consistent with |t| vs the critical value."""
-    if max(xs) == min(xs) and max(ys) == min(ys):
-        return  # both samples constant: t undefined (0/0), out of contract
     rows = [("g", float(v), 1) for v in xs] + [("g", float(v), 0) for v in ys]
     df = spark.createDataFrame(rows, "grp string, value double, arm int")
     from pyspark.sql import functions as F
@@ -51,8 +49,17 @@ def test_welch_ttest_matches_reference_property(spark, xs, ys):
     ).collect()
     assert len(out) == 1
     r = out[0]
+    na, nb = len(xs), len(ys)
+    qa = max((sum(x * x for x in xs) - sum(xs) ** 2 / na) / (na - 1), 0) / na
+    qb = max((sum(y * y for y in ys) - sum(ys) ** 2 / nb) / (nb - 1), 0) / nb
+    assert r.n_a == na and r.n_b == nb
+    if qa + qb == 0:
+        # both variances vanish (constant samples, or squares that
+        # underflow to 0 — hypothesis found [0.0, 2.2e-309]): t is
+        # undefined and the operator must say NULL, not throw
+        assert r.t_stat is None and r.df is None and r.significant is None
+        return
     t_ref, df_ref = _welch_ref(xs, ys)
-    assert r.n_a == len(xs) and r.n_b == len(ys)
     assert math.isclose(r.t_stat, t_ref, rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(r.df, df_ref, rel_tol=1e-9, abs_tol=1e-9)
     assert r.significant == (1 if abs(t_ref) > 1.96 else 0)
