@@ -9171,7 +9171,7 @@ def theil_sen_trend_events(spark, sf_dir):
     )
 
 
-def _bootstrap_ci_sql() -> str:
+def _bootstrap_ci_sql(n_reps: int = 32) -> str:
     from .operators.stats import poisson_weight_case_sql
 
     interp = (
@@ -9180,18 +9180,25 @@ def _bootstrap_ci_sql() -> str:
         " - v[CAST(floor({q} * (n - 1)) AS BIGINT) + 1])"
         " * ({q} * (n - 1) - floor({q} * (n - 1)))"
     )
+    # one md5 salt covers 8 reps (8 × 4-hex slices per digest); generate
+    # the CASE arms from n_reps like bootstrap_mean_ci derives n_salts,
+    # so raising n_reps can never silently reuse the last salt
+    n_salts = -(-n_reps // 8)
+    arms = "\n".join(
+        f"                WHEN {s} THEN"
+        f" md5(CAST(e.event_id AS VARCHAR) || ':{s}')"
+        for s in range(n_salts - 1)
+    )
     return f"""
 WITH x AS (
   SELECT e.event_type, e.value, r.rep,
          (('0x' || substr(
               CASE CAST(r.rep // 8 AS INT)
-                WHEN 0 THEN md5(CAST(e.event_id AS VARCHAR) || ':0')
-                WHEN 1 THEN md5(CAST(e.event_id AS VARCHAR) || ':1')
-                WHEN 2 THEN md5(CAST(e.event_id AS VARCHAR) || ':2')
-                ELSE md5(CAST(e.event_id AS VARCHAR) || ':3') END,
+{arms}
+                ELSE md5(CAST(e.event_id AS VARCHAR) || ':{n_salts - 1}') END,
               CAST((r.rep % 8) * 4 + 1 AS INT), 4))::BIGINT
           + 0.5) / 65536.0 AS u
-  FROM events e CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r
+  FROM events e CROSS JOIN (SELECT unnest(range(0, {n_reps})) AS rep) r
 ),
 w AS (
   SELECT event_type, rep, value,
@@ -9559,10 +9566,12 @@ conv AS (
 convm AS (
   SELECT 'conversion_rate' AS metric, na, nb,
          sa * 1.0 / na AS mean_a, sb * 1.0 / nb AS mean_b,
-         (sa * 1.0 / na - sb * 1.0 / nb)
-           / sqrt(((sa + sb) * 1.0 / (na + nb))
-                  * (1 - (sa + sb) * 1.0 / (na + nb))
-                  * (1.0 / na + 1.0 / nb)) AS stat
+         CASE WHEN na > 0 AND nb > 0
+                   AND (sa + sb) > 0 AND (sa + sb) < (na + nb)
+              THEN (sa * 1.0 / na - sb * 1.0 / nb)
+                   / sqrt(((sa + sb) * 1.0 / (na + nb))
+                          * (1 - (sa + sb) * 1.0 / (na + nb))
+                          * (1.0 / na + 1.0 / nb)) END AS stat
   FROM conv
 ),
 vg AS (
@@ -9579,6 +9588,7 @@ vw AS (
          greatest((sa2 - sa1 * sa1 / na) / (na - 1), 0) / na AS qa,
          greatest((sb2 - sb1 * sb1 / nb) / (nb - 1), 0) / nb AS qb
   FROM vg
+  WHERE na > 1 AND nb > 1
 ),
 vm AS (
   SELECT 'value_per_user' AS metric, na, nb, mean_a, mean_b,
@@ -9590,7 +9600,8 @@ u AS (SELECT * FROM convm UNION ALL SELECT * FROM vm)
 SELECT metric, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
        round(stat, 4) AS stat,
-       CAST(CASE WHEN abs(stat) > 1.96 THEN 1 ELSE 0 END AS INT)
+       CAST(CASE WHEN stat IS NULL THEN NULL
+                 WHEN abs(stat) > 1.96 THEN 1 ELSE 0 END AS INT)
          AS significant
 FROM u
 """,
@@ -9655,8 +9666,21 @@ def ab_test_report_events(spark, sf_dir):
     p_a = F.col("sa") * 1.0 / F.col("na")
     p_b = F.col("sb") * 1.0 / F.col("nb")
     pool = (F.col("sa") + F.col("sb")) * 1.0 / (F.col("na") + F.col("nb"))
-    z = (p_a - p_b) / F.sqrt(
-        pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    # degenerate guard mirroring welch_from_sums: a pooled rate of
+    # exactly 0 or 1 (or an empty arm) zeroes the z denominator; emit
+    # NULL stat/significant on BOTH engines rather than Inf/NaN-vs-NULL
+    z_defined = (
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & ((F.col("sa") + F.col("sb")) > 0)
+        & ((F.col("sa") + F.col("sb")) < (F.col("na") + F.col("nb")))
+    )
+    z = F.when(
+        z_defined,
+        (p_a - p_b)
+        / F.sqrt(
+            pool * (1 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+        ),
     )
     convm = conv.select(
         F.lit("conversion_rate").alias("metric"),
@@ -9665,9 +9689,10 @@ def ab_test_report_events(spark, sf_dir):
         F.round(p_a, 4).alias("mean_a"),
         F.round(p_b, 4).alias("mean_b"),
         F.round(z, 4).alias("stat"),
-        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias(
-            "significant"
-        ),
+        F.when(F.abs(z) > 1.96, 1)
+        .when(z.isNotNull(), 0)
+        .cast("int")
+        .alias("significant"),
     )
     vw = welch_ttest(
         pa.withColumn("metric", F.lit("value_per_user")),
@@ -10081,7 +10106,10 @@ WITH RECURSIVE daily AS (
 ),
 ord AS (
   SELECT event_type, y,
-         row_number() OVER (PARTITION BY event_type ORDER BY x) AS i
+         -- (x, y) not x alone: sort_array orders structs
+         -- lexicographically, so duplicate-x ties must break on y
+         -- identically here or the two engines fold different sequences
+         row_number() OVER (PARTITION BY event_type ORDER BY x, y) AS i
   FROM daily
 ),
 nn AS (SELECT event_type, max(i) AS n FROM ord GROUP BY 1),
@@ -10280,6 +10308,21 @@ def _ivf_incr_store(spark, sf_dir: str):
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_INCR_STORES[sf_dir] = (cents, path)
     return _IVF_INCR_STORES[sf_dir]
+
+
+def evict_ivf_stores() -> None:
+    """Drop the memoized IVF stores AND their parquet tempdirs now.
+
+    Cache-clearing tools (invariance sweep, sf1 cold-cache timing) must
+    call this instead of ``_IVF_INCR_STORES.clear()``: a bare clear
+    rebuilds a fresh mkdtemp per eviction and leaks the old directory
+    for the life of the process (the atexit rmtree only fires at exit —
+    and stays harmless afterwards, ignore_errors on a gone path)."""
+    import shutil
+
+    for _cents, path in _IVF_INCR_STORES.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVF_INCR_STORES.clear()
 
 
 @q("embed_knn_ivf_incr", _KNN_SQL)

@@ -330,7 +330,10 @@ def main() -> None:
                 if name in COLD_CACHES:
                     suite._PAIR_FRAMES.clear()
                     suite._SHINGLE_FRAMES.clear()
-                    suite._IVF_INCR_STORES.clear()
+                    # evict (rmtree + clear), not bare clear: each
+                    # rebuild mkdtemps a fresh IVF store and a bare
+                    # clear leaks the old dir until process exit
+                    suite.evict_ivf_stores()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
