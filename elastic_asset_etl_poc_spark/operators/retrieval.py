@@ -126,9 +126,15 @@ def mmr_rerank(
     against it, window argmax with doc_id tiebreak) — k is a small
     constant, each stage touches only the candidate frame: O(queries ×
     N × k) work after the caller's corpus-scale candidate build, no
-    driver loop over data, no collect.  Scores stay raw floats of
-    int-ratio inputs, so an oracle replaying the same arithmetic picks
-    bit-identical argmaxes.
+    driver loop over data, no collect.  ``sel`` is localCheckpointed
+    after every step: step j consumes the running selection TWICE
+    (anti-join + max-sim join), so a lazy ``sel`` doubles its own
+    subtree per step — 2^k plan growth that showed up as a ~15s cold
+    analysis/codegen spike at k=5 before truncation (r10 bench
+    triage); the checkpoint pins each step to a tiny materialized
+    (queries × step) frame and keeps plan size linear in k.  Scores
+    stay raw floats of int-ratio inputs, so an oracle replaying the
+    same arithmetic picks bit-identical argmaxes.
     """
     cand = candidates.select("query_id", "doc_id", "rel")
     s_sym = (
@@ -152,6 +158,7 @@ def mmr_rerank(
             F.lit(1).cast("int").alias("rank"),
             (F.lit(lam) * F.col("rel")).alias("mmr_score"),
         )
+        .localCheckpoint()
     )
     for step in range(2, k + 1):
         chosen = sel.select("query_id", F.col("doc_id").alias("b"))
@@ -183,5 +190,5 @@ def mmr_rerank(
                 score.alias("mmr_score"),
             )
         )
-        sel = sel.unionByName(pick)
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel
