@@ -12,4 +12,6 @@ echo "== round gate: pytest =="
 python -m pytest tests/ -q
 echo "== round gate: oracle sweep (${1:-sf0.001}) =="
 python3 tests/oracle_check.py "${1:-sf0.001}"
+echo "== round gate: cumulative coverage fold =="
+python3 tools/coverage_report.py
 echo "== round gate: GREEN =="
