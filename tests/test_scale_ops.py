@@ -165,3 +165,35 @@ def test_skew_report_hand_computed(spark):
     # top-n must plan as TakeOrdered (distributed), not a global window
     plan = skew_report(df, "k", top_n=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan
+
+
+def test_sf1_slope_gate_fails_superlinear_plant():
+    """The sf1 smoke's slope gate must actually fire: a planted 6x
+    slope on a linear-class query FAILS, the measured-regime slopes
+    (<= 2.9x across r6-r10) PASS.  Guards the r10 judge finding that
+    the old 15.0 bound would have passed a 5x superlinear regression
+    unseen."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_scale_smoke",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "sf1_scale_smoke.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.MAX_LINEAR_SLOPE <= 5.0
+    results = {
+        "honest_linear": {"class": "linear", "slope": 2.9},
+        "annotated_linear": {
+            "class": "linear (slope ~3.5x expected: windows widen)",
+            "slope": 3.5,
+        },
+        "quadratic_plant": {"class": "linear", "slope": 6.0},
+        "allpairs_audit": {"class": "quadratic by design", "slope": 40.0},
+    }
+    assert mod.slope_failures(results) == ["quadratic_plant"]
