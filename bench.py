@@ -14,6 +14,15 @@ Per-query numbers are the MEDIAN of ``$SPARK_GRAFT_BENCH_RUNS`` (default
 3) executions, so round-over-round regressions are attributable to plan
 changes rather than first-run JVM/codegen/page-cache noise; the first
 (cold) run is reported separately under "cold".
+
+Drift self-triage (r8-r10 each spent a session on position-noise
+forensics, so the artifact now explains itself): any query whose median
+drifts >2x from the last committed BENCH_FULL.json AND lands above 1s
+is re-timed best-of-2 in a FRESH subprocess JVM after the sweep — the
+same solo protocol those manual triages used — and the artifact's
+"drift" map carries {prev, suite, solo} per drifted query.  solo ~=
+prev means suite-position noise (accumulated JVM state); solo ~= suite
+means a real plan regression.  Disable with SPARK_GRAFT_BENCH_TRIAGE=0.
 """
 
 from __future__ import annotations
@@ -167,6 +176,63 @@ def main() -> None:
             cold[name] = medians[name] = -1.0
         load_max = max(load_max, os.getloadavg()[0])
 
+    # --- drift self-triage: solo re-time queries that moved >2x vs the
+    # last committed BENCH_FULL (fresh JVM per drifted query = the manual
+    # triage protocol of r8-r10, mechanized)
+    drift: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TRIAGE", "1") != "0":
+        import subprocess
+
+        here_ = os.path.dirname(os.path.abspath(__file__))
+        prev: dict[str, float] = {}
+        try:
+            blob = subprocess.run(
+                ["git", "-C", here_, "show", "HEAD:BENCH_FULL.json"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode == 0:
+                pj = json.loads(blob.stdout)
+                # only comparable like-for-like: same scale factor
+                if pj.get("sf") == sf:
+                    prev = pj.get("queries", {})
+        except Exception:
+            pass
+        drifted = [
+            n for n, t in medians.items()
+            if n in prev and prev[n] > 0 and t > 0
+            and t >= 1.0 and (t / prev[n] > 2.0 or prev[n] / t > 2.0)
+        ]
+        for n in drifted:
+            code = (
+                "import sys,time,json,os;"
+                f"sys.path.insert(0,{here_!r});"
+                "os.environ.setdefault('SPARK_GRAFT_PURE_DECODE','1');"
+                "import __spark_entry__ as e;"
+                "from elastic_asset_etl_poc_spark.session import get_spark;"
+                "s=get_spark(app_name='bench_triage');"
+                f"f=e.queries()[{n!r}];b=None\n"
+                "for _ in range(2):\n"
+                " t0=time.perf_counter();"
+                f"f(s,{sf_dir!r}).write.format('noop').mode('overwrite').save();"
+                "d=time.perf_counter()-t0;b=d if b is None else min(b,d);"
+                "s.catalog.clearCache()\n"
+                "print('SOLO_BEST',round(b,2))"
+            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", code],
+                    capture_output=True, text=True, timeout=600,
+                )
+                solo = next(
+                    (float(l.split()[1]) for l in out.stdout.splitlines()
+                     if l.startswith("SOLO_BEST")),
+                    -1.0,
+                )
+            except Exception:
+                solo = -1.0
+            drift[n] = {"prev": prev[n], "suite": medians[n], "solo": solo}
+            print(f"bench drift triage {n}: {drift[n]}", file=sys.stderr)
+
     total1, steal1 = _cpu_times()
     load = {
         "load1_start": round(load0, 2),
@@ -196,6 +262,7 @@ def main() -> None:
                 "queries": medians,
                 "cold": cold,
                 "memoized": memoized,
+                "drift": drift,
                 "runs": runs,
                 "sf": sf,
                 "load": load,
@@ -212,6 +279,7 @@ def main() -> None:
                 # serve-only numbers (memoized artifact); build cost is in
                 # "cold" in BENCH_FULL.json and pretrain_pipeline_docs
                 "memoized": sorted(memoized),
+                "drift": drift,
                 "fast_n": len(medians) - len(slow),
                 "fast_sec": round(
                     sum(v for v in medians.values() if 0 <= v < threshold), 2
