@@ -50,7 +50,7 @@ EXCLUSION_RULES: tuple[tuple[str, str], ...] = (
     ("entity_clusters", "dedup_survivors collects the pair set at build time (driver union-find fast path)"),
     ("bucketed_join", "writes bucketed tables at build time and returns a localCheckpoint (plan is the tail; the no-Exchange join shape self-audits in-query and in tests/test_scale_ops.py)"),
     ("bloom_semi_join", "bloom bitmap collected at build time (bounded 8 KiB) and result localCheckpointed under the no-broadcast conf; prune-below-exchange plan shape asserted in tests/test_plans_physical.py"),
-    ("mmr_rerank", "retrieval serving tail: candidate/sim frames localCheckpointed once, the visible plan is the k-step greedy unroll"),
+    ("mmr_rerank", "retrieval serving tail: the greedy selection localCheckpoints per step (2^k lineage guard), so the visible plan is the final checkpointed union only"),
     ("partitioned_scan", "writes the partitioned layout at build time and returns a localCheckpoint; the pruning shape self-audits in-query (PartitionFilters + inputFiles)"),
     ("dpp_scan", "writes the partitioned fact + dim layouts at build time and returns a localCheckpoint; the dynamicpruning plan shape self-audits in-query"),
 )
