@@ -869,3 +869,94 @@ def test_stream_session_windows_append_mode_evicts_and_finalizes(spark, tmp_path
     ]
     # ONLY the finalized session; the open [200m..] session is withheld
     assert got == [(7, t(0), t(35), 2, 3.0)]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """The 100-TB streaming contract the availableNow twins don't pin:
+    RESTART correctness.  Drain half the input files to a parquet sink
+    with a real checkpoint, stop, land the remaining files (with keys
+    OVERLAPPING the first half), restart from the same checkpoint, and
+    assert the union equals both an uninterrupted run and batch
+    DISTINCT.  A broken offset log re-reads (or skips) phase-1 files; a
+    broken state-store restore re-emits phase-1 keys that recur in
+    phase-2 — either double-counts a key and fails the exact-equality
+    check.  The sink read goes through _spark_metadata, so only
+    committed files count (the exactly-once read side)."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    src = str(tmp_path / "src")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    # deterministic halves with heavy key overlap: users appear in both
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    phase2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def dedup_stream():
+        s = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "90 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    def drain(out, ckpt):
+        q = (
+            dedup_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    out_r = str(tmp_path / "out_recovered")
+    ckpt_r = str(tmp_path / "ckpt_recovered")
+    drain(out_r, ckpt_r)  # session 1: phase-1 files only, then "crash"
+    n_phase1 = spark.read.parquet(out_r).count()
+    assert n_phase1 > 0
+
+    # land phase-2 files and RESTART from the same checkpoint
+    import glob as _glob
+
+    phase2.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "p2"))
+    import shutil
+
+    for i, f in enumerate(sorted(_glob.glob(str(tmp_path / "p2/*.parquet")))):
+        shutil.copy(f, f"{src}/late-{i:02d}.parquet")
+    drain(out_r, ckpt_r)  # session 2: must resume, not replay
+
+    # uninterrupted control: all files visible from the start
+    out_u = str(tmp_path / "out_uninterrupted")
+    drain(out_u, str(tmp_path / "ckpt_uninterrupted"))
+
+    recovered = spark.read.parquet(out_r)
+    uninterrupted = spark.read.parquet(out_u)
+    batch = ev.select("user_id", "event_type").distinct()
+
+    def keyset(df):
+        return sorted((r.user_id, r.event_type) for r in df.collect())
+
+    rk, uk, bk = keyset(recovered), keyset(uninterrupted), keyset(batch)
+    # exact multiset equality: any double-emit (state loss) or drop
+    # (offset replay/skip) breaks these
+    assert rk == bk
+    assert uk == bk
+    # and recovery emitted MORE than phase 1 alone (phase 2 had new keys)
+    assert len(rk) > n_phase1 or len(rk) == n_phase1 == len(bk)
