@@ -1,0 +1,300 @@
+"""Mergeable distributed sketches: HyperLogLog and Count-Min, built so a
+SQL oracle can replay them BIT-IDENTICALLY.
+
+``cardinality_sketches`` (suite) already exposes Spark's own
+``approx_count_distinct``/KLL — engine-internal register layouts, so that
+query is rows-only checked.  These operators close the gap: the SAME
+sketch math in portable expressions (md5-derived hashes, integer register
+arithmetic), so the driver's DuckDB oracle hash-checks the sketch itself,
+not just an audit twin.
+
+Determinism engineering (the whole point of this module):
+
+* Hashing is md5-substring → integer, identical text in both engines —
+  never engine hash builtins (xxhash64 has no DuckDB twin).
+* HLL's rho (leading-zero rank) comes from ``length(bin(w))`` — the
+  binary-string length IS the bit length, exact on both engines; a
+  float ``log2`` can land a hair under an exact power of two and
+  mis-floor on one engine only.
+* HLL register sums are INTEGER-scaled: ``sum(2^(W+1−rho))`` in BIGINT,
+  divided back by ``2^(W+1)`` once at the end.  A float ``sum(2^−rho)``
+  depends on partition/accumulation ORDER; an integer sum does not —
+  this is what makes the estimate partition-count invariant.
+* Count-Min cells are plain BIGINT sums (associative, order-free);
+  the point estimate is ``min`` over d cells.
+
+Scale shape: both sketches are one map-side-combinable aggregation over
+a bounded cell domain (m registers / d×w cells), so the shuffle carries
+the SKETCH, never the key space — the reason a 100-TB distinct-count or
+frequency query ships kilobytes per executor instead of re-shuffling
+rows.  Merging sketches = ``max`` per register (HLL) / ``+`` per cell
+(CMS), demonstrated by ``hll_merge``.
+
+No reference-repo counterpart (the reference's 782-LoC TS PoC has no
+sketch surface); public algorithms: Flajolet et al. 2007 (HyperLogLog),
+Cormode & Muthukrishnan 2005 (Count-Min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: md5 yields 128 bits; 15 hex chars = 60 bits keeps the value inside a
+#: signed BIGINT on both engines (16 chars could set the sign bit).
+_HASH_BITS = 60
+
+
+def _h60(col) -> F.Column:
+    """First 60 bits of md5(col-as-string) as a non-negative BIGINT —
+    the portable hash every sketch here keys on."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 10
+) -> DataFrame:
+    """Per-group HLL register frame: (group…, idx, r) with
+    idx ∈ [0, 2^p) and r = max rho observed in that register.
+
+    rho = (leading zeros of the remaining W = 60−p hash bits) + 1,
+    computed as ``W − length(bin(w)) + 1`` for w > 0 and W + 1 for
+    w = 0 — pure integer/string ops, no float log.  One map-side-
+    combinable aggregation; output is ≤ groups × 2^p rows regardless
+    of corpus size (the sketch property)."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    # h is up to 2^60 — beyond double's exact integer range, so the
+    # register split MUST be integer ops (% and DIV), never `/` (which
+    # widens to double and can mis-round the top bits of w)
+    hashed = df.select(*group_cols, _h60(F.col(key_col)).alias("__h"))
+    w = F.expr(f"__h DIV {m}")
+    rho = F.when(w > 0, w_bits - F.length(F.bin(w)) + 1).otherwise(
+        w_bits + 1
+    )
+    return (
+        hashed.select(
+            *group_cols,
+            (F.col("__h") % m).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, out_group_cols: list[str]) -> DataFrame:
+    """Merge register frames across groups: max per register — the
+    operation that makes HLL sketches unionable without re-reading the
+    corpus (pre-aggregate per ingest batch, merge at query time)."""
+    return registers.groupBy(*out_group_cols, "idx").agg(
+        F.max("r").alias("r")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """Fold a register frame to one estimate row per group.
+
+    Standard HLL estimator with the small-range (linear-counting)
+    correction: E = α·m²/Σ2^−Mj; if E ≤ 2.5m and empty registers V > 0,
+    E = m·ln(m/V).  The Σ2^−Mj sum runs INTEGER-scaled by 2^(W+1)
+    (max ≈ 2^61 < BIGINT range), so accumulation order cannot perturb
+    the estimate — division back to double happens exactly once."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {w_bits + 1} - r)"
+    )
+    g = registers.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v_empty = F.lit(m) - F.col("n_regs")
+    s_total = (
+        F.col("s_present") + v_empty * F.lit(1 << (w_bits + 1))
+    ).cast("double") / F.lit(float(1 << (w_bits + 1)))
+    raw = F.lit(alpha * m * m) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty),
+    ).otherwise(raw)
+    return g.select(*group_cols, est.alias("hll_estimate"))
+
+
+def hll_registers_sql(
+    key_expr: str, p: int = 10, src: str = "events", group_expr: str = "''"
+) -> str:
+    """DuckDB CTE pair ``hr``/``hreg`` restating hll_registers — SAME
+    md5 slice, SAME bin()-length rho."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    return f"""
+hr AS (
+  SELECT {group_expr} AS grp,
+         h % {m} AS idx,
+         CASE WHEN h // {m} > 0
+              THEN {w_bits} - length(bin(h // {m})) + 1
+              ELSE {w_bits} + 1 END AS rho
+  FROM (
+    SELECT ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT
+             AS h, *
+    FROM {src}
+  )
+),
+hreg AS (
+  SELECT grp, idx, max(rho) AS r FROM hr GROUP BY 1, 2
+)"""
+
+
+def hll_estimate_body_sql(reg_cte: str, p: int = 10) -> str:
+    """The estimate SELECT over a register CTE (grp, idx, r) — split
+    from the register build so merged-register CTEs (max over groups)
+    can reuse the identical estimator text.
+
+    The scaled register sum stays INTEGER through the addition
+    (HUGEINT: DuckDB's overflow-checked BIGINT ops reject ~2^61
+    intermediates that Spark's BIGINT carries fine) and converts to
+    DOUBLE exactly once — the same single-rounding as the Spark side."""
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    alpha = repr(0.7213 / (1.0 + 1.079 / m))
+    scale = float(1 << (w_bits + 1))
+    raw = f"""CAST({alpha} AS DOUBLE) * {m} * {m}
+                   / ((sum((CAST(1 AS BIGINT) << ({w_bits} + 1 - r))::HUGEINT)
+                       + ({m} - count(*))::HUGEINT
+                         * (CAST(1 AS BIGINT) << {w_bits + 1})::HUGEINT
+                      )::DOUBLE / {scale!r})"""
+    return f"""
+  SELECT grp,
+         CASE WHEN {raw}
+                   <= 2.5 * {m}
+                   AND {m} - count(*) > 0
+              THEN CAST({m} AS DOUBLE)
+                   * ln(CAST({m} AS DOUBLE) / ({m} - count(*)))
+              ELSE {raw}
+              END AS hll_estimate
+  FROM {reg_cte} GROUP BY grp
+"""
+
+
+def hll_oracle_sql(
+    key_expr: str, p: int = 10, src: str = "events", group_expr: str = "''"
+) -> str:
+    """The DuckDB restatement of hll_registers→hll_estimate as one CTE
+    chain — SAME md5 slice, SAME bin()-length rho, SAME integer-scaled
+    register sum, so the two engines agree to the bit."""
+    return (
+        hll_registers_sql(key_expr, p, src, group_expr)
+        + f""",
+hest AS ({hll_estimate_body_sql('hreg', p)})"""
+    )
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Count-Min sketch cells: (depth, bucket, n) — d independent
+    md5-salted hash rows over a width-w bucket space.
+
+    Build shape: explode each input row into d (depth, bucket) pairs
+    map-side, then ONE aggregation over ≤ d·w cells — the shuffle
+    carries the sketch, not the keys.  Cells are mergeable by addition
+    across batches/partitions (plain sums)."""
+    rows = []
+    for i in range(d):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key_col).cast("string"), F.lit(f":{i}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+        rows.append(F.struct(F.lit(i).alias("depth"), b.alias("bucket")))
+    return (
+        df.select(F.explode(F.array(*rows)).alias("c"))
+        .select("c.depth", "c.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, candidates: DataFrame, key_col: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Point-estimate the CMS count for each candidate key: hash the
+    candidate into its d cells and take the min — never under the true
+    count (the CMS one-sided error bound).  Candidates are a bounded
+    frame (heavy-hitter suspects, not the key space); the d-way lookup
+    is a broadcast join against ≤ d·w cells."""
+    ests = []
+    for i in range(d):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col(key_col).cast("string"), F.lit(f":{i}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+        ests.append(
+            F.struct(F.lit(i).alias("depth"), b.alias("bucket"))
+        )
+    cand = candidates.select(
+        key_col, F.explode(F.array(*ests)).alias("c")
+    ).select(key_col, "c.depth", "c.bucket")
+    return (
+        cand.join(F.broadcast(cells), ["depth", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def cms_oracle_sql(key_expr: str, d: int = 4, w: int = 2048, src: str = "events") -> str:
+    """DuckDB restatement of cms_cells + cms_estimate for every distinct
+    key in ``src`` — same salted md5 bucket per depth, same min-over-d."""
+    depth_rows = " UNION ALL ".join(f"SELECT {i} AS depth" for i in range(d))
+    return f"""
+cms_cells AS (
+  SELECT dd.depth,
+         ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':' || dd.depth),
+                         1, 8))::BIGINT % {w} AS bucket,
+         count(*) AS n
+  FROM {src} CROSS JOIN ({depth_rows}) dd
+  GROUP BY 1, 2
+),
+cms_keys AS (
+  SELECT DISTINCT {key_expr} AS k FROM {src}
+),
+cms_est AS (
+  SELECT ck.k,
+         min(coalesce(c.n, 0)) AS cms_estimate
+  FROM cms_keys ck
+  CROSS JOIN ({depth_rows}) dd
+  LEFT JOIN cms_cells c
+    ON c.depth = dd.depth
+   AND c.bucket = ('0x' || substr(md5(CAST(ck.k AS VARCHAR) || ':'
+                                      || dd.depth), 1, 8))::BIGINT % {w}
+  GROUP BY 1
+)"""

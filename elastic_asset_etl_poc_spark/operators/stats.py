@@ -325,3 +325,145 @@ def bootstrap_mean_ci(
         "boot_hi",
         "n_reps",
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    quantize: int = 2,
+    crit: float = 1.96,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction —
+    the NONPARAMETRIC sibling of welch_ttest: is sample A stochastically
+    larger than sample B, with no normality assumption (the right test
+    when `value` is skewed revenue / latency, where a mean-based t-test
+    chases outliers).
+
+    Rank arithmetic without a global rank window:
+    U_A = #(a > b) + ½·#(a == b) over all cross pairs = Σ_v
+    ca(v)·(cumB(<v) + ½·cb(v)), so the corpus collapses to ONE
+    aggregation over DISTINCT QUANTIZED values (`round(value,
+    quantize)` — the quantization bounds the distinct-value frame by
+    the value range, not the corpus, which is what makes the cumulative
+    window scale; ties it introduces are handled exactly by the tie
+    correction).  The single ordered window then runs over that bounded
+    frame only.  Normal approximation with tie-corrected variance:
+    σ² = na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))).
+
+    Tie cubes stay INTEGER (BIGINT) until one final float conversion,
+    so partition order cannot perturb z.  Returns one row: n_a, n_b,
+    u_stat, z, significant."""
+    v = F.round(F.col(value_col).cast("double"), quantize)
+    per_v = (
+        df.filter(cond_a | cond_b)
+        .select(
+            v.alias("qv"),
+            F.when(cond_a, 1).otherwise(0).alias("ia"),
+            F.when(cond_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("qv")
+        .agg(
+            F.sum("ia").cast("bigint").alias("ca"),
+            F.sum("ib").cast("bigint").alias("cb"),
+        )
+    )
+    w = (
+        Window.orderBy("qv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = per_v.withColumn(
+        "cum_b_less", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = scored.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("ca").cast("double")
+            * (
+                F.col("cum_b_less").cast("double")
+                + F.col("cb").cast("double") / 2.0
+            )
+        ).alias("u_a"),
+        F.sum(t * t * t - t).cast("bigint").alias("tie_cubes"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    mu = na * nb / 2.0
+    var = (
+        na
+        * nb
+        / 12.0
+        * (
+            (n + 1.0)
+            - F.col("tie_cubes").cast("double") / (n * (n - 1.0))
+        )
+    )
+    z = F.when(var > 0, (F.col("u_a") - mu) / F.sqrt(var))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("u_a").alias("u_stat"),
+        z.alias("z"),
+        F.when(F.abs(z) > crit, 1)
+        .when(z.isNotNull(), 0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    key_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a frame of
+    per-hypothesis p-values — the multiple-testing step every
+    drift/experiment DASHBOARD needs once it tests many segments at
+    once (m tests at α=0.05 expect m/20 false alarms; BH caps the
+    expected false-discovery fraction at q instead).
+
+    Sort p ascending (key tiebreak), threshold the i-th smallest at
+    i·q/m, reject hypotheses 1..k where k is the LARGEST i passing its
+    threshold (the BH step-up rule — rejects everything below the last
+    passing rank even if intermediate ranks failed).
+
+    Scale shape: the input frame is one row per HYPOTHESIS (segments,
+    not corpus rows — upstream tests already collapsed the corpus), so
+    the two global windows here run over m rows.  NULL p-values
+    (degenerate upstream tests) are excluded from m and reported
+    unrejected."""
+    tested = tests.filter(F.col(p_col).isNotNull())
+    wrank = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        tested.withColumn("bh_rank", F.row_number().over(wrank))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "bh_thresh",
+            F.col("bh_rank").cast("double") * q / F.col("__m"),
+        )
+        .withColumn(
+            "__k",
+            F.max(
+                F.when(
+                    F.col(p_col) <= F.col("bh_thresh"), F.col("bh_rank")
+                ).otherwise(0)
+            ).over(wall),
+        )
+        .withColumn(
+            "rejected",
+            (F.col("bh_rank") <= F.col("__k")).cast("int"),
+        )
+    )
+    skipped = tests.filter(F.col(p_col).isNull()).withColumn(
+        "bh_rank", F.lit(None).cast("int")
+    ).withColumn("bh_thresh", F.lit(None).cast("double")).withColumn(
+        "rejected", F.lit(0)
+    )
+    return ranked.drop("__m", "__k").unionByName(skipped)

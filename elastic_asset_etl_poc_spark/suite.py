@@ -10847,6 +10847,357 @@ def daily_percentiles_events(spark, sf_dir):
     )
 
 
+def _hll_distinct_sql() -> str:
+    from .operators.sketches import hll_estimate_body_sql, hll_registers_sql
+
+    return f"""
+WITH {hll_registers_sql("user_id", src="events", group_expr="event_type").lstrip()},
+hreg_all AS (
+  SELECT 'ALL' AS grp, idx, max(r) AS r FROM hreg GROUP BY 2
+),
+hest AS ({hll_estimate_body_sql('hreg')}),
+hest_all AS ({hll_estimate_body_sql('hreg_all')}),
+exact AS (
+  SELECT event_type AS grp, count(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT user_id) FROM events
+),
+u AS (SELECT * FROM hest UNION ALL SELECT * FROM hest_all)
+SELECT u.grp AS scope, CAST(e.n AS BIGINT) AS n_exact,
+       round(u.hll_estimate, 2) AS hll_estimate,
+       round((u.hll_estimate - e.n) / e.n * 100, 2) AS rel_err_pct
+FROM u JOIN exact e ON u.grp = e.grp
+"""
+
+
+@q("hll_distinct_events", _hll_distinct_sql())
+def hll_distinct_events(spark, sf_dir):
+    """MERGEABLE-SKETCH cardinality: a portable HyperLogLog (p=10,
+    md5-derived hashes, operators/sketches.py) estimating distinct
+    users per event_type PLUS an 'ALL' row whose registers are the
+    max-MERGE of the per-type sketches — the union-without-rescanning
+    property that makes HLL the 100-TB distinct-count workhorse
+    (pre-aggregate per ingest batch / partition, merge at query time;
+    the shuffle carries 1024 registers per group, never user ids).
+    Unlike cardinality_sketches (Spark's engine-internal
+    approx_count_distinct, rows-only checked), every register and the
+    estimator arithmetic here replay bit-identically in the DuckDB
+    oracle — the sketch itself is hash-checked, exactness engineered
+    via integer-scaled register sums (order-free) and bin()-length
+    rho (no float log2).  The exact-distinct twin and relative error
+    ride along in-frame, so the artifact self-reports its accuracy
+    (~±1% expected at m=1024: 1.04/√1024 ≈ 3.25% one-sigma bound).
+    Scale shape: two map-side-combinable aggs over ≤ groups×1024
+    register rows; the exact twin is the only corpus-width distinct
+    (dropped in production, kept here as the audit)."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    per_type = hll_estimate(regs, ["event_type"]).withColumnRenamed(
+        "event_type", "scope"
+    )
+    merged = hll_merge(
+        regs.withColumn("scope", F.lit("ALL")), ["scope"]
+    )
+    all_row = hll_estimate(merged, ["scope"])
+    est = per_type.unionByName(all_row)
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .unionByName(
+            ev.agg(
+                F.count_distinct("user_id").alias("n_exact")
+            ).select(F.lit("ALL").alias("scope"), "n_exact")
+        )
+    )
+    return est.join(exact, "scope").select(
+        "scope",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
+def _cms_hh_sql() -> str:
+    from .operators.sketches import cms_oracle_sql
+
+    return f"""
+WITH {cms_oracle_sql("user_id", src="events").lstrip()},
+exact AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+),
+top20 AS (
+  SELECT user_id, n_exact FROM exact
+  ORDER BY n_exact DESC, user_id LIMIT 20
+)
+SELECT t.user_id, CAST(t.n_exact AS BIGINT) AS n_exact,
+       CAST(c.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(CASE WHEN c.cms_estimate >= t.n_exact THEN 1 ELSE 0 END AS INT)
+         AS never_undercounts
+FROM top20 t JOIN cms_est c ON c.k = t.user_id
+"""
+
+
+@q("cms_heavy_hitters_events", _cms_hh_sql())
+def cms_heavy_hitters_events(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimation (Cormode-Muthukrishnan,
+    operators/sketches.py): d=4 md5-salted hash rows × w=2048 buckets
+    summarize the full event stream in 8k mergeable BIGINT cells; the
+    top-20 users' counts are then point-read as min-over-d cells and
+    compared against exact counts in-frame, with the CMS one-sided
+    guarantee (estimate ≥ truth, error ≤ εN with ε = e/w) surfaced as
+    a never_undercounts column the hash check pins to 1.  This is the
+    heavy-hitter shape for key spaces too large to groupBy exactly:
+    the shuffle carries d·w cells regardless of corpus or key-space
+    size, and cells merge across batches by addition — the same
+    pre-aggregate/merge contract as the HLL twin.  heavy_hitters_
+    sources demonstrates Spark's own freqItems + exact verify; this
+    one makes the sketch itself portable and hash-checked.  Scale
+    shape: one map-side-combinable agg over ≤ d·w cells (the explode
+    is map-local ×d); the exact top-20 is the audit twin."""
+    from .operators.sketches import cms_cells, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = cms_cells(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    top20 = exact.orderBy(
+        F.col("n_exact").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est = cms_estimate(cells, top20.select("user_id"), "user_id")
+    return top20.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("n_exact"))
+        .cast("int")
+        .alias("never_undercounts"),
+    )
+
+
+@q(
+    "mann_whitney_events",
+    """
+WITH per_v AS (
+  SELECT round(value, 2) AS qv,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+scored AS (
+  SELECT *,
+         coalesce(sum(cb) OVER (ORDER BY qv
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_b_less
+  FROM per_v
+),
+agg AS (
+  SELECT sum(ca) AS na, sum(cb) AS nb,
+         sum(ca::DOUBLE * (cum_b_less::DOUBLE + cb::DOUBLE / 2.0)) AS u_a,
+         sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))::BIGINT
+           AS tie_cubes
+  FROM scored
+),
+z AS (
+  SELECT na::DOUBLE AS na, nb::DOUBLE AS nb, u_a, tie_cubes::DOUBLE AS tc
+  FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(u_a, 2) AS u_stat,
+       round(CASE WHEN na * nb / 12.0 * ((na + nb + 1.0)
+                       - tc / ((na + nb) * (na + nb - 1.0))) > 0
+                  THEN (u_a - na * nb / 2.0)
+                       / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                              - tc / ((na + nb) * (na + nb - 1.0))))
+                  END, 4) AS z,
+       CAST(CASE WHEN na * nb / 12.0 * ((na + nb + 1.0)
+                      - tc / ((na + nb) * (na + nb - 1.0))) <= 0 THEN NULL
+                 WHEN abs((u_a - na * nb / 2.0)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                             - tc / ((na + nb) * (na + nb - 1.0))))) > 1.96
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM z
+""",
+)
+def mann_whitney_events(spark, sf_dir):
+    """NONPARAMETRIC inference: Mann-Whitney U comparing `value`
+    between click and purchase events (operators/stats.py
+    mann_whitney_u) — the rank-sum sibling of welch_ttest_events for
+    skewed metrics where a mean-based t chases outliers.  The rank
+    arithmetic never builds a global rank: U_A = Σ_v ca(v)·(cumB(<v) +
+    ½cb(v)) over DISTINCT 2-decimal-QUANTIZED values, so the corpus
+    collapses in one aggregation and the single ordered window runs
+    over the bounded distinct-value frame (value range × 100 rows, not
+    corpus rows — the quantization is what makes rank stats scale, and
+    the ties it introduces are handled exactly by the tie-corrected
+    variance).  Tie cubes stay BIGINT until one final conversion;
+    U sums half-integers (exact in double at any accumulation order) —
+    both engines replay the identical arithmetic.  Scale shape: one
+    corpus agg → one bounded window → one scalar row."""
+    from .operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    r = mann_whitney_u(
+        ev,
+        "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+    return r.select(
+        "n_a",
+        "n_b",
+        F.round("u_stat", 2).alias("u_stat"),
+        F.round("z", 4).alias("z"),
+        "significant",
+    )
+
+
+def _bh_fdr_sql() -> str:
+    welch = SUITE["welch_ttest_events"][1]
+    return f"""
+WITH wre AS ({welch}),
+pv AS (
+  SELECT event_type, t_stat,
+         2.0 / (1.0 + exp(1.702 * abs(t_stat))) AS p
+  FROM wre WHERE t_stat IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, t_stat, p,
+         row_number() OVER (ORDER BY p, event_type) AS bh_rank,
+         count(*) OVER () AS m
+  FROM pv
+),
+kk AS (
+  SELECT max(CASE WHEN p <= bh_rank * 0.05 / m THEN bh_rank ELSE 0 END) AS k
+  FROM ranked
+)
+SELECT r.event_type, r.t_stat,
+       round(r.p, 6) AS p_value,
+       CAST(r.bh_rank AS INT) AS bh_rank,
+       round(r.bh_rank * 0.05 / r.m, 6) AS bh_thresh,
+       CAST(CASE WHEN r.bh_rank <= kk.k THEN 1 ELSE 0 END AS INT) AS rejected
+FROM ranked r CROSS JOIN kk
+UNION ALL
+SELECT event_type, t_stat, NULL, NULL, NULL, 0
+FROM wre WHERE t_stat IS NULL
+"""
+
+
+@q("bh_fdr_events", _bh_fdr_sql())
+def bh_fdr_events(spark, sf_dir):
+    """MULTIPLE-TESTING control: Benjamini-Hochberg FDR over the
+    per-event-type Welch tests (operators/stats.py bh_fdr composing
+    welch_ttest_events' certified frame) — the step a drift dashboard
+    needs once it tests many segments at once: m tests at α=.05 expect
+    m/20 false alarms, BH caps the expected false-discovery FRACTION
+    at q=.05 instead.  p-values come from the logistic approximation
+    to the normal ogive, p = 2/(1+exp(1.702·|t|)) (the classic 1.702
+    scaling; df is huge here so t≈z) — stated identically in both
+    engines, so the whole chain t → p → rank → step-up threshold →
+    reject set is hash-checked, and the oracle nests the welch oracle
+    as a CTE so a drift in the upstream test surfaces twice.  Scale
+    shape: upstream already collapsed the corpus; BH's two windows run
+    over m = |event types| rows."""
+    from .operators.stats import bh_fdr
+
+    w = SUITE["welch_ttest_events"][0](spark, sf_dir)
+    tests = w.select(
+        "event_type",
+        "t_stat",
+        F.when(
+            F.col("t_stat").isNotNull(),
+            2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("t_stat")))),
+        ).alias("p"),
+    )
+    r = bh_fdr(tests, "event_type", "p")
+    return r.select(
+        "event_type",
+        "t_stat",
+        F.round("p", 6).alias("p_value"),
+        F.col("bh_rank").cast("int").alias("bh_rank"),
+        F.round("bh_thresh", 6).alias("bh_thresh"),
+        F.col("rejected").cast("int").alias("rejected"),
+    )
+
+
+@q("stream_hll_distinct_events", _hll_distinct_sql())
+def stream_hll_distinct_events(spark, sf_dir):
+    """§2.9 STREAMING twin of hll_distinct_events, sharing its oracle:
+    the HLL register frame is maintained as ONE running streaming
+    aggregation (groupBy(event_type, idx).max(rho) — state is ≤
+    groups×1024 BIGINT registers, bounded by the sketch, never by
+    stream length) drained availableNow into the memory sink; the
+    estimator, the max-merge 'ALL' row, and the exact-distinct audit
+    twin are then static views over the drained registers.  This is
+    the production shape of a live cardinality monitor: registers tick
+    as ingest lands, the estimate reads off maintained state without a
+    corpus pass — and because registers are max-merged integers, the
+    streaming result is BIT-IDENTICAL to batch (no accumulation-order
+    caveat at all, unlike the float-sum twins).  The exact twin runs
+    batch-side over the same staged fixture — it is the audit column,
+    not part of the streaming contract."""
+    import uuid
+
+    from .operators.sketches import hll_estimate, hll_merge, hll_registers
+    from .streaming import run_to_memory
+    from .streaming.services_stream import EVENTS_STREAM_SCHEMA
+
+    ev_s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(_staged_events(sf_dir))
+        .select("event_type", "user_id")
+    )
+    name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        sq = run_to_memory(
+            hll_registers(ev_s, ["event_type"], "user_id"),
+            name,
+            "complete",
+        )
+        sq.stop()
+    regs = spark.table(name)
+    per_type = hll_estimate(regs, ["event_type"]).withColumnRenamed(
+        "event_type", "scope"
+    )
+    all_row = hll_estimate(
+        hll_merge(regs.withColumn("scope", F.lit("ALL")), ["scope"]),
+        ["scope"],
+    )
+    est = per_type.unionByName(all_row)
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy(F.col("event_type").alias("scope"))
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+        .unionByName(
+            ev.agg(F.count_distinct("user_id").alias("n_exact")).select(
+                F.lit("ALL").alias("scope"), "n_exact"
+            )
+        )
+    )
+    return est.join(exact, "scope").select(
+        "scope",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

@@ -1,0 +1,126 @@
+"""Unit/property tests for operators/sketches.py (portable HLL/CMS)
+and the round-11 stats additions (Mann-Whitney U, BH-FDR)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from elastic_asset_etl_poc_spark.operators.sketches import (
+    cms_cells,
+    cms_estimate,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from elastic_asset_etl_poc_spark.operators.stats import bh_fdr, mann_whitney_u
+
+
+def test_hll_accuracy_bound(spark):
+    """At m=1024 the one-sigma bound is 1.04/sqrt(1024) ~ 3.25%; assert
+    the estimate on 5000 distinct keys lands within 4 sigma."""
+    df = spark.range(5000).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    est = hll_estimate(hll_registers(df, ["g"], "k"), ["g"]).collect()[0]
+    assert abs(est["hll_estimate"] - 5000) / 5000 < 0.13
+
+
+def test_hll_duplicates_dont_move_estimate(spark):
+    """Cardinality, not frequency: replaying every key 7x must leave
+    every register (max of per-key rhos) and hence the estimate
+    bit-identical."""
+    base = spark.range(800).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    dup = base.union(base).union(base.union(base)).union(base.union(base)).union(base)
+    e1 = hll_estimate(hll_registers(base, ["g"], "k"), ["g"]).collect()[0]
+    e2 = hll_estimate(hll_registers(dup, ["g"], "k"), ["g"]).collect()[0]
+    assert e1["hll_estimate"] == e2["hll_estimate"]
+
+
+def test_hll_merge_equals_direct(spark):
+    """max-merging two disjoint groups' registers must equal sketching
+    their union directly — the mergeability contract."""
+    a = spark.range(0, 1500).select(F.col("id").alias("k"), F.lit("a").alias("g"))
+    b = spark.range(1000, 2500).select(F.col("id").alias("k"), F.lit("b").alias("g"))
+    regs = hll_registers(a.union(b), ["g"], "k")
+    merged = hll_estimate(
+        hll_merge(regs.withColumn("u", F.lit("u")), ["u"]), ["u"]
+    ).collect()[0]["hll_estimate"]
+    direct = hll_estimate(
+        hll_registers(
+            a.union(b).select("k").withColumn("u", F.lit("u")), ["u"], "k"
+        ),
+        ["u"],
+    ).collect()[0]["hll_estimate"]
+    assert merged == direct
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """CMS one-sided guarantee: estimate >= exact for EVERY key; and
+    with w=2048 cells per row, total overcount stays small on a 20k-row
+    / 500-key stream."""
+    df = spark.range(20000).select((F.col("id") % 500).alias("k"))
+    cells = cms_cells(df, "k")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_estimate(cells, exact.select("k"), "k")
+    rows = est.join(exact, "k").collect()
+    assert len(rows) == 500
+    assert all(r["cms_estimate"] >= r["n_exact"] for r in rows)
+    # eps = e/w ~ 0.0013 -> per-key error well under eps*N with slack 4x
+    assert all(
+        r["cms_estimate"] - r["n_exact"] <= 4 * 2.72 / 2048 * 20000
+        for r in rows
+    )
+
+
+def test_mann_whitney_hand_computed(spark):
+    """A=[1,2,3] vs B=[2,3,4]: U_A = 2 (rank-sum 8 minus 6), tie groups
+    {2},{3} give Sum(t^3-t)=12, var = 0.75*(7 - 12/30) = 4.95,
+    z = -2.5/sqrt(4.95) = -1.1236."""
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (3.0, "b"), (4.0, "b")]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    r = mann_whitney_u(
+        df, "v", F.col("side") == "a", F.col("side") == "b"
+    ).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_stat"] == pytest.approx(2.0)
+    assert r["z"] == pytest.approx(-1.123666, abs=1e-5)
+    assert r["significant"] == 0
+
+
+def test_mann_whitney_separated_samples(spark):
+    """Fully separated samples: U_A = na*nb (every a > every b),
+    z significant."""
+    rows = [(float(100 + i), "a") for i in range(30)] + [
+        (float(i), "b") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    r = mann_whitney_u(
+        df, "v", F.col("side") == "a", F.col("side") == "b"
+    ).collect()[0]
+    assert r["u_stat"] == pytest.approx(900.0)
+    assert r["significant"] == 1
+
+
+def test_bh_fdr_step_up_rule(spark):
+    """The step-up subtlety: p=[.01,.03,.035,.04] at q=.05 rejects ALL
+    FOUR because rank 4 passes (.04 <= .05) even though rank 2 fails
+    (.03 > .025) — a step-down implementation gets this wrong."""
+    df = spark.createDataFrame(
+        [("h1", 0.01), ("h2", 0.03), ("h3", 0.035), ("h4", 0.04)],
+        ["h", "p"],
+    )
+    out = {r["h"]: r["rejected"] for r in bh_fdr(df, "h", "p").collect()}
+    assert out == {"h1": 1, "h2": 1, "h3": 1, "h4": 1}
+
+
+def test_bh_fdr_partial_and_null(spark):
+    """p=[.01,.02,.04,.5]: k=2, reject exactly the two smallest; NULL
+    p-values are excluded from m and reported unrejected."""
+    df = spark.createDataFrame(
+        [("h1", 0.01), ("h2", 0.02), ("h3", 0.04), ("h4", 0.5), ("h5", None)],
+        ["h", "p"],
+    )
+    rows = {r["h"]: r for r in bh_fdr(df, "h", "p").collect()}
+    assert [rows[h]["rejected"] for h in ("h1", "h2", "h3", "h4", "h5")] == [
+        1, 1, 0, 0, 0,
+    ]
+    assert rows["h5"]["bh_rank"] is None
+    # m excludes the NULL: rank-1 threshold is q/4, not q/5
+    assert rows["h1"]["bh_thresh"] == pytest.approx(0.05 / 4)
