@@ -329,3 +329,48 @@ def connected_components_star(
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
         )
     )
+
+
+def bfs_khop(
+    edges: DataFrame, seeds: DataFrame, k: int, node_col: str = "node"
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop distance (≤ k) from a seed set
+    over a directed edge frame (pass both orientations for an
+    undirected graph) → (node, dist) with dist ∈ [0, k].
+
+    Each round is frontier ⋈ edges → distinct → anti-join visited —
+    one shuffle per hop, and the HOP BOUND (not graph diameter) caps
+    the round count, which is what makes this the production reach
+    query (k-hop neighborhoods, blast-radius, recommendation horizon)
+    rather than full shortest paths: k is a small constant fixed by the
+    question.  Per-round localCheckpoint truncates lineage (each
+    round's frame feeds both the next join and the visited union — the
+    same 2^k plan-growth guard as connected_components_star's rounds
+    and mmr_rerank's greedy steps).  An empty frontier exits early, so
+    sparse seeds never pay for unreachable rounds.
+
+    Scale shape: the frontier never exceeds the node set, dedup happens
+    per round BEFORE the next expansion (a node reached twice expands
+    once), and at 1000 executors each round is an ordinary partitioned
+    hash join on node id."""
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -1160,3 +1160,88 @@ def fingerprint_neardup_incremental(
     if update_store:
         bf.write.mode("append").parquet(store_path)
     return batch_involving
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the PPJoin family,
+    Chaudhuri et al. 2006 / Xiao et al. 2008) — a candidate generator
+    with a different scaling lever than banding: order every document's
+    shingles by GLOBAL rarity (doc-frequency asc, shingle asc — any
+    shared total order works), keep only the first
+    |A| − ⌈t·|A|⌉ + 1 per document (the "prefix"), and join documents
+    on shared PREFIX shingles only.  Pigeonhole guarantee: two sets
+    with J ≥ t must overlap within those prefixes, so candidate
+    generation has ZERO false negatives and the exact verify pass makes
+    the result identical to the all-pairs join — the driver hash-checks
+    this against the full inverted-index oracle, certifying
+    losslessness the way recall_minhash_vs_jaccard certifies banding.
+
+    Why it scales where the plain inverted index doesn't: posting lists
+    join only on each document's RAREST few shingles, so hot shingles
+    (the d² candidate blowup) fall out of the prefixes naturally —
+    at t=0.8 the prefix is ~20% of each set, cutting candidate volume
+    ~25× before any verification.  Verification touches candidates
+    only: cand ⋈ postings(a) ⋈ postings(b), cost Σ_cand |A|.
+
+    Scale shape: one df-count agg (map-side combinable), one bounded
+    per-doc window (a document's OWN shingles, not the corpus), the
+    prefix self-join, then candidate-restricted verify — no all-pairs
+    stage anywhere.  Returns (doc_a, doc_b, jaccard ≥ threshold), the
+    same contract as jaccard_pairs.
+    """
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    # prefix length: sz - ceil(t*sz) + 1 rarest shingles per doc
+    w = Window.partitionBy("doc_id").orderBy("dfq", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return j

@@ -238,3 +238,48 @@ def theil_sen(
         "slope",
         "intercept",
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """Pareto frontier (SKYLINE) over two dimensions — rows where no
+    other row is at-least-as-good on both and strictly better on one
+    (minimize the first column, maximize the second): the
+    "cheapest-for-its-size" selection every catalog/candidate-pruning
+    surface needs.
+
+    The naive formulation is an O(n²) dominance self-join; the 2-D
+    structure collapses it to ONE aggregation + ONE bounded window:
+    group to distinct (min_dim, max_dim) points carrying their
+    duplicate count, reduce to the per-min_dim best max_dim (only the
+    best at each price can survive), then a cumulative max over
+    min_dim ascending — a point survives iff it strictly beats every
+    cheaper point's best.  The window runs over DISTINCT min_dim
+    values (bounded by the attribute's domain, not the corpus; at
+    100 TB the per-value pre-aggregation has already collapsed the
+    data).  Returns the surviving points with ``n_dup`` (how many
+    corpus rows sit on each frontier point).
+    """
+    from pyspark.sql.window import Window
+
+    pts = df.groupBy(
+        F.col(minimize_col).alias("mn"), F.col(maximize_col).alias("mx")
+    ).agg(F.count(F.lit(1)).alias("n_dup"))
+    per_mn = pts.groupBy("mn").agg(F.max("mx").alias("best_mx"))
+    w = Window.orderBy("mn").rowsBetween(Window.unboundedPreceding, -1)
+    survivors = (
+        per_mn.withColumn("prev_best", F.max("best_mx").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_mx") > F.col("prev_best"))
+        )
+        .select("mn", F.col("best_mx").alias("mx"))
+    )
+    return survivors.join(pts, ["mn", "mx"]).select(
+        F.col("mn").alias(minimize_col),
+        F.col("mx").alias(maximize_col),
+        "n_dup",
+    )

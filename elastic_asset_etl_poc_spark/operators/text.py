@@ -813,3 +813,82 @@ def train_linear_classifier(
     spark = df.sparkSession
     rows = [(-1, bias)] + [(b, w) for b, w in sorted(weights.items())]
     return spark.createDataFrame(rows, "bucket int, weight double")
+
+
+def pmi_cooccur(
+    docs: DataFrame,
+    vocab_size: int = 50,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over within-document token
+    co-occurrence (Church & Hanks 1990): which vocabulary terms appear
+    together MORE than their independent frequencies predict —
+    collocation mining, the classic corpus-statistics building block
+    for phrase detection and topic seeding.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with document-level set
+    semantics: P(x) = df(x)/N over the corpus.  The pair space is
+    capped to the top-``vocab_size`` terms by document frequency BEFORE
+    any pairing, so per-document pair generation is bounded by
+    vocab_size² — the knob that keeps co-occurrence mining linear in
+    corpus size at 100 TB (pair counts shuffle ≤ C(vocab,2) keys with
+    map-side combine), instead of exploding with vocabulary.
+
+    Ranking determinism across engines: the top-k orders by the exact
+    RATIO n_ab/(df_a·df_b) — one IEEE division of integers, identical
+    everywhere — with ln() applied only to the reported value, so a
+    1-ulp libm difference can never reorder the result.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).distinct()
+    n_docs = docs.count()
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("dfq"))
+        .orderBy(F.col("dfq").desc(), F.col("t").asc())
+        .limit(vocab_size)
+    )
+    tv = toks.join(F.broadcast(vocab.select("t")), "t")
+    pairs = (
+        tv.select("doc_id", F.col("t").alias("ta"))
+        .join(tv.select("doc_id", F.col("t").alias("tb")), "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                vocab.select(F.col("t").alias("ta"), F.col("dfq").alias("dfa"))
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("t").alias("tb"), F.col("dfq").alias("dfb"))
+            ),
+            "tb",
+        )
+        .withColumn(
+            "ratio",
+            F.col("n_ab").cast("double") / (F.col("dfa") * F.col("dfb")),
+        )
+    )
+    w = Window.orderBy(F.col("ratio").desc(), F.col("ta"), F.col("tb"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("ta").alias("term_a"),
+            F.col("tb").alias("term_b"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.log(F.col("ratio") * n_docs), 4).alias("pmi"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

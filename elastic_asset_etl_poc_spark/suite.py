@@ -11198,6 +11198,222 @@ def stream_hll_distinct_events(spark, sf_dir):
     )
 
 
+@q(
+    "skyline_parts",
+    """
+SELECT p.p_retailprice, p.p_size, count(*) AS n_dup
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+GROUP BY 1, 2
+""",
+)
+def skyline_parts(spark, sf_dir):
+    """SKYLINE / Pareto frontier over parts: cheapest-for-its-size —
+    rows no other part dominates on (price ↓, size ↑), with the
+    duplicate count per frontier point (operators/profile.py
+    skyline_2d).  The oracle states the INDEPENDENT O(n²) dominance
+    semantics (NOT EXISTS a dominator); the Spark side exploits the
+    2-D structure: collapse to distinct points, keep each price's best
+    size, then one cumulative-max window over price ascending — a
+    point survives iff it strictly beats every cheaper point's best.
+    The hash check therefore proves the O(n log n) formulation
+    EQUALS the quadratic definition, the same
+    fast-plan-vs-definitional-oracle pattern as the banded near-dup
+    family.  Scale shape: one groupBy collapses the corpus to the
+    attribute domain; the window runs over distinct price values only
+    (domain-bounded, like mann_whitney's quantized rank frame)."""
+    from .operators.profile import skyline_2d
+
+    part = load_table(spark, sf_dir, "part")
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_retailprice",
+        "p_size",
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+    )
+
+
+@q(
+    "pmi_cooccur_docs",
+    """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+nn AS (SELECT count(*) AS n FROM documents),
+v AS (
+  SELECT t, count(*) AS dfq FROM tok GROUP BY 1
+  ORDER BY dfq DESC, t LIMIT 50
+),
+tv AS (SELECT tok.doc_id, tok.t FROM tok JOIN v ON tok.t = v.t),
+p AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT ta, tb, n_ab,
+         n_ab::DOUBLE / (va.dfq * vb.dfq) AS ratio
+  FROM p JOIN v va ON va.t = ta JOIN v vb ON vb.t = tb
+),
+r AS (
+  SELECT ta, tb, n_ab, ratio,
+         row_number() OVER (ORDER BY ratio DESC, ta, tb) AS rnk
+  FROM s
+)
+SELECT ta AS term_a, tb AS term_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(ratio * nn.n), 4) AS pmi, CAST(rnk AS INT) AS rnk
+FROM r CROSS JOIN nn
+WHERE rnk <= 20
+""",
+)
+def pmi_cooccur_docs(spark, sf_dir):
+    """COLLOCATION mining: top-20 pointwise-mutual-information token
+    pairs over within-document co-occurrence (operators/text.py
+    pmi_cooccur; Church-Hanks 1990) — which vocabulary terms travel
+    together more than chance predicts.  The pair space caps to the
+    top-50 document-frequency vocabulary BEFORE pairing, so pair
+    generation is bounded by vocab² per document and the co-occurrence
+    shuffle carries ≤ C(50,2) keys — the cap is what keeps corpus
+    co-occurrence linear at 100 TB.  Cross-engine ranking orders by
+    the exact integer-ratio n_ab/(df_a·df_b) (one IEEE division), with
+    ln() applied only to the displayed value, so a 1-ulp libm
+    difference cannot reorder the top-k.  Scale shape: distinct-token
+    explode → df agg → broadcast vocab semi-join → bounded pair agg →
+    window over ≤1225 scored pairs."""
+    from .operators.text import pmi_cooccur
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_cooccur(docs, vocab_size=50, top_k=20)
+
+
+_JACCARD2_CTES = """
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx2 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks2),
+sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM idx2 WHERE i < len(t)),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+inter2 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp2 AS (
+  SELECT doc_a, doc_b,
+         round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+  FROM inter2
+  JOIN sizes2 sa ON sa.doc_id = doc_a
+  JOIN sizes2 sb ON sb.doc_id = doc_b
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+)"""
+
+
+@q(
+    "prefix_filter_neardup_docs",
+    f"WITH {_JACCARD2_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp2",
+)
+def prefix_filter_neardup_docs(spark, sf_dir):
+    """PREFIX-FILTERING set-similarity join (PPJoin family,
+    operators/neardup.py prefix_filter_pairs): 2-gram Jaccard ≥ 0.8
+    pairs where candidates come from joining only each document's
+    RAREST few shingles — the pigeonhole guarantee that two sets with
+    J ≥ t must overlap within their (1−t)-fraction prefixes, so
+    candidate generation is lossless and the exact verify makes the
+    output identical to the full inverted-index join.  The oracle IS
+    that definitional all-pairs join, so the driver hash certifies
+    zero false negatives — banding (minhash_neardup_docs) gets
+    probabilistic recall certified by audit; prefix filtering gets
+    EXACT recall certified by equality, a third candidate-generation
+    lever next to banding and bloom pruning.  Hot shingles fall out of
+    prefixes naturally (rarest-first order), which is this algorithm's
+    answer to the d² posting-list blowup.  Scale shape: df agg →
+    per-doc bounded window → prefix self-join → candidate-restricted
+    verify; no all-pairs stage."""
+    from .operators.neardup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, threshold=0.8, n=2)
+
+
+@q(
+    "bfs_khop_custsupp",
+    """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+seeds AS (
+  SELECT DISTINCT c_custkey AS c FROM customer WHERE c_custkey % 97 = 0
+),
+s1 AS (
+  SELECT DISTINCT e.s FROM edges e JOIN seeds ON e.c = seeds.c
+),
+c2 AS (
+  SELECT DISTINCT e.c FROM edges e JOIN s1 ON e.s = s1.s
+  WHERE e.c NOT IN (SELECT c FROM seeds)
+),
+s3 AS (
+  SELECT DISTINCT e.s FROM edges e JOIN c2 ON e.c = c2.c
+  WHERE e.s NOT IN (SELECT s FROM s1)
+),
+c4 AS (
+  SELECT DISTINCT e.c FROM edges e JOIN s3 ON e.s = s3.s
+  WHERE e.c NOT IN (SELECT c FROM seeds UNION ALL SELECT c FROM c2)
+)
+SELECT 'customer' AS node_type, c AS node_id, 0 AS dist FROM seeds
+UNION ALL SELECT 'supplier', s, 1 FROM s1
+UNION ALL SELECT 'customer', c, 2 FROM c2
+UNION ALL SELECT 'supplier', s, 3 FROM s3
+UNION ALL SELECT 'customer', c, 4 FROM c4
+""",
+)
+def bfs_khop_custsupp(spark, sf_dir):
+    """BOUNDED-DEPTH BFS (operators/graph.py bfs_khop): minimum hop
+    distance ≤ 4 from a seed customer set over the customer↔supplier
+    co-transaction graph — the k-hop neighborhood / blast-radius query
+    (who is within k relationship steps of these accounts).  The
+    oracle UNROLLS the four relaxation rounds as layered CTEs (each
+    layer = neighbors of the previous minus everyone already
+    reached), which on the bipartite graph is exactly min-hop BFS —
+    so the iterative frontier/anti-join implementation is
+    hash-certified round by round.  Unlike connected_components_star
+    (O(log n) rounds to a fixpoint), the round count here is the HOP
+    BOUND k — fixed by the question, independent of graph size or
+    diameter; per-round localCheckpoint truncates lineage.  Scale
+    shape: one distinct-edge build, then k partitioned hash joins
+    whose frontier never exceeds the node set."""
+    from .operators.graph import bfs_khop
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ce = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cn"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = ce.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(
+        ce.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("node")
+    )
+    reach = bfs_khop(edges, seeds, k=4)
+    return reach.select(
+        F.when(F.substring("node", 1, 2) == "c:", "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.substring("node", 3, 100).cast("bigint").alias("node_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

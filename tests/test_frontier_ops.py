@@ -1,0 +1,107 @@
+"""Unit tests for the round-11 frontier operators: skyline_2d,
+bfs_khop, prefix_filter_pairs, pmi_cooccur."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from elastic_asset_etl_poc_spark.operators.graph import bfs_khop
+from elastic_asset_etl_poc_spark.operators.neardup import (
+    jaccard_pairs,
+    prefix_filter_pairs,
+)
+from elastic_asset_etl_poc_spark.operators.profile import skyline_2d
+from elastic_asset_etl_poc_spark.operators.text import pmi_cooccur
+
+
+def test_skyline_hand_computed(spark):
+    """price↓/size↑ frontier: (1,5) dominates (2,5) and (1,3);
+    (3,8) survives (bigger than every cheaper point); the duplicate
+    of (1,5) folds into n_dup=2; (3,8) twin also counted."""
+    rows = [(1.0, 5), (1.0, 5), (2.0, 5), (1.0, 3), (3.0, 8), (3.0, 8), (4.0, 7)]
+    df = spark.createDataFrame(rows, ["price", "size"])
+    got = {
+        (r["price"], r["size"]): r["n_dup"]
+        for r in skyline_2d(df, "price", "size").collect()
+    }
+    assert got == {(1.0, 5): 2, (3.0, 8): 2}
+
+
+def test_skyline_equal_price_keeps_only_best(spark):
+    """At the same price, only the max size survives (strict dominance
+    on the other dim)."""
+    df = spark.createDataFrame([(1.0, 1), (1.0, 9)], ["price", "size"])
+    got = [(r["price"], r["size"]) for r in skyline_2d(df, "price", "size").collect()]
+    assert got == [(1.0, 9)]
+
+
+def test_bfs_khop_min_distance_and_early_exit(spark):
+    """Path a-b-c-d plus shortcut a-c: c must get dist 1 (via the
+    shortcut, not 2 via b); e is unreachable and absent; rounds stop
+    early once the frontier drains (k=10 on a diameter-2 reach)."""
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, k=10).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_khop_respects_bound(spark):
+    """k=1 must not reach two hops out."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, k=1).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_prefix_filter_equals_exact_join(spark):
+    """Lossless candidates: prefix filtering must return exactly the
+    pairs the full inverted-index join returns, on a corpus with
+    near-dups, exact dups, and unrelated docs."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "completely different words about spark and parquet files"),
+        (5, "entirely other content mentioning ducks and databases here"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, threshold=0.6, n=2).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, threshold=0.6, n=2, max_doc_freq=None
+        ).collect()
+    }
+    assert pf == exact
+    assert (1, 3) in pf and pf[(1, 3)] == 1.0
+
+
+def test_pmi_hand_computed(spark):
+    """4 docs; x and y co-occur in both of their docs (df=2 each,
+    n_ab=2): PMI = ln(2·4/(2·2)) = ln 2.  Filler tokens are made
+    unique per doc so the vocab cap keeps x/y."""
+    rows = [
+        (1, "x y a1 b1"),
+        (2, "x y a2 b2"),
+        (3, "p q a3 b3"),
+        (4, "p r a4 b4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_ab"], r["pmi"])
+        for r in pmi_cooccur(df, vocab_size=30, top_k=50).collect()
+    }
+    n_ab, pmi = got[("x", "y")]
+    assert n_ab == 2
+    assert pmi == pytest.approx(round(math.log(2.0), 4))
+    # p/q co-occur once with df(p)=2: PMI = ln(1·4/(2·1)) = ln 2 too
+    assert got[("p", "q")][0] == 1
