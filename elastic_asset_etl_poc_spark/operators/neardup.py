@@ -1195,7 +1195,11 @@ def prefix_filter_pairs(
     stage anywhere.  Returns (doc_a, doc_b, jaccard ≥ threshold), the
     same contract as jaccard_pairs.
     """
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    # the posting frame feeds FOUR consumers (df counts, prefix build,
+    # both verify sides) — materialize once, the _pair_stats pattern
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     # prefix length: sz - ceil(t*sz) + 1 rarest shingles per doc
@@ -1216,6 +1220,21 @@ def prefix_filter_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")),
+            "doc_b",
+        )
+        # LENGTH FILTER (lossless): J ≥ t implies min(|A|,|B|) ≥ t·max —
+        # prunes unrelated docs that happened to share one rare shingle
+        # before the verify pass pays Σ|A| for them
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
     )
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -1227,14 +1246,7 @@ def prefix_filter_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     j = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")),
-            "doc_b",
-        )
+        inter.join(cand.select("doc_a", "doc_b", "na", "nb"), ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",

@@ -11289,51 +11289,37 @@ def pmi_cooccur_docs(spark, sf_dir):
     return pmi_cooccur(docs, vocab_size=50, top_k=20)
 
 
-_JACCARD2_CTES = """
-toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-idx2 AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM toks2),
-sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM idx2 WHERE i < len(t)),
-sizes2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-inter2 AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jp2 AS (
-  SELECT doc_a, doc_b,
-         round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-  FROM inter2
-  JOIN sizes2 sa ON sa.doc_id = doc_a
-  JOIN sizes2 sb ON sb.doc_id = doc_b
-  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
-)"""
-
-
 @q(
     "prefix_filter_neardup_docs",
-    f"WITH {_JACCARD2_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp2",
+    f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp",
 )
 def prefix_filter_neardup_docs(spark, sf_dir):
     """PREFIX-FILTERING set-similarity join (PPJoin family,
-    operators/neardup.py prefix_filter_pairs): 2-gram Jaccard ≥ 0.8
+    operators/neardup.py prefix_filter_pairs): 3-gram Jaccard ≥ 0.8
     pairs where candidates come from joining only each document's
     RAREST few shingles — the pigeonhole guarantee that two sets with
     J ≥ t must overlap within their (1−t)-fraction prefixes, so
     candidate generation is lossless and the exact verify makes the
-    output identical to the full inverted-index join.  The oracle IS
-    that definitional all-pairs join, so the driver hash certifies
-    zero false negatives — banding (minhash_neardup_docs) gets
-    probabilistic recall certified by audit; prefix filtering gets
-    EXACT recall certified by equality, a third candidate-generation
-    lever next to banding and bloom pruning.  Hot shingles fall out of
-    prefixes naturally (rarest-first order), which is this algorithm's
-    answer to the d² posting-list blowup.  Scale shape: df agg →
-    per-doc bounded window → prefix self-join → candidate-restricted
-    verify; no all-pairs stage."""
+    output identical to the full inverted-index join.  The oracle is
+    the SAME definitional all-pairs SQL as jaccard_neardup_docs, so
+    the driver hash certifies zero false negatives AND that two
+    completely different physical strategies (full inverted index vs
+    prefix-filtered candidates) agree row-for-row — banding
+    (minhash_neardup_docs) gets probabilistic recall certified by
+    audit; prefix filtering gets EXACT recall certified by equality, a
+    third candidate-generation lever next to banding and bloom
+    pruning.  Shingle order is 3 because prefix filtering lives on
+    rarity: on this corpus the median prefix 3-gram touches 7 docs vs
+    265 for 2-grams (measured) — a 37× candidate cut for free; the
+    PPJoin length filter (min size ≥ t·max) prunes the rest before
+    verification.  Scale shape: df agg → per-doc bounded window →
+    prefix self-join → length filter → candidate-restricted verify; no
+    all-pairs stage, no df cap needed (prefixes self-select away from
+    hot shingles)."""
     from .operators.neardup import prefix_filter_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return prefix_filter_pairs(docs, threshold=0.8, n=2)
+    return prefix_filter_pairs(docs, threshold=0.8, n=3)
 
 
 @q(
@@ -11396,10 +11382,15 @@ def bfs_khop_custsupp(spark, sf_dir):
         )
         .distinct()
     )
-    edges = ce.select(
-        F.col("cn").alias("src"), F.col("sn").alias("dst")
-    ).unionByName(
-        ce.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    # materialize the distinct edge build once: every BFS round joins
+    # against it, and a lazy frame would replay the orders⋈lineitem
+    # join + distinct k times
+    edges = (
+        ce.select(F.col("cn").alias("src"), F.col("sn").alias("dst"))
+        .unionByName(
+            ce.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+        )
+        .localCheckpoint()
     )
     seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(
         F.concat(F.lit("c:"), F.col("c_custkey")).alias("node")
