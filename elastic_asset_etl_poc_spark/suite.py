@@ -11405,6 +11405,256 @@ def bfs_khop_custsupp(spark, sf_dir):
     )
 
 
+@q(
+    "mutual_knn_embeddings",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  -- round to the 4-dp grain BEFORE the argmax: the Spark side's
+  -- Arrow/BLAS kernel emits 4-dp cosines, so the reciprocal-best
+  -- selection must compare at the same grain on both engines
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(b.v, a.v)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(a.v, a.v))), 4) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+top1 AS (
+  SELECT query_id, neighbor_id, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk = 1
+)
+SELECT t.query_id AS vec_a, t.neighbor_id AS vec_b, t.cos
+FROM top1 t
+JOIN top1 r ON r.query_id = t.neighbor_id AND r.neighbor_id = t.query_id
+WHERE t.query_id < t.neighbor_id
+""",
+)
+def mutual_knn_embeddings(spark, sf_dir):
+    """RECIPROCAL BEST MATCH over the embedding corpus
+    (operators/similarity.py mutual_top1_pairs): pairs where each
+    vector is the other's single nearest cosine neighbor — the
+    zero-threshold high-precision candidate generator for entity
+    resolution and alignment (hub vectors attract many ONE-sided
+    nearest neighbors; requiring reciprocity filters hubs with no
+    tuning knob).  Exact all-pairs scoring here is the definitional
+    baseline the oracle can restate verbatim; at 100 TB the same
+    reciprocity join composes over LSH/IVF candidates instead
+    (reciprocity is a per-pair property, so any complete candidate set
+    preserves it — the recall_* audits certify those generators
+    separately).  Scale shape of THIS form: broadcast the vector frame
+    once, score partition-locally, one argmax window per query, then a
+    self-join on the 1-row-per-vector top-1 frame."""
+    from .operators.similarity import mutual_top1_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_top1_pairs(emb).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cos")
+    )
+
+
+@q("stream_cms_heavy_hitters", _cms_hh_sql())
+def stream_cms_heavy_hitters(spark, sf_dir):
+    """§2.9 STREAMING twin of cms_heavy_hitters_events, sharing its
+    oracle: the d×w Count-Min cells are maintained as ONE running
+    streaming aggregation (the map-side ×d explode feeds
+    groupBy(depth, bucket).count — state is ≤ 8192 BIGINT cells,
+    bounded by the sketch geometry, never by stream length or key
+    cardinality) drained availableNow into the memory sink; the top-20
+    point reads and the exact audit twin are static views over the
+    drained cells.  Cells are plain integer sums, so like the HLL twin
+    the streaming result is BIT-IDENTICAL to batch — no
+    accumulation-order caveat.  This is the live heavy-hitter monitor
+    shape: the sketch ticks per micro-batch, queries read state."""
+    import uuid
+
+    from .operators.sketches import cms_cells, cms_estimate
+    from .streaming import run_to_memory
+    from .streaming.services_stream import EVENTS_STREAM_SCHEMA
+
+    ev_s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(_staged_events(sf_dir))
+        .select("user_id")
+    )
+    name = f"cms_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        sq = run_to_memory(cms_cells(ev_s, "user_id"), name, "complete")
+        sq.stop()
+    cells = spark.table(name)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    top20 = exact.orderBy(
+        F.col("n_exact").desc(), F.col("user_id").asc()
+    ).limit(20)
+    est = cms_estimate(cells, top20.select("user_id"), "user_id")
+    return top20.join(est, "user_id").select(
+        "user_id",
+        "n_exact",
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("n_exact"))
+        .cast("int")
+        .alias("never_undercounts"),
+    )
+
+
+@q(
+    "degree_powerlaw_custsupp",
+    """
+WITH deg AS (
+  SELECT l.l_suppkey AS s, count(DISTINCT o.o_custkey) AS degree
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+hist AS (
+  SELECT degree, count(*) AS n_suppliers FROM deg GROUP BY 1
+),
+ols AS (
+  SELECT count(*) AS k,
+         sum(ln(degree::DOUBLE)) AS sx,
+         sum(ln(n_suppliers::DOUBLE)) AS sy,
+         sum(ln(degree::DOUBLE) * ln(n_suppliers::DOUBLE)) AS sxy,
+         sum(ln(degree::DOUBLE) * ln(degree::DOUBLE)) AS sxx
+  FROM hist
+)
+SELECT h.degree, CAST(h.n_suppliers AS BIGINT) AS n_suppliers,
+       round(CASE WHEN o.sxx - o.sx * o.sx / o.k > 0
+                  THEN (o.sxy - o.sx * o.sy / o.k)
+                       / (o.sxx - o.sx * o.sx / o.k) END, 4)
+         AS loglog_slope
+FROM hist h CROSS JOIN ols o
+""",
+)
+def degree_powerlaw_custsupp(spark, sf_dir):
+    """GRAPH DEGREE PROFILE: the supplier-side degree histogram of the
+    customer↔supplier co-transaction graph plus the log-log OLS slope —
+    the first diagnostic any graph pipeline runs, because every
+    downstream choice (salting hot keys, broadcast thresholds, frontier
+    sizing for bfs_khop/star-CC) hinges on whether the degree tail is
+    exponential or power-law.  The slope is closed-form least squares
+    over (ln degree, ln count) — two aggs and arithmetic, no iterative
+    fitter — repeated per histogram row like chi2's repeated statistic
+    so the margin data AND the fit are both hash-checked.  Scale shape:
+    one distinct-edge agg (the corpus shuffle), a histogram agg over
+    the degree domain, and a scalar OLS over the histogram frame."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("s"))
+        .agg(F.count_distinct("o_custkey").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers")
+    )
+    lx = F.log(F.col("degree").cast("double"))
+    ly = F.log(F.col("n_suppliers").cast("double"))
+    ols = hist.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    denom = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("k")
+    slope = F.when(
+        denom > 0,
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("k")) / denom,
+    )
+    return hist.crossJoin(F.broadcast(ols)).select(
+        "degree",
+        "n_suppliers",
+        F.round(slope, 4).alias("loglog_slope"),
+    )
+
+
+@q(
+    "embed_covariance",
+    """
+WITH pe AS (
+  SELECT vec_id, i AS d, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+mu AS (SELECT d, sum(v) AS sv FROM pe GROUP BY 1),
+xp AS (
+  SELECT a.d AS di, b.d AS dj, sum(a.v * b.v) AS svv
+  FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.d <= b.d
+  GROUP BY 1, 2
+)
+SELECT CAST(xp.di AS INT) AS dim_i, CAST(xp.dj AS INT) AS dim_j,
+       round((xp.svv / nn.n - (ma.sv / nn.n) * (mb.sv / nn.n)) * 1000000, 2)
+         AS cov_ppm
+FROM xp
+JOIN mu ma ON ma.d = xp.di
+JOIN mu mb ON mb.d = xp.dj
+CROSS JOIN nn
+""",
+)
+def embed_covariance(spark, sf_dir):
+    """LINEAR ALGEBRA AS AGGREGATION: the upper-triangular covariance
+    matrix of the embedding corpus — (64·65)/2 entries from ONE
+    explode→self-join→sum pass, the building block for PCA whitening,
+    Mahalanobis outlier scoring, and embed_drift_centroid's
+    second-moment upgrade.  The point at 100 TB: a d×d covariance
+    never needs the vectors twice — per-vector outer-product terms
+    map-side-combine into d²/2 running sums, so the shuffle carries
+    the MATRIX (2080 cells), not the corpus, exactly like the sketch
+    family.  Population covariance stated as Σxy/n − μᵢμⱼ identically
+    in both engines, reported in PARTS-PER-MILLION rounded to 2dp:
+    entries span 5e-9..2e-2, so a raw 6-dp rounding sits AT signal
+    scale and cross-engine accumulation-order noise (~1e-15) flips the
+    last digit — scaling first puts the grain 7 orders above the
+    noise while keeping 4+ significant digits on typical entries (the
+    same grain-vs-noise reasoning as the sketch family's integer
+    scaling, applied to display).
+    Eigen-decomposition on the resulting 64×64 frame is a DRIVER-side
+    numpy step (tests/test_frontier_ops.py exercises the operator);
+    the distributed part — the only part that touches data — is this
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("d"), F.col("col").alias("v")
+    )
+    n = emb.count()
+    mu = pe.groupBy("d").agg(F.sum("v").alias("sv"))
+    a = pe.select(F.col("d").alias("di"), "vec_id", F.col("v").alias("va"))
+    b = pe.select(F.col("d").alias("dj"), "vec_id", F.col("v").alias("vb"))
+    xp = (
+        a.join(b, "vec_id")
+        .filter(F.col("di") <= F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("svv"))
+    )
+    return (
+        xp.join(
+            F.broadcast(mu.select(F.col("d").alias("di"), F.col("sv").alias("sva"))),
+            "di",
+        )
+        .join(
+            F.broadcast(mu.select(F.col("d").alias("dj"), F.col("sv").alias("svb"))),
+            "dj",
+        )
+        .select(
+            F.col("di").cast("int").alias("dim_i"),
+            F.col("dj").cast("int").alias("dim_j"),
+            F.round(
+                (F.col("svv") / n - (F.col("sva") / n) * (F.col("svb") / n))
+                * 1000000,
+                2,
+            ).alias("cov_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
