@@ -199,6 +199,30 @@ HEAVY = [
     # (the outlier_mad buffer disclosure applies).
     ("dpp_scan_events", "linear (layout writes + pruned join)"),
     ("daily_percentiles_events", "linear (exact percentile: O(day) agg buffer - audit form)"),
+    # round-11 additions: the portable-sketch family is one map-side-
+    # combinable agg each over a sketch-bounded cell domain (HLL's
+    # exact-distinct audit column is the only corpus-width distinct;
+    # CMS pays a map-side x4 explode); mann-whitney collapses the
+    # corpus to the quantized distinct-value frame before its one
+    # window; prefix filtering's pair build is per-call (cold by
+    # construction, like containment); bfs runs k=4 bounded hash-join
+    # rounds; covariance map-side-combines d^2/2 outer-product sums;
+    # the degree profile is one distinct-edge agg + histogram; pmi's
+    # pair space is vocab-capped before pairing.  mutual_knn is the
+    # definitional exact all-pairs baseline (quadratic by design, like
+    # embed_neardup_cosine_lsh's output semantics) — annotated, not
+    # asserted; its 100-TB form composes reciprocity over the LSH/IVF
+    # generators.  skyline/bh_fdr/stream twins are domain-bounded or
+    # stream-class and are covered by pytest + the batch twins.
+    ("hll_distinct_events", "linear (registers bounded; exact-distinct audit column is the scan)"),
+    ("cms_heavy_hitters_events", "linear (x4 map explode; cells bounded)"),
+    ("mann_whitney_events", "linear (one agg; window over quantized value domain)"),
+    ("prefix_filter_neardup_docs", "linear (pair build per-call — cold by construction)"),
+    ("bfs_khop_custsupp", "linear (k=4 bounded join rounds)"),
+    ("embed_covariance", "linear (d^2/2 running sums, map-side combined)"),
+    ("degree_powerlaw_custsupp", "linear"),
+    ("pmi_cooccur_docs", "linear (vocab-capped pair space)"),
+    ("mutual_knn_embeddings", "quadratic by design: exact all-pairs baseline (LSH/IVF compose at scale)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
