@@ -374,3 +374,65 @@ def bfs_khop(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def kcore_membership(
+    edges: DataFrame, k: int, max_rounds: int = 12
+) -> DataFrame:
+    """k-CORE decomposition (membership for fixed k): iteratively peel
+    nodes of degree < k until the remaining subgraph is stable — the
+    maximal subgraph where every node keeps ≥ k in-subgraph neighbors
+    (Seidman 1983), the standard dense-community / engagement-tier
+    extractor.  ``edges`` is directed rows; pass both orientations for
+    an undirected graph.  Returns (node, core_degree) — each surviving
+    node with its within-core degree (≥ k by construction, an
+    in-frame invariant the hash check pins).
+
+    Each peel round is one map-side-combinable degree agg + a
+    broadcast-sized semi-join on the survivor set, localCheckpointed
+    (the per-round lineage guard shared with star-CC/BFS/MMR).  The
+    loop EXITS on a certified fixpoint (node count stable) and RAISES
+    if ``max_rounds`` passes without convergence — the same
+    self-auditing contract as the DPP query: a run that returns has
+    PROVEN its round bound, so an unrolled fixed-round oracle is exact
+    whenever the query succeeds.
+
+    Scale shape: peeling is O(rounds) corpus passes where rounds is
+    the peel DEPTH of the degree distribution (6 on the suite graph;
+    pathological chains are bounded by max_rounds, and production
+    would switch to the O(log n) distributed coreness algorithms only
+    past that depth).  Each pass shuffles the shrinking edge frame on
+    node id; the survivor set broadcasts.
+    """
+    cur = edges.localCheckpoint()
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        # ONE degree aggregation per round serves both the fixpoint
+        # check (its row count IS the node count) and the survivor
+        # filter — checkpointed so neither consumer recomputes the agg
+        deg = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .localCheckpoint()
+        )
+        n_nodes = deg.count()
+        if n_nodes == prev_nodes:
+            return deg.select(
+                F.col("src").alias("node"),
+                F.col("__d").alias("core_degree"),
+            )
+        prev_nodes = n_nodes
+        keep = deg.filter(F.col("__d") >= k).select("src")
+        cur = (
+            cur.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))), "dst"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"kcore_membership: no fixpoint within {max_rounds} rounds — "
+        "the unrolled-oracle contract would be violated; raise "
+        "max_rounds (and the oracle unroll) for this graph"
+    )

@@ -11655,6 +11655,80 @@ def embed_covariance(spark, sf_dir):
     )
 
 
+def _kcore_sql(k: int = 80, rounds: int = 12) -> str:
+    """Unrolled peel oracle: ``rounds`` generated keep/filter CTE pairs.
+    Exact whenever the Spark side converges within ``rounds`` — which
+    kcore_membership RAISES about if violated, so a returned result is
+    always comparable (the DPP self-audit pattern).  Fixpoint rounds
+    measured: 6 at sf0.01 and sf0.1; 12 gives 2× margin."""
+    # AS MATERIALIZED: each u{r} is referenced twice by round r+1 (the
+    # edge side and the survivor agg) — without materialization DuckDB
+    # re-expands the whole chain per reference (2^rounds base scans;
+    # observed as an fd exhaustion on the parquet view)
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+u0 AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (SELECT a FROM u{r - 1} GROUP BY a HAVING count(*) >= {k}),
+u{r} AS MATERIALIZED (
+  SELECT c.a, c.b FROM u{r - 1} c
+  JOIN k{r} x ON c.a = x.a JOIN k{r} y ON c.b = y.a
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM u{rounds} GROUP BY a"""
+    )
+
+
+@q("kcore_parts", _kcore_sql())
+def kcore_parts(spark, sf_dir):
+    """k-CORE decomposition (operators/graph.py kcore_membership) of
+    the part CO-PURCHASE graph (parts sharing an order): the maximal
+    subgraph where every part keeps ≥ 80 in-subgraph co-purchase
+    partners — the dense-community extractor whose peeling CASCADES
+    (removing a node can drop its neighbors below k), which is what
+    separates it from a one-shot degree filter: this graph takes 6
+    genuine peel rounds and sheds ~7% of nodes.  The oracle UNROLLS 12
+    peel rounds as generated CTE pairs; the Spark side iterates to a
+    CERTIFIED fixpoint and RAISES past 12 rounds, so any returned
+    result is exactly comparable (the self-auditing unrolled-oracle
+    contract shared with dpp_scan and bfs_khop).  Output carries each
+    survivor's within-core degree — the ≥ k invariant rides in-frame.
+    Scale shape: the order-wise pair explode is bounded by basket
+    size² (the basket_rules shape); each peel round is one degree agg
+    + broadcast survivor semi-joins on a shrinking frame,
+    localCheckpointed per round."""
+    from .operators.graph import kcore_membership
+
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("b"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    core = kcore_membership(und, k=80, max_rounds=12)
+    return core.select(
+        F.col("node").alias("part_id"),
+        F.col("core_degree").cast("bigint").alias("core_degree"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

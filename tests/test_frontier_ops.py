@@ -135,3 +135,39 @@ def test_pca_project_variances_match_eigenvalues(spark):
     # PC1 ~ the planted axis: projection correlates with dim 2
     r = np.corrcoef(proj[:, 0], base[:, 2])[0, 1]
     assert abs(r) > 0.95
+
+
+def test_kcore_hand_computed(spark):
+    """Triangle {a,b,c} plus a pendant chain c-d-e: the 2-core is
+    exactly the triangle (d's degree drops to 1 once e is peeled —
+    the CASCADE a one-shot degree filter misses: d starts at degree
+    2)."""
+    import pyspark.sql.functions as F
+
+    from elastic_asset_etl_poc_spark.operators.graph import kcore_membership
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(edges, k=2).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_raises_past_round_bound(spark):
+    """A long chain peels one node per round from each end at k=2 —
+    max_rounds=2 must RAISE (the unrolled-oracle self-audit), not
+    silently return a non-fixpoint."""
+    import pytest as _pytest
+
+    from elastic_asset_etl_poc_spark.operators.graph import kcore_membership
+
+    chain = [(str(i), str(i + 1)) for i in range(12)]
+    edges = spark.createDataFrame(
+        chain + [(y, x) for x, y in chain], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore_membership(edges, k=2, max_rounds=2)

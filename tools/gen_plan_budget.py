@@ -48,6 +48,7 @@ EXCLUSION_RULES: tuple[tuple[str, str], ...] = (
     ("train_classifier", "eager gradient loop: result is a tiny createDataFrame, the training plan is per-step"),
     ("entity_clusters_star", "iterative star contraction: per-round localCheckpoint truncates lineage to the last round"),
     ("bfs_khop", "iterative BFS: per-round localCheckpoint truncates lineage; the returned frame is the visited union of checkpointed rounds"),
+    ("kcore", "iterative peel: per-round localCheckpoint + certified fixpoint; the returned frame is the final degree agg"),
     ("entity_clusters", "dedup_survivors collects the pair set at build time (driver union-find fast path)"),
     ("bucketed_join", "writes bucketed tables at build time and returns a localCheckpoint (plan is the tail; the no-Exchange join shape self-audits in-query and in tests/test_scale_ops.py)"),
     ("bloom_semi_join", "bloom bitmap collected at build time (bounded 8 KiB) and result localCheckpointed under the no-broadcast conf; prune-below-exchange plan shape asserted in tests/test_plans_physical.py"),
