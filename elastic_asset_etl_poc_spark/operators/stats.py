@@ -467,3 +467,132 @@ def bh_fdr(
         "rejected", F.lit(0)
     )
     return ranked.drop("__m", "__k").unionByName(skipped)
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    quantize: int = 2,
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: D = max |F_a(v) − F_b(v)|
+    over the pooled support — the distribution-SHAPE drift test that
+    catches what mean/variance tests (welch) and binned divergences
+    (PSI, whose verdict depends on the chosen bins) both miss, with no
+    bins to tune.
+
+    Same scale skeleton as mann_whitney_u: collapse the corpus to
+    per-quantized-value counts in ONE aggregation, then a single
+    ordered window over the bounded distinct-value frame computes both
+    running CDFs; D is the max absolute gap.  Integer cumulative
+    counts divide by integer totals once per value — each |gap| is one
+    IEEE subtraction of two single-division ratios, identical in any
+    engine, and max() is order-free.  Significance at α=0.05 uses the
+    asymptotic critical value c(α)·√((na+nb)/(na·nb)), c = 1.358.
+
+    Returns one row: n_a, n_b, ks_stat, ks_crit, significant."""
+    v = F.round(F.col(value_col).cast("double"), quantize)
+    per_v = (
+        df.filter(cond_a | cond_b)
+        .select(
+            v.alias("qv"),
+            F.when(cond_a, 1).otherwise(0).alias("ia"),
+            F.when(cond_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("qv")
+        .agg(
+            F.sum("ia").cast("bigint").alias("ca"),
+            F.sum("ib").cast("bigint").alias("cb"),
+        )
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).select(
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(w_all).alias("ta"),
+        F.max("cum_b").over(w_all).alias("tb"),
+    )
+    agg = cum.agg(
+        F.max("ta").alias("na"),
+        F.max("tb").alias("nb"),
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("ta")
+                - F.col("cum_b").cast("double") / F.col("tb")
+            )
+        ).alias("ks_stat"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    crit = F.lit(alpha_c) * F.sqrt((na + nb) / (na * nb))
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("ks_stat"),
+        crit.alias("ks_crit"),
+        (F.col("ks_stat") > crit).cast("int").alias("significant"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize: int = 2,
+) -> DataFrame:
+    """Spearman rank correlation with average-rank tie handling —
+    Pearson's r computed on RANKS, the monotone-association measure
+    robust to outliers and nonlinearity (welch/theil-sen answer level
+    and trend; this answers "do x and y move together at all").
+
+    Ranks never materialize per row: for each quantized value, the
+    average rank is cum_before + (count+1)/2 — a window over the
+    bounded distinct-value frame per AXIS (two small windows), joined
+    back to the corpus rows map-side (broadcast: the rank tables are
+    value-domain-sized).  The Pearson tail is then ONE power-sum
+    aggregation over (rank_x, rank_y) pairs, the welch/moments shape.
+
+    Returns one row: n, rho, with rho = (nΣxy − ΣxΣy) /
+    √(nΣx²−(Σx)²)/√(nΣy²−(Σy)²) on ranks."""
+    qx = F.round(F.col(x_col).cast("double"), quantize)
+    qy = F.round(F.col(y_col).cast("double"), quantize)
+    base = df.select(qx.alias("qx"), qy.alias("qy"))
+
+    def rank_table(col: str):
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                F.coalesce(F.sum("c").over(w), F.lit(0)).cast("double")
+                + (F.col("c").cast("double") + 1.0) / 2.0
+            ).alias(f"r{col[-1]}"),
+        )
+
+    ranked = base.join(F.broadcast(rank_table("qx")), "qx").join(
+        F.broadcast(rank_table("qy")), "qy"
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.when(den > 0, num / den).alias("rho"),
+    )

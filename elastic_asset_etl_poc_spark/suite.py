@@ -11729,6 +11729,130 @@ def kcore_parts(spark, sf_dir):
     )
 
 
+@q(
+    "ks_test_events",
+    f"""
+WITH f AS (
+  SELECT round(value, 2) AS qv,
+         CASE WHEN ts >= {NOW_SQL} - INTERVAL 15 DAY THEN 1 ELSE 0 END AS ia,
+         CASE WHEN ts < {NOW_SQL} - INTERVAL 15 DAY THEN 1 ELSE 0 END AS ib
+  FROM events
+  WHERE ts >= {NOW_SQL} - INTERVAL 30 DAY AND ts <= {NOW_SQL}
+),
+per_v AS (
+  SELECT qv, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+  FROM f GROUP BY 1
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY qv) AS cum_a,
+         sum(cb) OVER (ORDER BY qv) AS cum_b
+  FROM per_v
+),
+tot AS (SELECT max(cum_a) AS na, max(cum_b) AS nb FROM cum),
+d AS (
+  SELECT max(abs(cum_a::DOUBLE / tot.na - cum_b::DOUBLE / tot.nb)) AS ks
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+       round(d.ks, 6) AS ks_stat,
+       round(1.358 * sqrt((tot.na + tot.nb) * 1.0 / (tot.na * tot.nb)), 6)
+         AS ks_crit,
+       CAST(CASE WHEN d.ks > 1.358 * sqrt((tot.na + tot.nb) * 1.0
+                                          / (tot.na * tot.nb))
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM d CROSS JOIN tot
+""",
+)
+def ks_test_events(spark, sf_dir):
+    """DISTRIBUTION-SHAPE drift: two-sample Kolmogorov-Smirnov over
+    `value`, last 15 days vs the prior 15 (operators/stats.py ks_test,
+    same time split as welch_ttest_events) — D = max CDF gap catches
+    shape changes that mean tests miss and needs NO bin choice, the
+    tuning knob PSI's verdict hinges on.  The welch/PSI/KS trio now
+    covers level, binned divergence, and shape.  Scale skeleton shared
+    with mann_whitney_u: one corpus agg to quantized per-value counts,
+    one ordered window over the bounded value domain for both running
+    CDFs; every |gap| is a subtraction of two single-division ratios
+    (identical IEEE ops both engines), max is order-free.  An A/A-style
+    expected verdict on this synthetic corpus: not significant."""
+    from .operators.stats import ks_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.expr(f"{NOW_SQL} - INTERVAL 30 DAY"))
+        & (F.col("ts") <= F.expr(NOW_SQL))
+    )
+    split = F.col("ts") >= F.expr(f"{NOW_SQL} - INTERVAL 15 DAY")
+    r = ks_test(ev, "value", split, ~split)
+    return r.select(
+        "n_a",
+        "n_b",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("ks_crit", 6).alias("ks_crit"),
+        "significant",
+    )
+
+
+@q(
+    "spearman_corr_events",
+    """
+WITH base AS (
+  SELECT round(value, 2) AS qx,
+         CAST(extract(hour FROM ts) AS DOUBLE) AS qy
+  FROM events
+),
+rx AS (
+  SELECT qx,
+         coalesce(sum(c) OVER (ORDER BY qx
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::DOUBLE
+           + (c::DOUBLE + 1.0) / 2.0 AS rx
+  FROM (SELECT qx, count(*) AS c FROM base GROUP BY 1)
+),
+ry AS (
+  SELECT qy,
+         coalesce(sum(c) OVER (ORDER BY qy
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::DOUBLE
+           + (c::DOUBLE + 1.0) / 2.0 AS ry
+  FROM (SELECT qy, count(*) AS c FROM base GROUP BY 1)
+),
+g AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(rx.rx) AS sx, sum(ry.ry) AS sy,
+         sum(rx.rx * ry.ry) AS sxy,
+         sum(rx.rx * rx.rx) AS sxx,
+         sum(ry.ry * ry.ry) AS syy
+  FROM base JOIN rx USING (qx) JOIN ry USING (qy)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  END, 6) AS rho
+FROM g
+""",
+)
+def spearman_corr_events(spark, sf_dir):
+    """MONOTONE association: Spearman rank correlation between `value`
+    and hour-of-day (operators/stats.py spearman_corr) — Pearson on
+    average ranks, the outlier-robust "do these move together at all"
+    measure completing the nonparametric family (mann_whitney: two
+    groups; ks: two distributions; spearman: two variables).  Ranks
+    never materialize per row: each axis's average-rank table is one
+    window over its bounded quantized-value domain, broadcast back to
+    the corpus, and the Pearson tail is ONE power-sum agg (the
+    welch/moments shape).  Average ranks are half-integers, so every
+    power sum is exact binary arithmetic at suite scales — the rounded
+    rho is bit-stable across engines and partitionings."""
+    from .operators.stats import spearman_corr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", F.hour("ts").cast("double").alias("hr")
+    )
+    r = spearman_corr(ev, "value", "hr")
+    return r.select("n", F.round("rho", 6).alias("rho"))
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

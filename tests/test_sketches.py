@@ -124,3 +124,53 @@ def test_bh_fdr_partial_and_null(spark):
     assert rows["h5"]["bh_rank"] is None
     # m excludes the NULL: rank-1 threshold is q/4, not q/5
     assert rows["h1"]["bh_thresh"] == pytest.approx(0.05 / 4)
+
+
+def test_ks_identical_samples_zero(spark):
+    """KS of a sample against itself is 0 and never significant."""
+    from elastic_asset_etl_poc_spark.operators.stats import ks_test
+
+    base = spark.range(500).select((F.col("id") % 37 * 1.5).alias("v"))
+    df = base.withColumn("g", F.lit(0)).union(base.withColumn("g", F.lit(1)))
+    r = ks_test(df, "v", F.col("g") == 0, F.col("g") == 1).collect()[0]
+    assert r["ks_stat"] == pytest.approx(0.0, abs=1e-12)
+    assert r["significant"] == 0
+
+
+def test_ks_disjoint_supports_one(spark):
+    """Fully separated samples: D = 1, significant."""
+    from elastic_asset_etl_poc_spark.operators.stats import ks_test
+
+    rows = [(float(i), "a") for i in range(40)] + [
+        (float(100 + i), "b") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    r = ks_test(df, "v", F.col("side") == "a", F.col("side") == "b").collect()[0]
+    assert r["ks_stat"] == pytest.approx(1.0)
+    assert r["significant"] == 1
+
+
+def test_spearman_perfect_monotone(spark):
+    """y = x^3 is nonlinear but perfectly monotone: rho = 1; reversing
+    sign gives -1 — the property Pearson-on-values fails."""
+    from elastic_asset_etl_poc_spark.operators.stats import spearman_corr
+
+    rows = [(float(i), float(i) ** 3) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(1.0)
+    df2 = spark.createDataFrame([(x, -y) for x, y in rows], ["x", "y"])
+    assert spearman_corr(df2, "x", "y").collect()[0]["rho"] == pytest.approx(-1.0)
+
+
+def test_spearman_ties_average_rank(spark):
+    """Hand-computed with ties: x=[1,1,2], y=[3,5,5].
+    rx=[1.5,1.5,3], ry=[1,2.5,2.5]; rho = (3*16.75-6*6)/
+    (sqrt(3*13.5-36)*sqrt(3*13.5-36)) = 14.25/16.5? -> compute:
+    sx=6, sy=6, sxy=1.5*1+1.5*2.5+3*2.5=12.75, sxx=1.5^2*2+9=13.5,
+    syy=1+6.25+6.25=13.5; rho=(3*12.75-36)/(3*13.5-36)=2.25/4.5=0.5."""
+    from elastic_asset_etl_poc_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 5.0), (2.0, 5.0)], ["x", "y"]
+    )
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(0.5)
