@@ -223,6 +223,9 @@ HEAVY = [
     ("degree_powerlaw_custsupp", "linear"),
     ("pmi_cooccur_docs", "linear (vocab-capped pair space)"),
     ("mutual_knn_embeddings", "quadratic by design: exact all-pairs baseline (LSH/IVF compose at scale)"),
+    ("ks_test_events", "linear (one agg; CDF window over quantized value domain)"),
+    ("spearman_corr_events", "linear (two domain-bounded rank windows + one power-sum agg)"),
+    ("kcore_parts", "linear (basket-bounded pair explode; ~6 peel rounds on a shrinking frame)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
