@@ -991,3 +991,159 @@ def test_star_cc_long_chain_converges(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_equals_bruteforce_dominance(spark, pts):
+    """skyline_2d's window formulation == the O(n^2) dominance
+    definition on random integer point sets (heavy duplicate/tie
+    pressure from the small domain)."""
+    import pyspark.sql.functions as F
+
+    from elastic_asset_etl_poc_spark.operators.profile import skyline_2d
+
+    df = spark.createDataFrame(
+        [(float(p), s) for p, s in pts], ["price", "size"]
+    )
+    got = {
+        (r["price"], r["size"]): r["n_dup"]
+        for r in skyline_2d(df, "price", "size").collect()
+    }
+    # brute force: a point survives iff nothing dominates it
+    from collections import Counter
+
+    cnt = Counter((float(p), s) for p, s in pts)
+    expect = {}
+    for (p, s), c in cnt.items():
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s)) for (q, t) in cnt
+        )
+        if not dominated:
+            expect[(p, s)] = c
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 6), min_size=3, max_size=50),
+    ys_seed=st.integers(0, 2**31 - 1),
+)
+def test_spearman_matches_numpy_rank_pearson(spark, xs, ys_seed):
+    """spearman_corr == Pearson on scipy-style average ranks, computed
+    by hand with numpy on random (tie-heavy) data."""
+    import numpy as np
+
+    from elastic_asset_etl_poc_spark.operators.stats import spearman_corr
+
+    rng = np.random.default_rng(ys_seed)
+    ys = rng.integers(0, 6, size=len(xs))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], ["x", "y"]
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]["rho"]
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    den = np.sqrt(((rx - rx.mean()) ** 2).sum()) * np.sqrt(
+        ((ry - ry.mean()) ** 2).sum()
+    )
+    if den == 0:
+        assert r is None
+    else:
+        expect = float(((rx - rx.mean()) * (ry - ry.mean())).sum() / den)
+        assert abs(r - expect) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    thr_pct=st.sampled_from([50, 60, 75]),
+)
+def test_prefix_filter_lossless_property(spark, docs, thr_pct):
+    """Prefix filtering == the full inverted-index join on random short
+    corpora across thresholds — the zero-false-negative pigeonhole
+    guarantee under tie-heavy token distributions."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = thr_pct / 100.0
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, threshold=t, n=2).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=t, n=2, max_doc_freq=None).collect()
+    }
+    assert pf == exact
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_equals_bruteforce_peel(spark, edge_picks, k):
+    """kcore_membership == a python reference peel on random graphs."""
+    from elastic_asset_etl_poc_spark.operators.graph import kcore_membership
+
+    und = {(min(a, b), max(a, b)) for a, b in edge_picks if a != b}
+    if not und:
+        return
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in und]
+        + [(str(b), str(a)) for a, b in und],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(edges, k=k, max_rounds=30).collect()
+    }
+    # reference peel
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    expect = {str(n): len(vs) for n, vs in adj.items() if vs}
+    assert got == expect
