@@ -11853,6 +11853,180 @@ def spearman_corr_events(spark, sf_dir):
     return r.select("n", F.round("rho", 6).alias("rho"))
 
 
+@q(
+    "cohort_ltv_events",
+    """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1
+),
+rev AS (
+  SELECT c.cohort_week,
+         CAST(floor(date_diff('day', c.cohort_week,
+                              date_trunc('week', e.ts)) / 7) AS BIGINT)
+           AS week_offset,
+         sum(e.value) AS wk_revenue
+  FROM events e JOIN cohort c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.cohort_week
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+       r.week_offset,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(sum(r.wk_revenue)
+               OVER (PARTITION BY r.cohort_week ORDER BY r.week_offset)
+             / s.cohort_size, 4) AS cum_ltv_per_user
+FROM rev r JOIN sizes s USING (cohort_week)
+""",
+)
+def cohort_ltv_events(spark, sf_dir):
+    """COHORT LIFETIME VALUE: cumulative purchase revenue per signup
+    cohort divided by cohort size, by week offset — the LTV curve that
+    sits next to cohort_retention_events' engagement matrix in every
+    growth dashboard (retention answers "do they come back", this
+    answers "what are they worth by week N").  Shape: the same
+    two-aggregate cohort-anchor join, one (cohort, offset) revenue
+    agg, then a cumulative window PER COHORT over week offsets — the
+    window frame is |offsets| (the corpus's week span), never raw
+    events.  The per-user normalization divides by cohort size once
+    per row (exact bigint→double), so curves are comparable across
+    cohorts of different sizes."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("value").alias("wk_revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.sum("wk_revenue").over(w) / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@q(
+    "conversion_lag_events",
+    """
+WITH first_click AS (
+  SELECT user_id, min(ts) AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id, f.click_ts, min(e.ts) AS purchase_ts
+  FROM first_click f
+  JOIN events e ON e.user_id = f.user_id
+   AND e.event_type = 'purchase' AND e.ts >= f.click_ts
+  GROUP BY 1, 2
+),
+lags AS (
+  -- floor(epoch()) per timestamp FIRST: Spark's unix_timestamp
+  -- truncates each microsecond timestamp to whole seconds before the
+  -- subtraction (and date_diff('minute') would count boundary
+  -- crossings, a different quantity entirely)
+  SELECT CAST(floor((floor(epoch(purchase_ts)) - floor(epoch(click_ts)))
+                    / 60.0) AS BIGINT) AS lag_min
+  FROM conv
+),
+nn AS (SELECT count(*) AS n_clickers FROM first_click)
+SELECT CAST(nn.n_clickers AS BIGINT) AS n_clickers,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(count(*) * 100.0 / nn.n_clickers, 2) AS conv_pct,
+       CAST(min(lag_min) AS BIGINT) AS min_lag_min,
+       round(quantile_cont(lag_min, 0.5), 1) AS p50_lag_min,
+       round(quantile_cont(lag_min, 0.9), 1) AS p90_lag_min,
+       CAST(max(lag_min) AS BIGINT) AS max_lag_min
+FROM lags CROSS JOIN nn
+GROUP BY nn.n_clickers
+""",
+)
+def conversion_lag_events(spark, sf_dir):
+    """TIME-TO-CONVERT: from each user's FIRST click to their first
+    subsequent purchase — the latency distribution (min/p50/p90/max
+    minutes) plus the conversion rate, the number a funnel's step
+    counts (funnel_events) deliberately don't carry: not just HOW MANY
+    convert but HOW LONG it takes.  Shape: two per-user aggregates
+    (first click, first qualifying purchase — the min-over-join form
+    of an as-of FORWARD join, same semantics as asof_forward_clicks'
+    operator applied at user grain), then one scalar summary with
+    exact percentiles over the |converting users| lag frame.  Exact
+    `percentile` carries the O(users) agg-buffer disclosure; the
+    approx_percentile production twin pattern (daily_percentiles)
+    applies verbatim at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lag = (
+        F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+    ) / 60
+    lags = conv.select(F.floor(lag).cast("bigint").alias("lag_min"))
+    n_clickers = fc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clickers")
+    )
+    return lags.crossJoin(F.broadcast(n_clickers)).groupBy("n_clickers").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)) * 100.0 / F.col("n_clickers").cast("double"),
+            2,
+        ).alias("conv_pct"),
+        F.min("lag_min").cast("bigint").alias("min_lag_min"),
+        F.round(F.expr("percentile(lag_min, 0.5D)"), 1).alias("p50_lag_min"),
+        F.round(F.expr("percentile(lag_min, 0.9D)"), 1).alias("p90_lag_min"),
+        F.max("lag_min").cast("bigint").alias("max_lag_min"),
+    ).select(
+        "n_clickers",
+        "n_converted",
+        "conv_pct",
+        "min_lag_min",
+        "p50_lag_min",
+        "p90_lag_min",
+        "max_lag_min",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
