@@ -12027,6 +12027,178 @@ def conversion_lag_events(spark, sf_dir):
     )
 
 
+def _hll_overlap_sql() -> str:
+    from .operators.sketches import hll_estimate_body_sql, hll_registers_sql
+
+    regs = hll_registers_sql(
+        "user_id",
+        src="(SELECT * FROM events WHERE event_type IN ('click', 'purchase'))",
+        group_expr="event_type",
+    )
+    return f"""
+WITH {regs.lstrip()},
+hreg_u AS (
+  SELECT 'U' AS grp, idx, max(r) AS r FROM hreg GROUP BY 2
+),
+hest AS ({hll_estimate_body_sql('hreg')}),
+hest_u AS ({hll_estimate_body_sql('hreg_u')}),
+est AS (
+  SELECT max(CASE WHEN grp = 'click' THEN hll_estimate END) AS ea,
+         max(CASE WHEN grp = 'purchase' THEN hll_estimate END) AS eb,
+         max(CASE WHEN grp = 'U' THEN hll_estimate END) AS eu
+  FROM (SELECT * FROM hest UNION ALL SELECT * FROM hest_u)
+),
+exact AS (
+  SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+           AS xa,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           AS xb,
+         count(DISTINCT user_id) AS xu
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT CAST(exact.xa AS BIGINT) AS n_click_exact,
+       CAST(exact.xb AS BIGINT) AS n_purchase_exact,
+       CAST(exact.xa + exact.xb - exact.xu AS BIGINT) AS n_overlap_exact,
+       round(est.ea, 2) AS hll_click,
+       round(est.eb, 2) AS hll_purchase,
+       round(est.ea + est.eb - est.eu, 2) AS hll_overlap
+FROM est CROSS JOIN exact
+"""
+
+
+@q("hll_overlap_events", _hll_overlap_sql())
+def hll_overlap_events(spark, sf_dir):
+    """SKETCH SET ALGEBRA: estimate the click∩purchase user overlap by
+    inclusion-exclusion over three HLL estimates (|A| + |B| − |A∪B|,
+    where the union sketch is the max-MERGE of the two group sketches —
+    no third corpus pass) — the audience-overlap / cross-segment
+    question every marketing and dedup surface asks, answered from
+    per-segment sketches that were maintainable independently.  This is
+    the operation that makes mergeable sketches an ALGEBRA rather than
+    a counter: union is exact on registers, intersection derives by
+    arithmetic (error compounds — the exact twin rides along so the
+    artifact self-reports it).  Scale shape: one register agg over the
+    two segments, merges and estimates on 1024-row frames, one exact
+    audit agg."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    per = hll_estimate(regs, ["event_type"])
+    union_est = hll_estimate(
+        hll_merge(regs.withColumn("u", F.lit("U")), ["u"]), ["u"]
+    )
+    est = (
+        per.groupBy()
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.first("hll_estimate"))
+        .crossJoin(
+            F.broadcast(
+                union_est.select(F.col("hll_estimate").alias("eu"))
+            )
+        )
+    )
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("xa"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("xb"),
+        F.count_distinct("user_id").alias("xu"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("xa").cast("bigint").alias("n_click_exact"),
+        F.col("xb").cast("bigint").alias("n_purchase_exact"),
+        (F.col("xa") + F.col("xb") - F.col("xu"))
+        .cast("bigint")
+        .alias("n_overlap_exact"),
+        F.round("click", 2).alias("hll_click"),
+        F.round("purchase", 2).alias("hll_purchase"),
+        F.round(
+            F.col("click") + F.col("purchase") - F.col("eu"), 2
+        ).alias("hll_overlap"),
+    )
+
+
+@q(
+    "assortativity_custsupp",
+    """
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+dc AS (SELECT c, count(*) AS dc FROM e GROUP BY 1),
+ds AS (SELECT s, count(*) AS ds FROM e GROUP BY 1),
+x AS (
+  SELECT dc.dc::DOUBLE AS x, ds.ds::DOUBLE AS y
+  FROM e JOIN dc USING (c) JOIN ds USING (s)
+),
+g AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM x
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                  THEN (n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                  END, 6) AS assortativity
+FROM g
+""",
+)
+def assortativity_custsupp(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the customer↔supplier graph: the Pearson
+    correlation of endpoint degrees across edges — do high-degree
+    customers transact with high-degree suppliers (assortative, r > 0)
+    or with the long tail (disassortative, r < 0)?  With
+    degree_powerlaw_custsupp's tail shape, this pins the two numbers
+    that determine how a graph workload skews at scale: heavy tails
+    say WHICH keys are hot, assortativity says whether hot keys MEET
+    each other in joins (the worst case for shuffle balance —
+    assortative hubs concentrate pairs; disassortative graphs
+    self-spread).  Shape: one distinct-edge agg, two degree aggs
+    joined back edge-wise (degree frames broadcast), one power-sum
+    Pearson tail; degrees are integers so every sum is exact binary
+    arithmetic at suite scales."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    x = (
+        e.join(F.broadcast(dc), "c")
+        .join(F.broadcast(ds), "s")
+        .select(
+            F.col("dc").cast("double").alias("x"),
+            F.col("ds").cast("double").alias("y"),
+        )
+    )
+    g = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return g.select(
+        n.cast("bigint").alias("n_edges"),
+        F.round(F.when(den > 0, num / den), 6).alias("assortativity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
