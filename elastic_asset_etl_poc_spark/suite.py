@@ -12199,6 +12199,150 @@ def assortativity_custsupp(spark, sf_dir):
     )
 
 
+@q(
+    "join_skew_advisor",
+    """
+WITH lk AS (
+  SELECT l_orderkey AS k, count(*) AS n_left FROM lineitem GROUP BY 1
+),
+rk AS (
+  SELECT o_orderkey AS k, count(*) AS n_right FROM orders GROUP BY 1
+),
+j AS (
+  SELECT coalesce(lk.k, rk.k) AS k,
+         coalesce(lk.n_left, 0) AS n_left,
+         coalesce(rk.n_right, 0) AS n_right,
+         coalesce(lk.n_left, 0) * coalesce(rk.n_right, 0) AS pair_rows
+  FROM lk FULL OUTER JOIN rk ON lk.k = rk.k
+),
+tot AS (SELECT sum(pair_rows) AS total_pairs FROM j),
+ranked AS (
+  SELECT k, n_left, n_right, pair_rows,
+         row_number() OVER (ORDER BY pair_rows DESC, k) AS rnk
+  FROM j
+)
+SELECT r.rnk AS rank, r.k AS join_key,
+       CAST(r.n_left AS BIGINT) AS n_left,
+       CAST(r.n_right AS BIGINT) AS n_right,
+       CAST(r.pair_rows AS BIGINT) AS pair_rows,
+       round(r.pair_rows * 100.0 / tot.total_pairs, 4) AS pct_of_join
+FROM ranked r CROSS JOIN tot
+WHERE r.rnk <= 15
+""",
+)
+def join_skew_advisor(spark, sf_dir):
+    """JOIN-SKEW ADVISOR: before running lineitem⋈orders, report the
+    top keys by PAIR volume (left freq × right freq — the actual rows
+    the join materializes per key, which is what lands on one reducer
+    in a shuffle join) and each key's share of the total — the
+    pre-flight a planner or an engineer runs to decide between plain
+    shuffle, AQE skew split, salting (salted_join_mktsegment), or
+    broadcast.  skew_report_events profiles ONE column's value skew;
+    this prices the JOIN — the product distribution differs from
+    either side's own (assortativity_custsupp tells you whether hot
+    meets hot in general; this names the keys).  Shape: two
+    key-frequency aggs, a key-aligned full-outer merge, one total, one
+    top-k window over the key-domain frame — cost ~ two map-side
+    aggs, never the join itself."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lk = l.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rk = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    j = (
+        lk.join(rk, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+            (
+                F.coalesce("n_left", F.lit(0))
+                * F.coalesce("n_right", F.lit(0))
+            ).alias("pair_rows"),
+        )
+    )
+    tot = j.agg(F.sum("pair_rows").alias("total_pairs"))
+    w = Window.orderBy(F.col("pair_rows").desc(), F.col("k"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            F.col("k").alias("join_key"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            F.col("pair_rows").cast("bigint").alias("pair_rows"),
+            F.round(
+                F.col("pair_rows") * 100.0 / F.col("total_pairs"), 4
+            ).alias("pct_of_join"),
+        )
+    )
+
+
+@q(
+    "bot_rate_users",
+    """
+WITH pm AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id, sum(n) AS n_events,
+         count(*) AS active_minutes, max(n) AS peak_per_minute
+  FROM pm GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(active_minutes AS BIGINT) AS active_minutes,
+       CAST(peak_per_minute AS BIGINT) AS peak_per_minute,
+       round(n_events * 1.0 / active_minutes, 4) AS mean_per_active_minute,
+       CAST(CASE WHEN peak_per_minute >= 3
+                  OR n_events * 1.0 / active_minutes >= 1.5
+                 THEN 1 ELSE 0 END AS INT) AS bot_suspect
+FROM u
+""",
+)
+def bot_rate_users(spark, sf_dir):
+    """RATE-BASED ABUSE FLAGGING: per-user event-rate profile (peak
+    events in any one minute, mean per active minute) with a
+    bot-suspect flag — the traffic-hygiene filter a training-data
+    pipeline runs BEFORE counting engagement signals as quality labels
+    (a scraper's clicks poison everything downstream; the dedup family
+    removes duplicate CONTENT, this removes synthetic BEHAVIOR).
+    Thresholds are contract literals in both engines.  Shape: one
+    (user, minute) pre-aggregation — the classic two-level rollup that
+    keeps the minute histogram out of memory (max/sum fold over the
+    first agg, never a per-user collect) — then arithmetic on the
+    per-user frame.  At 100 TB both aggs map-side combine and shuffle
+    once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    pm = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = pm.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("active_minutes"),
+        F.max("n").alias("peak_per_minute"),
+    )
+    rate = F.col("n_events") * 1.0 / F.col("active_minutes")
+    return u.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("active_minutes").cast("bigint").alias("active_minutes"),
+        F.col("peak_per_minute").cast("bigint").alias("peak_per_minute"),
+        F.round(rate, 4).alias("mean_per_active_minute"),
+        F.when(
+            (F.col("peak_per_minute") >= 3) | (rate >= 1.5), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bot_suspect"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
