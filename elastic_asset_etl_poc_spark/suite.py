@@ -12343,6 +12343,107 @@ def bot_rate_users(spark, sf_dir):
     )
 
 
+@q("dedup_survivors_prefix", _SURVIVORS_SQL)
+def dedup_survivors_prefix(spark, sf_dir):
+    """The end-to-end dedup pipeline on the PREFIX-FILTER candidate
+    path — third interchangeable generator behind the same survivor
+    tail (exact inverted index = dedup_survivors_docs, banded LSH =
+    dedup_survivors_minhash, prefix filtering = this).  All three share
+    ONE recursive-CC oracle: prefix filtering is provably lossless
+    (pigeonhole), so its pair set — and therefore the clusters and
+    survivors — must equal the exact path's bit-for-bit, and the
+    driver hash enforces that at the PIPELINE level, not just the pair
+    level (prefix_filter_neardup_docs).  The practical point: at
+    100 TB you pick the candidate generator by corpus shape (banding
+    for raw scale, prefix for exactness with skew-free posting lists,
+    bloom for semi-join pruning) and the downstream dedup contract
+    does not move."""
+    from .operators.neardup import dedup_survivors, prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(docs, threshold=0.8, n=3)
+    return dedup_survivors(docs, pairs)
+
+
+def _hll_daily_sql() -> str:
+    from .operators.sketches import hll_estimate_body_sql, hll_registers_sql
+
+    regs = hll_registers_sql(
+        "user_id", src="events", group_expr="CAST(ts AS DATE)"
+    )
+    return f"""
+WITH {regs.lstrip()},
+days AS (SELECT DISTINCT grp AS day FROM hreg),
+-- every day carries its FULL running register set: densify by joining
+-- the day spine to all earlier days' registers and max-merging (a
+-- plain cum-max window can't densify days where an idx saw no new
+-- value)
+dense AS (
+  SELECT d.day, c.idx, max(c.r) AS r
+  FROM days d JOIN hreg c ON c.grp <= d.day
+  GROUP BY 1, 2
+),
+hest AS (
+  SELECT day AS grp, idx, r FROM dense
+),
+est AS ({hll_estimate_body_sql('hest')}),
+exact AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+  FROM days d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+  GROUP BY 1
+)
+SELECT CAST(x.day AS DATE) AS day,
+       CAST(x.n_exact AS BIGINT) AS n_exact_cum,
+       round(est.hll_estimate, 2) AS hll_cum
+FROM exact x JOIN est ON est.grp = x.day
+"""
+
+
+@q("hll_cumulative_users_daily", _hll_daily_sql())
+def hll_cumulative_users_daily(spark, sf_dir):
+    """The RUNNING DISTINCT-USER CURVE from mergeable sketches:
+    cumulative distinct users by day, computed as a per-day HLL
+    register frame whose registers CUM-MAX forward over days — ONE
+    corpus pass total, versus the exact twin
+    (cumulative_users_daily) whose every point re-asks a distinct
+    question over a growing prefix.  This is the sketch family's
+    killer time-series form at 100 TB: per-day sketches are what an
+    ingest pipeline already maintains (one per batch/partition), and
+    any as-of curve, window, or union over time derives by register
+    max — no corpus re-scan, ever.  The exact cumulative count rides
+    along per day as the audit column.  Scale shape: one register agg
+    (day×1024 rows max), a day-spine densify join on the register
+    frame, per-day estimates — everything after the first agg is
+    sketch-sized."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    )
+    days = regs.select("day").distinct()
+    dense = (
+        days.alias("d")
+        .join(regs.alias("c"), F.col("c.day") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"), F.col("c.idx").alias("idx"))
+        .agg(F.max("c.r").alias("r"))
+    )
+    est = hll_estimate(dense, ["day"])
+    ue = ev.select(F.col("ts").cast("date").alias("eday"), "user_id")
+    exact = (
+        days.join(ue, F.col("eday") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_exact_cum"))
+    )
+    return est.join(exact, "day").select(
+        F.col("day").cast("date").alias("day"),
+        F.col("n_exact_cum").cast("bigint").alias("n_exact_cum"),
+        F.round("hll_estimate", 2).alias("hll_cum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
