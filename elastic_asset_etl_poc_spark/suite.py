@@ -11719,10 +11719,12 @@ def kcore_parts(spark, sf_dir):
         .select("a", "b")
         .distinct()
     )
-    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    core = kcore_membership(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        k=80,
+        max_rounds=12,
+        canonical=True,
     )
-    core = kcore_membership(und, k=80, max_rounds=12)
     return core.select(
         F.col("node").alias("part_id"),
         F.col("core_degree").cast("bigint").alias("core_degree"),

@@ -1131,6 +1131,16 @@ def test_kcore_equals_bruteforce_peel(spark, edge_picks, k):
         r["node"]: r["core_degree"]
         for r in kcore_membership(edges, k=k, max_rounds=30).collect()
     }
+    canon = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in und], ["src", "dst"]
+    )
+    got_canon = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(
+            canon, k=k, max_rounds=30, canonical=True
+        ).collect()
+    }
+    assert got_canon == got
     # reference peel
     adj = {}
     for a, b in und:
