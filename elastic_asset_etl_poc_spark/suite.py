@@ -12446,6 +12446,86 @@ def hll_cumulative_users_daily(spark, sf_dir):
     )
 
 
+def _cms_join_size_sql() -> str:
+    from .operators.sketches import cms_oracle_sql
+
+    left = cms_oracle_sql("l_orderkey", src="lineitem").lstrip()
+    right = (
+        cms_oracle_sql("o_orderkey", src="orders")
+        .lstrip()
+        .replace("cms_cells", "cms_cells_r")
+        .replace("cms_keys", "cms_keys_r")
+        .replace("cms_est", "cms_est_r")
+    )
+    return f"""
+WITH {left},
+{right},
+ip AS (
+  SELECT a.depth, sum(a.n * b.n) AS dot
+  FROM cms_cells a JOIN cms_cells_r b
+    ON a.depth = b.depth AND a.bucket = b.bucket
+  GROUP BY 1
+),
+est AS (SELECT min(dot) AS join_size_est FROM ip),
+exact AS (
+  SELECT count(*) AS join_size_exact
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(exact.join_size_exact AS BIGINT) AS join_size_exact,
+       CAST(est.join_size_est AS BIGINT) AS join_size_est,
+       CAST(CASE WHEN est.join_size_est >= exact.join_size_exact
+                 THEN 1 ELSE 0 END AS INT) AS never_undercounts
+FROM est CROSS JOIN exact
+"""
+
+
+@q("cms_join_size_lineitem", _cms_join_size_sql())
+def cms_join_size_lineitem(spark, sf_dir):
+    """SKETCH-BASED JOIN-SIZE ESTIMATION: |lineitem ⋈ orders| estimated
+    as the minimum over depths of the INNER PRODUCT of the two sides'
+    Count-Min rows (Σ_b cellsA[d][b]·cellsB[d][b] ≥ Σ_k fa(k)·fb(k),
+    the AMS/CMS join-size bound — never an underestimate, one-sided
+    like the point query) — the cardinality question a cost-based
+    planner asks BEFORE choosing broadcast vs shuffle vs skew-split,
+    answered from two single-pass sketches with no key-level
+    aggregation and no join.  Completes the sketch ALGEBRA the HLL/CMS
+    family demonstrates: union = register max (hll 'ALL'),
+    intersection = inclusion-exclusion (hll_overlap), inner product =
+    CMS row dot (this).  join_skew_advisor names the hot keys exactly;
+    this prices the whole join in O(d·w) after two scans.  The exact
+    join count rides along, with the ≥ guarantee as a hash-pinned
+    column.  Scale shape: two map-side-combined cell aggs (≤ d·w rows
+    each), one 8k-row dot product, one exact audit join."""
+    from .operators.sketches import cms_cells
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ca = cms_cells(l.select(F.col("l_orderkey").alias("k")), "k")
+    cb = cms_cells(o.select(F.col("o_orderkey").alias("k")), "k")
+    ip = (
+        ca.join(
+            cb.select(
+                "depth", "bucket", F.col("n").alias("nb")
+            ),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("n") * F.col("nb")).alias("dot"))
+    )
+    est = ip.agg(F.min("dot").alias("join_size_est"))
+    exact = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .agg(F.count(F.lit(1)).alias("join_size_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("join_size_exact").cast("bigint").alias("join_size_exact"),
+        F.col("join_size_est").cast("bigint").alias("join_size_est"),
+        (F.col("join_size_est") >= F.col("join_size_exact"))
+        .cast("int")
+        .alias("never_undercounts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
