@@ -960,3 +960,109 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert uk == bk
     # and recovery emitted MORE than phase 1 alone (phase 2 had new keys)
     assert len(rk) > n_phase1 or len(rk) == n_phase1 == len(bk)
+
+
+def test_checkpoint_recovery_windowed_agg(spark, tmp_path):
+    """Restart correctness for WINDOWED AGGREGATION state (a different
+    state-store type than dropDuplicates' key set): drain half the
+    files into daily tumbling counts with a watermark, stop, land the
+    rest, restart from the same checkpoint, and assert the appended
+    window rows equal the uninterrupted run and the batch GROUP BY.
+    Broken offset recovery double-counts rows into a window; broken
+    window-state restore emits partial windows — both break exact
+    equality.  Append mode only emits windows the watermark has
+    CLOSED, so the comparison covers finalized windows on all sides."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    src = str(tmp_path / "src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # phase 1 = first half of the time range, phase 2 = the rest, so the
+    # restart must both restore closed-window state AND keep the
+    # watermark: a reset watermark would re-open finalized windows
+    mid = ev.agg(
+        F.expr(
+            "timestamp_millis(CAST(avg(unix_millis(CAST(ts AS TIMESTAMP)))"
+            " AS BIGINT))"
+        )
+    ).collect()[0][0]
+    ev.filter(F.col("ts") <= mid).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def counts_stream():
+        s = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", "1 day").alias("w"), F.col("event_type")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "n"
+            )
+        )
+
+    def drain(out, ckpt):
+        q = (
+            counts_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    out_r, ckpt_r = str(tmp_path / "out_r"), str(tmp_path / "ckpt_r")
+    drain(out_r, ckpt_r)
+    n_phase1 = spark.read.parquet(out_r).count()
+    assert n_phase1 > 0
+
+    import glob as _glob
+    import shutil
+
+    p2 = str(tmp_path / "p2")
+    ev.filter(F.col("ts") > mid).coalesce(2).write.mode("overwrite").parquet(p2)
+    for i, f in enumerate(sorted(_glob.glob(f"{p2}/*.parquet"))):
+        shutil.copy(f, f"{src}/late-{i:02d}.parquet")
+    drain(out_r, ckpt_r)
+
+    out_u = str(tmp_path / "out_u")
+    drain(out_u, str(tmp_path / "ckpt_u"))
+
+    def rows(path):
+        return sorted(
+            (r["window_start"], r["event_type"], r["n"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    recovered, uninterrupted = rows(out_r), rows(out_u)
+    assert recovered == uninterrupted
+    # batch referee over the CLOSED windows (append mode withholds the
+    # final window the watermark never passed)
+    emitted = {(w, t) for w, t, _ in recovered}
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .collect()
+    }
+    for w, t, n in recovered:
+        assert batch[(w, t)] == n
+    assert len(emitted) > 0
