@@ -12526,6 +12526,126 @@ def cms_join_size_lineitem(spark, sf_dir):
     )
 
 
+@q(
+    "woe_iv_events",
+    """
+WITH base AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS target
+  FROM events
+),
+edges AS (
+  SELECT quantile_cont(value, 0.25) AS e1,
+         quantile_cont(value, 0.50) AS e2,
+         quantile_cont(value, 0.75) AS e3
+  FROM base
+),
+binned AS (
+  SELECT CASE WHEN value <= e1 THEN 1
+              WHEN value <= e2 THEN 2
+              WHEN value <= e3 THEN 3
+              ELSE 4 END AS bin,
+         value, target
+  FROM base CROSS JOIN edges
+),
+g AS (
+  SELECT bin, count(*) AS n,
+         sum(target) AS n_pos, count(*) - sum(target) AS n_neg,
+         round(min(value), 4) AS bin_min, round(max(value), 4) AS bin_max
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM g),
+w AS (
+  SELECT g.*,
+         ln(((g.n_pos + 0.5) / tot.tp) / ((g.n_neg + 0.5) / tot.tn)) AS woe,
+         ((g.n_pos + 0.5) / tot.tp - (g.n_neg + 0.5) / tot.tn)
+           * ln(((g.n_pos + 0.5) / tot.tp) / ((g.n_neg + 0.5) / tot.tn))
+           AS ivc
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       bin_min, bin_max,
+       round(woe, 6) AS woe,
+       round(sum(ivc) OVER (), 6) AS iv_total
+FROM w
+""",
+)
+def woe_iv_events(spark, sf_dir):
+    """FEATURE DIAGNOSTICS: Weight-of-Evidence binning and Information
+    Value of `value` against the purchase target — the credit-scoring
+    staple that tells a feature pipeline whether a numeric column
+    carries any signal BEFORE a model trains on it (IV < 0.02 = drop
+    it; the per-bin WOE doubles as the monotone encoding).  Bins are
+    exact quartile EDGES computed first and broadcast as a 1-row frame
+    — binning is then a map-side CASE, so there is NO global sort or
+    rank (the equal-frequency form a global ntile would need; the
+    exact-percentile agg carries the usual O(n) buffer disclosure with
+    the approx_percentile production swap, daily_percentiles pattern).
+    Laplace +0.5 smoothing keeps WOE finite on empty-class bins,
+    stated identically in both engines.  An A/A-style expectation on
+    this corpus: value is independent of event type, so IV ≈ 0 — the
+    null calibration, like ab_test_report.  Scale shape: one
+    percentile agg, one map-side binning pass into a 4-row group, IV
+    as a window over 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("target"),
+    )
+    edges = base.agg(
+        F.expr("percentile(value, 0.25D)").alias("e1"),
+        F.expr("percentile(value, 0.50D)").alias("e2"),
+        F.expr("percentile(value, 0.75D)").alias("e3"),
+    )
+    binned = base.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("value") <= F.col("e1"), 1)
+        .when(F.col("value") <= F.col("e2"), 2)
+        .when(F.col("value") <= F.col("e3"), 3)
+        .otherwise(4)
+        .alias("bin"),
+        "value",
+        "target",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("target").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("target")).alias("n_neg"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+    tot = g.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    pp = (F.col("n_pos") + 0.5) / F.col("tp")
+    pn = (F.col("n_neg") + 0.5) / F.col("tn")
+    w = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        "bin_min",
+        "bin_max",
+        F.log(pp / pn).alias("woe"),
+        ((pp - pn) * F.log(pp / pn)).alias("ivc"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return w.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        "bin_min",
+        "bin_max",
+        F.round("woe", 6).alias("woe"),
+        F.round(F.sum("ivc").over(wall), 6).alias("iv_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their
