@@ -12243,9 +12243,10 @@ def join_skew_advisor(spark, sf_dir):
     this prices the JOIN — the product distribution differs from
     either side's own (assortativity_custsupp tells you whether hot
     meets hot in general; this names the keys).  Shape: two
-    key-frequency aggs, a key-aligned full-outer merge, one total, one
-    top-k window over the key-domain frame — cost ~ two map-side
-    aggs, never the join itself."""
+    key-frequency aggs, a key-aligned full-outer merge, one total, a
+    TakeOrderedAndProject top-15 on the key-domain frame and a rank
+    window over only those 15 survivors — cost ~ two map-side aggs,
+    never the join itself and never a single-reducer global window."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     lk = l.groupBy(F.col("l_orderkey").alias("k")).agg(
@@ -12267,10 +12268,17 @@ def join_skew_advisor(spark, sf_dir):
         )
     )
     tot = j.agg(F.sum("pair_rows").alias("total_pairs"))
+    # Top-k via orderBy().limit() (TakeOrderedAndProject: per-partition
+    # top-15 then a 15-row merge), then rank only the 15 survivors —
+    # never a no-partition row_number window over the full key domain,
+    # which would serialize O(|orders|) distinct keys through one task
+    # at 100 TB.  Deterministic tiebreak on k keeps rows identical to
+    # the rank-then-filter formulation, so the oracle is unchanged.
+    # Same pattern as operators/skew.py:116.
+    top = j.orderBy(F.col("pair_rows").desc(), F.col("k").asc()).limit(15)
     w = Window.orderBy(F.col("pair_rows").desc(), F.col("k"))
     return (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 15)
+        top.withColumn("rank", F.row_number().over(w))
         .crossJoin(F.broadcast(tot))
         .select(
             "rank",

@@ -284,3 +284,30 @@ def test_bloom_prune_sits_below_probe_exchange(spark):
         "bloom membership Filter must be upstream of the probe-side "
         "Exchange (prune-before-shuffle)"
     )
+
+
+def test_join_skew_advisor_topk_not_global_window(spark):
+    """join_skew_advisor's top-15 must come from a
+    TakeOrderedAndProject (per-partition top-k, 15-row merge), with the
+    rank window running only over those 15 survivors — never a
+    no-partition row_number over the full distinct-key frame, which at
+    100 TB serializes O(|orders|) keys through one task.  In explain
+    output children print below parents, so the TakeOrderedAndProject
+    must appear below (after) the Window line."""
+    import __spark_entry__ as e
+
+    plan = fmt_plan(e.queries()["join_skew_advisor"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "top-15 must be limit-based"
+    tree = plan.split("(1)")[0]
+    win_line = next(
+        i for i, l in enumerate(tree.splitlines()) if "Window" in l
+    )
+    take_line = next(
+        i
+        for i, l in enumerate(tree.splitlines())
+        if "TakeOrderedAndProject" in l
+    )
+    assert win_line < take_line, (
+        "rank window must sit above the TakeOrderedAndProject "
+        "(i.e. rank the 15 survivors, not the full key domain)"
+    )
