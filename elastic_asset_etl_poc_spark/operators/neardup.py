@@ -1168,6 +1168,7 @@ def prefix_filter_pairs(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (the PPJoin family,
     Chaudhuri et al. 2006 / Xiao et al. 2008) — a candidate generator
@@ -1189,6 +1190,17 @@ def prefix_filter_pairs(
     ~25× before any verification.  Verification touches candidates
     only: cand ⋈ postings(a) ⋈ postings(b), cost Σ_cand |A|.
 
+    ``max_doc_freq`` routes the shingle frame through the SAME
+    :func:`capped_sets` hot-shingle cap as ``jaccard_pairs`` (default
+    10k on both), so sizes/intersections — and therefore every jaccard
+    denominator — are computed over identical set representations and
+    the bit-for-bit equality contract with the inverted-index path
+    holds even on corpora where a shingle exceeds the cap (without
+    this, the two paths only agreed while no shingle tripped the cap).
+    Prefix ordering by rarity is unaffected by capping (capped
+    shingles would never enter a prefix anyway — they are the most
+    frequent by definition).
+
     Scale shape: one df-count agg (map-side combinable), one bounded
     per-doc window (a document's OWN shingles, not the corpus), the
     prefix self-join, then candidate-restricted verify — no all-pairs
@@ -1197,9 +1209,12 @@ def prefix_filter_pairs(
     """
     # the posting frame feeds FOUR consumers (df counts, prefix build,
     # both verify sides) — materialize once, the _pair_stats pattern
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
+    capped, staging = capped_sets(
+        shingles(df, n=n, text_col=text_col, id_col=id_col), max_doc_freq
     )
+    sh = capped.localCheckpoint(eager=True)
+    if staging is not None:
+        staging.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     # prefix length: sz - ceil(t*sz) + 1 rarest shingles per doc

@@ -1136,9 +1136,12 @@ def mutual_top1_pairs(
     (threshold −2 keeps every pair; the exact O(N²·d) compute runs as
     numpy matmul per block-pair task — measured 6× faster than the
     interpreted zip_with fold for this shape), then ONE map-side-
-    combinable argmax per node (max over a (cos, −neighbor) struct —
-    ties break to the smaller neighbor id, matching the definitional
-    window's ORDER BY cos DESC, id ASC) and a self-join keeping rows
+    combinable argmax per node (min over a (−cos, neighbor) struct —
+    ties break to the SMALLER neighbor id in the id's own natural
+    order, matching the definitional window's ORDER BY cos DESC, id
+    ASC for any orderable id type: only the numeric cos is negated,
+    never the id, so string/uuid ids order correctly) and a self-join
+    keeping rows
     whose reverse row exists.  Returns (vec_a, vec_b, cos) with
     vec_a < vec_b, one row per mutual pair.  At corpus scale the same
     reciprocity tail composes over the LSH/IVF candidate generators
@@ -1163,14 +1166,17 @@ def mutual_top1_pairs(
     top1 = (
         sym.groupBy("node")
         .agg(
-            F.max(
-                F.struct(F.col("cos"), (-F.col("other")).alias("neg"))
+            F.min(
+                F.struct(
+                    (-F.col("cos")).alias("negc"),
+                    F.col("other").alias("oid"),
+                )
             ).alias("m")
         )
         .select(
             F.col("node").alias("query_id"),
-            (-F.col("m.neg")).alias("neighbor_id"),
-            F.col("m.cos").alias("cos"),
+            F.col("m.oid").alias("neighbor_id"),
+            (-F.col("m.negc")).alias("cos"),
         )
     )
     rev = top1.select(

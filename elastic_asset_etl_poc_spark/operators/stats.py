@@ -352,9 +352,13 @@ def mann_whitney_u(
     frame only.  Normal approximation with tie-corrected variance:
     σ² = na·nb/12·((n+1) − Σ(t³−t)/(n(n−1))).
 
-    Tie cubes stay INTEGER (BIGINT) until one final float conversion,
-    so partition order cannot perturb z.  Returns one row: n_a, n_b,
-    u_stat, z, significant."""
+    Tie cubes stay EXACT-INTEGER (DECIMAL(38,0) — not BIGINT, whose
+    int64 wraps silently in non-ANSI Spark once a quantized tie group
+    exceeds ~2.1M rows while DuckDB raises, diverging the engines at
+    scale) until one final float conversion, so partition order cannot
+    perturb z and t up to ~4.6e12 rows per tie group is exact.  The
+    oracle mirrors with HUGEINT (int128) — same values below 1e38.
+    Returns one row: n_a, n_b, u_stat, z, significant."""
     v = F.round(F.col(value_col).cast("double"), quantize)
     per_v = (
         df.filter(cond_a | cond_b)
@@ -376,7 +380,7 @@ def mann_whitney_u(
     scored = per_v.withColumn(
         "cum_b_less", F.coalesce(F.sum("cb").over(w), F.lit(0))
     )
-    t = F.col("ca") + F.col("cb")
+    t = (F.col("ca") + F.col("cb")).cast("decimal(20,0)")
     agg = scored.agg(
         F.sum("ca").alias("na"),
         F.sum("cb").alias("nb"),
@@ -387,7 +391,7 @@ def mann_whitney_u(
                 + F.col("cb").cast("double") / 2.0
             )
         ).alias("u_a"),
-        F.sum(t * t * t - t).cast("bigint").alias("tie_cubes"),
+        F.sum(t * t * t - t).alias("tie_cubes"),
     )
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     n = na + nb

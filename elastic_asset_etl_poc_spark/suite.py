@@ -11003,7 +11003,7 @@ scored AS (
 agg AS (
   SELECT sum(ca) AS na, sum(cb) AS nb,
          sum(ca::DOUBLE * (cum_b_less::DOUBLE + cb::DOUBLE / 2.0)) AS u_a,
-         sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))::BIGINT
+         sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb))
            AS tie_cubes
   FROM scored
 ),
@@ -11067,7 +11067,7 @@ def _bh_fdr_sql() -> str:
 WITH wre AS ({welch}),
 pv AS (
   SELECT event_type, t_stat,
-         2.0 / (1.0 + exp(1.702 * abs(t_stat))) AS p
+         round(2.0 / (1.0 + exp(1.702 * abs(t_stat))), 6) AS p
   FROM wre WHERE t_stat IS NOT NULL
 ),
 ranked AS (
@@ -11102,8 +11102,13 @@ def bh_fdr_events(spark, sf_dir):
     at q=.05 instead.  p-values come from the logistic approximation
     to the normal ogive, p = 2/(1+exp(1.702·|t|)) (the classic 1.702
     scaling; df is huge here so t≈z) — stated identically in both
-    engines, so the whole chain t → p → rank → step-up threshold →
-    reject set is hash-checked, and the oracle nests the welch oracle
+    engines AND rounded to 6 decimals BEFORE ranking/thresholding:
+    exp() is libm-dependent, so a 1-ulp cross-engine difference could
+    otherwise flip a rejected flag when p sits exactly at a step-up
+    boundary (the threshold side, bh_rank·q/m, is already exact small-
+    integer float arithmetic and needs no rounding).  With that, the
+    whole chain t → p → rank → step-up threshold → reject set is
+    hash-checked, and the oracle nests the welch oracle
     as a CTE so a drift in the upstream test surfaces twice.  Scale
     shape: upstream already collapsed the corpus; BH's two windows run
     over m = |event types| rows."""
@@ -11115,7 +11120,9 @@ def bh_fdr_events(spark, sf_dir):
         "t_stat",
         F.when(
             F.col("t_stat").isNotNull(),
-            2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("t_stat")))),
+            F.round(
+                2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("t_stat")))), 6
+            ),
         ).alias("p"),
     )
     r = bh_fdr(tests, "event_type", "p")

@@ -85,6 +85,42 @@ def test_prefix_filter_equals_exact_join(spark):
     assert (1, 3) in pf and pf[(1, 3)] == 1.0
 
 
+def test_prefix_filter_equals_exact_join_under_tripped_cap(spark):
+    """The equality contract must survive the doc-frequency cap
+    actually FIRING: with max_doc_freq=2 on a corpus where the shared
+    boilerplate 2-grams appear in 4 docs, both paths must drop the hot
+    shingles from every set (identical jaccard denominators) — the
+    regression this pins is prefix_filter_pairs building UNCAPPED sets
+    while jaccard_pairs and the suite oracle cap, which diverges on
+    any corpus with a >cap shingle."""
+    texts = [
+        (1, "alpha beta gamma delta epsilon unique one"),
+        (2, "alpha beta gamma delta epsilon unique two"),
+        (3, "alpha beta gamma delta epsilon unique three"),
+        (4, "alpha beta gamma delta epsilon unique four"),
+        (5, "totally unrelated content about parquet row groups here"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    kw = dict(threshold=0.3, n=2, max_doc_freq=2)
+    pf = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(df, **kw).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, **kw).collect()
+    }
+    assert pf == exact
+    # sanity that the cap actually fired: uncapped disagrees
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            df, threshold=0.3, n=2, max_doc_freq=None
+        ).collect()
+    }
+    assert uncapped != exact
+
+
 def test_pmi_hand_computed(spark):
     """4 docs; x and y co-occur in both of their docs (df=2 each,
     n_ab=2): PMI = ln(2·4/(2·2)) = ln 2.  Filler tokens are made

@@ -454,3 +454,35 @@ def test_ivf_incremental_store_serves_exact_under_full_probe(spark):
         for r in cosine_topk(emb, queries, k=5).collect()
     }
     assert got == want
+
+
+def test_mutual_top1_string_ids_tiebreak(spark):
+    """mutual_top1_pairs must work for NON-NUMERIC ids (the argmax
+    tiebreak orders the id in its own natural order — only cos is
+    negated).  Regression: an earlier formulation negated the neighbor
+    id arithmetically, which fails on strings.  Corpus: two exact
+    duplicate directions, so every neighbor ties at cos=1.0 within the
+    duplicate cluster and the tie MUST break to the lexicographically
+    smaller id."""
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        mutual_top1_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            ("doc_c", [1.0, 0.0]),
+            ("doc_a", [2.0, 0.0]),  # same direction as doc_c, doc_b
+            ("doc_b", [3.0, 0.0]),
+            ("doc_z", [0.0, 1.0]),  # orthogonal: best match is the
+            ("doc_y", [0.0, 2.0]),  # other orthogonal vector
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r.vec_a, r.vec_b): round(r.cos, 6)
+        for r in mutual_top1_pairs(emb).collect()
+    }
+    # within the x-direction cluster all cos ties at 1.0 → everyone's
+    # top-1 is doc_a (smallest id ≠ self... except doc_a's own, which
+    # is doc_b); mutual pair is (doc_a, doc_b).  y-cluster pairs up.
+    assert got == {("doc_a", "doc_b"): 1.0, ("doc_y", "doc_z"): 1.0}
