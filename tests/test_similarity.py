@@ -486,3 +486,73 @@ def test_mutual_top1_string_ids_tiebreak(spark):
     # top-1 is doc_a (smallest id ≠ self... except doc_a's own, which
     # is doc_b); mutual pair is (doc_a, doc_b).  y-cluster pairs up.
     assert got == {("doc_a", "doc_b"): 1.0, ("doc_y", "doc_z"): 1.0}
+
+
+def test_cosine_best_match_equals_definitional_topk(spark):
+    """cosine_best_match's numpy-blocked partial-argmax merge must pick
+    the same top-1 (cos DESC at the 4-dp grain, id ASC ties) as the
+    definitional window over all scored pairs, across partition/batch
+    boundaries (corpus repartitioned to 7 slices so batches split)."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cosine_best_match,
+    )
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), (i % 5) * 0.1])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+    queries = emb.filter("vec_id % 3 = 0")
+    got = {
+        r.query_id: (r.neighbor_id, round(r.cos, 4))
+        for r in cosine_best_match(emb, queries).collect()
+    }
+    import itertools
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 4)
+
+    vecs = dict(rows)
+    want = {}
+    for q in vecs:
+        if q % 3 != 0:
+            continue
+        best = min(
+            ((-cos(vecs[q], vecs[o]), o) for o in vecs if o != q)
+        )
+        want[q] = (best[1], -best[0])
+    assert got == want
+
+
+def test_mutual_lsh_recovers_clustered_mutual_pairs(spark):
+    """On a corpus of tight duplicate clusters (the production near-dup
+    regime, cos≈1 within cluster), mutual_top1_pairs_lsh must recover
+    the exact mutual pair set: near-parallel vectors always co-fall in
+    sign-LSH buckets, so recall is 1 by construction there."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        mutual_top1_pairs,
+        mutual_top1_pairs_lsh,
+    )
+
+    rows = []
+    for c in range(12):  # 12 well-separated directions, 2 members each
+        base = [math.cos(c * 0.5), math.sin(c * 0.5), math.cos(c * 1.3), math.sin(c * 1.3)]
+        rows.append((2 * c, base))
+        rows.append((2 * c + 1, [x * 1.01 + 0.001 for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+    exact = {
+        (r.vec_a, r.vec_b) for r in mutual_top1_pairs(emb).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in mutual_top1_pairs_lsh(emb).collect()
+    }
+    assert exact  # non-vacuous
+    assert approx == exact  # recall 1, no spurious pairs on this corpus

@@ -223,6 +223,12 @@ HEAVY = [
     ("degree_powerlaw_custsupp", "linear"),
     ("pmi_cooccur_docs", "linear (vocab-capped pair space)"),
     ("mutual_knn_embeddings", "quadratic by design: exact all-pairs baseline (LSH/IVF compose at scale)"),
+    # round-12: the promised composition — reciprocity over the LSH
+    # generator with log-priced planes (planes ~ log2(N^2/1e5), so
+    # per-band bucket compute stays ~bounded as N grows) and a SAMPLED
+    # 256-probe exact audit (two broadcast |Q|xN scans) instead of the
+    # quadratic all-pairs audit.
+    ("mutual_knn_lsh", "linear (log-priced planes; sampled 256-probe exact audit)"),
     ("ks_test_events", "linear (one agg; CDF window over quantized value domain)"),
     ("spearman_corr_events", "linear (two domain-bounded rank windows + one power-sum agg)"),
     ("kcore_parts", "linear (basket-bounded pair explode; ~6 peel rounds on a shrinking frame)"),
