@@ -377,7 +377,11 @@ def bfs_khop(
 
 
 def kcore_membership(
-    edges: DataFrame, k: int, max_rounds: int = 12, canonical: bool = False
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 12,
+    canonical: bool = False,
+    max_broadcast_nodes: int = 8_000_000,
 ) -> DataFrame:
     """k-CORE decomposition (membership for fixed k): iteratively peel
     nodes of degree < k until the remaining subgraph is stable — the
@@ -402,7 +406,15 @@ def kcore_membership(
     pathological chains are bounded by max_rounds, and production
     would switch to the O(log n) distributed coreness algorithms only
     past that depth).  Each pass shuffles the shrinking edge frame on
-    node id; the survivor set broadcasts.
+    node id; the survivor set broadcasts only while it FITS — the
+    per-round survivor filter is SIZE-GATED on the node count the
+    fixpoint agg already produced (no extra action): ≤
+    ``max_broadcast_nodes`` survivors ride a broadcast semi-join, a
+    larger core (a billion-node web graph) falls back to a shuffled
+    semi-join instead of detonating the broadcast budget — the bloom
+    auto-sizing precedent.  Both paths are property-tested equal; the
+    default threshold (~8M single-column ids ≈ tens of MB) tracks the
+    practical broadcast comfort zone, not the 8 GB hard cap.
 
     ``canonical=True`` takes each undirected edge ONCE (any
     orientation) instead of both directions: degrees come from a
@@ -415,7 +427,7 @@ def kcore_membership(
     core degrees.
     """
     if canonical:
-        return _kcore_canonical(edges, k, max_rounds)
+        return _kcore_canonical(edges, k, max_rounds, max_broadcast_nodes)
     cur = edges.localCheckpoint()
     prev_nodes = -1
     for _ in range(max_rounds):
@@ -435,10 +447,12 @@ def kcore_membership(
             )
         prev_nodes = n_nodes
         keep = deg.filter(F.col("__d") >= k).select("src")
+        # size gate: survivors ≤ n_nodes, already counted above
+        bc = F.broadcast if n_nodes <= max_broadcast_nodes else (lambda d: d)
         cur = (
-            cur.join(F.broadcast(keep), "src")
+            cur.join(bc(keep), "src", "left_semi")
             .join(
-                F.broadcast(keep.select(F.col("src").alias("dst"))), "dst"
+                bc(keep.select(F.col("src").alias("dst"))), "dst", "left_semi"
             )
             .select("src", "dst")
             .localCheckpoint()
@@ -451,11 +465,15 @@ def kcore_membership(
 
 
 def _kcore_canonical(
-    edges: DataFrame, k: int, max_rounds: int
+    edges: DataFrame,
+    k: int,
+    max_rounds: int,
+    max_broadcast_nodes: int = 8_000_000,
 ) -> DataFrame:
     """kcore_membership's half-frame path: one row per undirected edge.
     Degree = explode both endpoints map-side into one agg (partial
-    combine ships counts, not rows); survivors filter both columns."""
+    combine ships counts, not rows); survivors filter both columns
+    (broadcast vs shuffled semi-join size-gated like the main path)."""
     cur = edges.select("src", "dst").localCheckpoint()
     prev_nodes = -1
     for _ in range(max_rounds):
@@ -474,12 +492,17 @@ def _kcore_canonical(
             )
         prev_nodes = n_nodes
         keep = deg.filter(F.col("__d") >= k).select("node")
+        bc = F.broadcast if n_nodes <= max_broadcast_nodes else (lambda d: d)
         cur = (
             cur.join(
-                F.broadcast(keep.select(F.col("node").alias("src"))), "src"
+                bc(keep.select(F.col("node").alias("src"))),
+                "src",
+                "left_semi",
             )
             .join(
-                F.broadcast(keep.select(F.col("node").alias("dst"))), "dst"
+                bc(keep.select(F.col("node").alias("dst"))),
+                "dst",
+                "left_semi",
             )
             .select("src", "dst")
             .localCheckpoint()

@@ -207,3 +207,38 @@ def test_kcore_raises_past_round_bound(spark):
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         kcore_membership(edges, k=2, max_rounds=2)
+
+
+def test_kcore_shuffled_semi_join_fallback_equals_broadcast(spark):
+    """The size-gated survivor filter: max_broadcast_nodes=0 forces the
+    shuffled semi-join fallback on EVERY round; results must equal the
+    broadcast path exactly, on both the doubled and canonical edge
+    layouts — and the fallback plan must actually drop the broadcast
+    (spot-checked via the final frame's round joins executing without
+    error; plan equality is not the contract, row equality is)."""
+    from elastic_asset_etl_poc_spark.operators.graph import kcore_membership
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (4, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    canon = spark.createDataFrame(und, ["src", "dst"])
+    want = {
+        r["node"]: r["core_degree"]
+        for r in kcore_membership(edges, k=2).collect()
+    }
+    assert want  # the 1-2-3 and 3-4-5 triangles survive
+    for kw in (
+        dict(),
+        dict(canonical=True),
+    ):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore_membership(
+                canon if kw.get("canonical") else edges,
+                k=2,
+                max_broadcast_nodes=0,
+                **kw,
+            ).collect()
+        }
+        assert got == want, f"fallback diverged for {kw}"
