@@ -880,10 +880,17 @@ def pmi_cooccur(
             F.col("n_ab").cast("double") / (F.col("dfa") * F.col("dfb")),
         )
     )
+    # top-k via orderBy().limit() (TakeOrderedAndProject), then rank
+    # only the ≤ top_k survivors: the scored frame is vocab²-bounded,
+    # but a generous vocab cap still shouldn't serialize C(vocab,2)
+    # pairs through one no-partition window task (same pattern as
+    # operators/skew.py); deterministic tiebreak keeps rows identical.
+    top = scored.orderBy(
+        F.col("ratio").desc(), F.col("ta"), F.col("tb")
+    ).limit(top_k)
     w = Window.orderBy(F.col("ratio").desc(), F.col("ta"), F.col("tb"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             F.col("ta").alias("term_a"),
             F.col("tb").alias("term_b"),

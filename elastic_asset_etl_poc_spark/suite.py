@@ -6850,7 +6850,9 @@ def classifier_calibration_docs(spark, sf_dir):
     tests/test_text_dedup.py.)  Scale note: ntile's global order is a
     single-partition window — fine for an eval table, but at corpus
     scale swap the bin assignment for approx_percentile boundaries
-    broadcast back (the winsorize pattern)."""
+    broadcast back (the winsorize pattern; rfm_segments_approx is the
+    hash-certified demonstration of exactly this swap, rank-error
+    audit included)."""
     from .operators.text import linear_classifier_score
 
     docs = _clf_docs(spark, sf_dir)
