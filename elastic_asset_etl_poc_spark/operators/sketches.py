@@ -298,3 +298,176 @@ cms_est AS (
                                       || dd.depth), 1, 8))::BIGINT % {w}
   GROUP BY 1
 )"""
+
+
+def kmins_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group MERGEABLE QUANTILE sketch — a k-mins sample frame
+    (group…, idx, hh, v): rows are bucketed by the low bits of their
+    row-key hash (idx = h mod k) and each bucket keeps the row whose
+    REMAINING hash bits are smallest (hh = h div k), carrying its
+    value.  The same stochastic-averaging layout HyperLogLog uses for
+    rho, applied to value sampling: each bucket's min-hash row is a
+    uniform draw from that bucket, and buckets split rows independently
+    of value, so the ≤k kept values are a uniform row sample whose
+    order statistics estimate quantiles with rank error O(1/√k)
+    (Hoeffding: P(|rank err| > t) ≤ 2e^(−2kt²) — at k=1024, t=0.05
+    that is ~1e−22; the KLL/GK compactor buys a tighter ε per byte but
+    needs sequential compaction, which is neither order-free nor
+    SQL-replayable — this sketch trades constant-factor size for an
+    ORACLE-CHECKABLE, partition-order-invariant build).
+
+    Build shape: ONE map-side-combinable aggregation
+    (groupBy(group, idx).min(struct(hh, v))) — the shuffle carries ≤
+    groups×k rows regardless of corpus size.  Merging sketches = min
+    per bucket (:func:`kmins_merge`), EXACT like HLL's max-merge: the
+    bucket minimum of a union is the min of the parts' minima — so
+    per-batch/per-partition sketches union without re-reading rows,
+    the production backend for equal-frequency bins at corpus scale
+    (rfm_segments_approx / daily_percentiles' disclosed O(group)
+    exact-percentile buffers).
+
+    Determinism: h is the 60-bit md5 integer (engine-portable); ties
+    on hh (md5 collisions, ~2⁻⁵⁰) break on v inside the struct-min.
+    ``key_col`` should be a row-unique key (event id) so the sample is
+    a row sample, not a distinct-value sample."""
+    hashed = df.select(
+        *group_cols,
+        _h60(F.col(key_col)).alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    return (
+        hashed.select(
+            *group_cols,
+            (F.col("__h") % k).alias("idx"),
+            F.struct(
+                F.expr(f"__h DIV {k}").alias("hh"),
+                F.col("__v").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.min("s").alias("s"))
+        .select(*group_cols, "idx", F.col("s.hh").alias("hh"), F.col("s.v").alias("v"))
+    )
+
+
+def kmins_merge(samples: DataFrame, out_group_cols: list[str]) -> DataFrame:
+    """Merge k-mins sample frames across groups: min(struct(hh, v)) per
+    bucket — exact (the union's bucket minimum is the min of the
+    parts' minima), the quantile sibling of :func:`hll_merge`."""
+    return (
+        samples.select(
+            *out_group_cols, "idx", F.struct("hh", "v").alias("s")
+        )
+        .groupBy(*out_group_cols, "idx")
+        .agg(F.min("s").alias("s"))
+        .select(
+            *out_group_cols,
+            "idx",
+            F.col("s.hh").alias("hh"),
+            F.col("s.v").alias("v"),
+        )
+    )
+
+
+def kmins_quantiles(
+    samples: DataFrame,
+    group_cols: list[str],
+    p_permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Fold a k-mins sample frame to nearest-rank quantile estimates →
+    (group…, p_permille, q_est, m_sample).
+
+    The order statistic runs over the ≤k-row sample per group (a
+    window over the SKETCH, never the corpus).  The needed rank is
+    pure integer arithmetic — ceil(p·m) as (p_permille·m + 999) DIV
+    1000 — so no float multiply can straddle an integer boundary
+    differently across engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("v", "hh")
+    ranked = samples.select(
+        *group_cols,
+        "hh",
+        "v",
+        F.row_number().over(w).alias("__rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*group_cols))
+        .alias("__m"),
+    )
+    ps = F.explode(
+        F.array(*[F.lit(p) for p in p_permilles])
+    ).alias("p_permille")
+    return (
+        ranked.select(*group_cols, "v", "__rnk", "__m", ps)
+        .filter(
+            F.col("__rnk")
+            == F.expr("(p_permille * __m + 999) DIV 1000")
+        )
+        .select(
+            *group_cols,
+            F.col("p_permille").cast("int").alias("p_permille"),
+            F.col("v").alias("q_est"),
+            F.col("__m").cast("bigint").alias("m_sample"),
+        )
+    )
+
+
+def kmins_quantile_body_sql(
+    sample_cte: str, p_permilles: tuple[int, ...] = (500, 900, 990)
+) -> str:
+    """The nearest-rank quantile SELECT over a sample CTE (grp, idx,
+    hh, v) — split from the sample build so merged-sample CTEs can
+    reuse the identical estimator text (the hll_estimate_body_sql
+    pattern)."""
+    plist = ", ".join(str(p) for p in p_permilles)
+    return f"""
+  SELECT grp, CAST(pp.p_permille AS INT) AS p_permille, s.v AS q_est,
+         CAST(s.m AS BIGINT) AS m_sample
+  FROM (
+    SELECT grp, hh, v,
+           row_number() OVER (PARTITION BY grp ORDER BY v, hh) AS rnk,
+           count(*) OVER (PARTITION BY grp) AS m
+    FROM {sample_cte}
+  ) s
+  CROSS JOIN (SELECT unnest([{plist}]) AS p_permille) pp
+  WHERE s.rnk = (pp.p_permille * s.m + 999) // 1000
+"""
+
+
+def kmins_oracle_sql(
+    key_expr: str,
+    value_expr: str,
+    k: int = 1024,
+    src: str = "events",
+    group_expr: str = "''",
+    p_permilles: tuple[int, ...] = (500, 900, 990),
+) -> str:
+    """DuckDB CTE chain ``kmh``/``km``/``kq`` restating
+    kmins_sample→kmins_quantiles — SAME md5 slice, SAME integer
+    bucket split, SAME struct-min (stated as an argmin window: first
+    row per bucket by (hh, v)), SAME integer nearest-rank."""
+    return f"""
+kmh AS (
+  SELECT {group_expr} AS grp,
+         h % {k} AS idx, h // {k} AS hh,
+         CAST({value_expr} AS DOUBLE) AS v
+  FROM (
+    SELECT ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT
+             AS h, *
+    FROM {src}
+  )
+),
+km AS (
+  SELECT grp, idx, hh, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp, idx
+                                 ORDER BY hh, v) AS rn
+    FROM kmh
+  ) WHERE rn = 1
+),
+kq AS ({kmins_quantile_body_sql('km', p_permilles)})"""

@@ -4938,7 +4938,9 @@ def rfm_segments_approx(spark, sf_dir):
     DuckDB's quantile_cont compute the identical v[lo] +
     (v[hi]−v[lo])·frac linear interpolation over exactly-representable
     integer metrics — plus ONE bound boolean the oracle states as a
-    literal: every approx_percentile edge sits within 1% RANK error of
+    literal (the mergeable-sketch route for these edges — per-batch
+    union without re-reading — is quantile_sketch_events' k-mins
+    sample): every approx_percentile edge sits within 1% RANK error of
     its target quantile (#{metric ≤ edge} ≥ (p−.01)·n and
     #{metric < edge} ≤ (p+.01)·n).  Rank — not value or cell-
     assignment — proximity is what the Greenwald–Khanna sketch
@@ -11026,8 +11028,10 @@ def daily_percentiles_events(spark, sf_dir):
     shape: ONE shuffle on day; exact `percentile` buffers each day's
     values in the agg buffer — the outlier_mad disclosure applies
     verbatim (a 100-TB day swaps in approx_percentile's constant-state
-    sketch, certified by the outlier_mad_approx_events twin; the exact
-    form is the oracle-checkable audit)."""
+    sketch, certified by the outlier_mad_approx_events twin, or the
+    MERGEABLE k-mins quantile sketch — quantile_sketch_events — when
+    per-batch sketches must union across ingest without a re-read; the
+    exact form is the oracle-checkable audit)."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"),
         F.col("value").cast("double").alias("value"),
@@ -11395,6 +11399,187 @@ def stream_hll_distinct_events(spark, sf_dir):
             * 100,
             2,
         ).alias("rel_err_pct"),
+    )
+
+
+def _quantile_sketch_sql() -> str:
+    from .operators.sketches import kmins_oracle_sql, kmins_quantile_body_sql
+
+    return f"""
+WITH {kmins_oracle_sql("event_id", "value", src="events",
+                       group_expr="event_type").lstrip()},
+km_all AS (
+  SELECT 'ALL' AS grp, idx, hh, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY idx ORDER BY hh, v) AS rn
+    FROM km
+  ) WHERE rn = 1
+),
+kq_all AS ({kmins_quantile_body_sql('km_all')}),
+u AS (SELECT * FROM kq UNION ALL SELECT * FROM kq_all),
+corp AS (
+  SELECT event_type AS grp, value FROM events
+  UNION ALL
+  SELECT 'ALL' AS grp, value FROM events
+),
+audit AS (
+  SELECT u.grp, u.p_permille, u.q_est, u.m_sample,
+         round(sum(CASE WHEN c.value <= u.q_est THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS rank_frac
+  FROM u JOIN corp c ON c.grp = u.grp
+  GROUP BY 1, 2, 3, 4
+)
+SELECT grp AS scope, p_permille, round(q_est, 4) AS q_est, m_sample,
+       rank_frac,
+       abs(rank_frac - p_permille / 1000.0) <= 0.05 + 1.0 / m_sample
+         AS within_bound
+FROM audit
+"""
+
+
+@q("quantile_sketch_events", _quantile_sketch_sql())
+def quantile_sketch_events(spark, sf_dir):
+    """MERGEABLE-SKETCH quantiles — the third portable sketch,
+    completing the algebra (HLL: distinct; CMS: frequency; this:
+    rank/quantile): a k-mins row-sample sketch (k=1024 hash buckets,
+    each keeping its min-hash row's value — operators/sketches.py
+    kmins_sample, the stochastic-averaging layout HLL uses for rho
+    applied to value sampling) estimates p50/p90/p99 of `value` per
+    event_type PLUS an 'ALL' row whose sample is the min-MERGE of the
+    per-type sketches — union-without-rescanning, exact like HLL's
+    max-merge (the bucket minimum of a union is the min of the parts'
+    minima), demonstrated in-query.  This is the production backend
+    the exact-percentile queries disclose toward (rfm_segments_approx
+    bins, daily_percentiles' O(day) buffers): per-batch sketches
+    merge at query time, the shuffle carries ≤ groups×1024 rows.
+
+    Oracle-replayable to the BIT (the sketches.py contract): md5-
+    derived integer bucket split, struct-min build (order-free — the
+    253-query partition-invariance property holds by construction),
+    integer nearest-rank selection ((p·m + 999) DIV 1000 — no float
+    multiply at an integer boundary).  Where KLL/GK compact
+    sequentially (not order-free, not SQL-replayable), the k-mins
+    sample trades bytes for determinism: rank error O(1/√k) with
+    Hoeffding tail 2e^(−2kt²) — at k=1024, the audited 5% bound has
+    ~1e−22 failure mass.  The audit is COMPUTED IN BOTH ENGINES, not
+    stated: each estimate's true rank fraction #{value ≤ q_est}/n is
+    aggregated in-frame and the within_bound flag hash-checks the
+    sketch against its own guarantee.  Scale shape: one map-side-
+    combinable struct-min agg, one ≤k-row merge, rank windows over the
+    sketch frame only, one broadcast audit join + corpus agg (the
+    audit is the only corpus-width pass — dropped in production)."""
+    from .operators.sketches import (
+        kmins_merge,
+        kmins_quantiles,
+        kmins_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # the sample feeds the per-type estimates AND the ALL-merge
+    sample = kmins_sample(
+        ev, ["event_type"], "event_id", "value"
+    ).localCheckpoint(eager=True)
+    per_type = kmins_quantiles(
+        sample.withColumnRenamed("event_type", "grp"), ["grp"]
+    )
+    merged = kmins_merge(sample.withColumn("grp", F.lit("ALL")), ["grp"])
+    u = per_type.unionByName(kmins_quantiles(merged, ["grp"]))
+    corp = ev.select(F.col("event_type").alias("grp"), "value").unionByName(
+        ev.select(F.lit("ALL").alias("grp"), "value")
+    )
+    audit = (
+        corp.join(F.broadcast(u), "grp")
+        .groupBy("grp", "p_permille", "q_est", "m_sample")
+        .agg(
+            F.round(
+                F.sum((F.col("value") <= F.col("q_est")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rank_frac")
+        )
+    )
+    return audit.select(
+        F.col("grp").alias("scope"),
+        "p_permille",
+        F.round("q_est", 4).alias("q_est"),
+        "m_sample",
+        "rank_frac",
+        (
+            F.abs(F.col("rank_frac") - F.col("p_permille") / 1000.0)
+            <= 0.05 + 1.0 / F.col("m_sample")
+        ).alias("within_bound"),
+    )
+
+
+@q("stream_quantile_sketch_events", _quantile_sketch_sql())
+def stream_quantile_sketch_events(spark, sf_dir):
+    """§2.9 STREAMING twin of quantile_sketch_events, sharing its
+    oracle: the k-mins sample is maintained as ONE running streaming
+    aggregation (groupBy(event_type, idx).min(struct(hh, v)) — state
+    is ≤ groups×1024 rows, bounded by the sketch, never by stream
+    length) drained availableNow into the memory sink; the estimators,
+    the min-merged 'ALL' row, and the exact rank-fraction audit are
+    static views over the drained sample.  Because the build is a
+    plain min (order-free), the streaming result is BIT-IDENTICAL to
+    batch — like the HLL/CMS twins, no accumulation-order caveat.
+    This is the live latency/price-quantile monitor shape: the sample
+    ticks as ingest lands, quantiles read off maintained state without
+    a corpus pass."""
+    import uuid
+
+    from .operators.sketches import (
+        kmins_merge,
+        kmins_quantiles,
+        kmins_sample,
+    )
+    from .streaming import run_to_memory
+    from .streaming.services_stream import EVENTS_STREAM_SCHEMA
+
+    ev_s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(_staged_events(sf_dir))
+        .select("event_type", "event_id", "value")
+    )
+    name = f"kmins_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        sq = run_to_memory(
+            kmins_sample(ev_s, ["event_type"], "event_id", "value"),
+            name,
+            "complete",
+        )
+        sq.stop()
+    sample = spark.table(name)
+    per_type = kmins_quantiles(
+        sample.withColumnRenamed("event_type", "grp"), ["grp"]
+    )
+    merged = kmins_merge(sample.withColumn("grp", F.lit("ALL")), ["grp"])
+    u = per_type.unionByName(kmins_quantiles(merged, ["grp"]))
+    ev = load_table(spark, sf_dir, "events")
+    corp = ev.select(F.col("event_type").alias("grp"), "value").unionByName(
+        ev.select(F.lit("ALL").alias("grp"), "value")
+    )
+    audit = (
+        corp.join(F.broadcast(u), "grp")
+        .groupBy("grp", "p_permille", "q_est", "m_sample")
+        .agg(
+            F.round(
+                F.sum((F.col("value") <= F.col("q_est")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rank_frac")
+        )
+    )
+    return audit.select(
+        F.col("grp").alias("scope"),
+        "p_permille",
+        F.round("q_est", 4).alias("q_est"),
+        "m_sample",
+        "rank_frac",
+        (
+            F.abs(F.col("rank_frac") - F.col("p_permille") / 1000.0)
+            <= 0.05 + 1.0 / F.col("m_sample")
+        ).alias("within_bound"),
     )
 
 

@@ -174,3 +174,85 @@ def test_spearman_ties_average_rank(spark):
         [(1.0, 3.0), (1.0, 5.0), (2.0, 5.0)], ["x", "y"]
     )
     assert spearman_corr(df, "x", "y").collect()[0]["rho"] == pytest.approx(0.5)
+
+
+def test_kmins_merge_equals_direct(spark):
+    """min-merging per-group k-mins samples must equal sketching the
+    union directly — the mergeability contract (bucket minimum of a
+    union is the min of the parts' minima), the quantile sibling of
+    test_hll_merge_equals_direct."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmins_merge,
+        kmins_sample,
+    )
+
+    a = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit("a").alias("g"),
+    )
+    b = spark.range(3000, 6000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        F.lit("b").alias("g"),
+    )
+    per_group = kmins_sample(a.union(b), ["g"], "k", "v", k=256)
+    merged = {
+        (r.idx, r.hh, r.v)
+        for r in kmins_merge(
+            per_group.withColumn("u", F.lit("u")), ["u"]
+        ).collect()
+    }
+    direct = {
+        (r.idx, r.hh, r.v)
+        for r in kmins_sample(
+            a.union(b).withColumn("u", F.lit("u")), ["u"], "k", "v", k=256
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_kmins_sample_partition_invariant(spark):
+    """The struct-min build must be identical under any partitioning —
+    the property that lets per-partition sketches merge exactly."""
+    from elastic_asset_etl_poc_spark.operators.sketches import kmins_sample
+
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97 * 0.25).alias("v")
+    ).withColumn("g", F.lit("x"))
+    s3 = {
+        (r.idx, r.hh, r.v)
+        for r in kmins_sample(base.repartition(3), ["g"], "k", "v").collect()
+    }
+    s17 = {
+        (r.idx, r.hh, r.v)
+        for r in kmins_sample(base.repartition(17), ["g"], "k", "v").collect()
+    }
+    assert s3 == s17
+
+
+def test_kmins_quantiles_within_rank_bound(spark):
+    """On 20k uniform values, every k=1024 estimate must land within
+    the 5% rank bound the suite query audits (Hoeffding tail ~1e-22 —
+    a failure here is a build bug, not bad luck)."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmins_quantiles,
+        kmins_sample,
+    )
+
+    n = 20_000
+    base = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double")).alias("v"),
+        F.lit("x").alias("g"),
+    )
+    sample = kmins_sample(base, ["g"], "k", "v")
+    for r in kmins_quantiles(sample, ["g"]).collect():
+        p = r.p_permille / 1000.0
+        rank_frac = (r.q_est + 1) / n  # v == id: exact rank is v+1
+        assert abs(rank_frac - p) <= 0.05 + 1.0 / r.m_sample, (
+            r.p_permille,
+            r.q_est,
+            rank_frac,
+        )
+        assert r.m_sample <= 1024

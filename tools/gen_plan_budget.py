@@ -88,6 +88,7 @@ SINGLE_PARTITION_WINDOW_OK: dict[str, str] = {
     "woe_iv_events": "IV-total window over the 4-row bin frame",
     "gini_revenue_customers": "rank window over the customer DIMENSION frame (disclosed: dimension-sized, not fact-sized)",
     "kaplan_meier_events": "survival product over the distinct event-day frame",
+    "quantile_sketch_events": "rank window over the <=k-row min-merged 'ALL' sketch frame (the literal grp column constant-folds the partition spec away; the frame is sketch-bounded)",
 }
 
 

@@ -215,6 +215,10 @@ HEAVY = [
     # generators.  skyline/bh_fdr/stream twins are domain-bounded or
     # stream-class and are covered by pytest + the batch twins.
     ("hll_distinct_events", "linear (registers bounded; exact-distinct audit column is the scan)"),
+    # round-12: the mergeable quantile sketch — one struct-min agg over
+    # <= groups x 1024 buckets; the exact rank-fraction audit join is
+    # the only corpus-width pass (dropped in production).
+    ("quantile_sketch_events", "linear (struct-min agg over sketch buckets; rank audit is the scan)"),
     ("cms_heavy_hitters_events", "linear (x4 map explode; cells bounded)"),
     ("mann_whitney_events", "linear (one agg; window over quantized value domain)"),
     ("prefix_filter_neardup_docs", "linear (pair build per-call — cold by construction)"),
