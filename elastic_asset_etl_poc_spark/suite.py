@@ -11583,6 +11583,154 @@ def stream_quantile_sketch_events(spark, sf_dir):
     )
 
 
+def _quantile_rollup_sql() -> str:
+    from .operators.sketches import kmins_quantile_body_sql
+
+    return f"""
+WITH base AS (
+  SELECT date_trunc('week', CAST(ts AS DATE))::DATE AS week,
+         CAST(ts AS DATE) AS day,
+         h % 1024 AS idx, h // 1024 AS hh, CAST(value AS DOUBLE) AS v,
+         value
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h, *
+    FROM events
+  )
+),
+kmd AS (
+  SELECT week, day, idx, hh, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY day, idx
+                                 ORDER BY hh, v) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+kmw AS (
+  SELECT week AS grp, idx, hh, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY week, idx
+                                 ORDER BY hh, v) AS rn
+    FROM kmd
+  ) WHERE rn = 1
+),
+kmw_direct AS (
+  SELECT week AS grp, idx, hh, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY week, idx
+                                 ORDER BY hh, v) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+eq AS (
+  SELECT m.grp,
+         count(*) = sum(CASE WHEN d.hh IS NOT NULL THEN 1 ELSE 0 END)
+           AND count(*) = max(dm.m_direct) AS merge_exact
+  FROM kmw m
+  LEFT JOIN kmw_direct d
+    ON d.grp = m.grp AND d.idx = m.idx AND d.hh = m.hh AND d.v = m.v
+  JOIN (SELECT grp, count(*) AS m_direct FROM kmw_direct GROUP BY 1) dm
+    ON dm.grp = m.grp
+  GROUP BY 1
+),
+kq AS ({kmins_quantile_body_sql('kmw')}),
+audit AS (
+  SELECT kq.grp, kq.p_permille, kq.q_est, kq.m_sample,
+         round(sum(CASE WHEN b.value <= kq.q_est THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) AS rank_frac
+  FROM kq JOIN base b ON b.week = kq.grp
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a.grp AS week, a.p_permille, round(a.q_est, 4) AS q_est,
+       a.m_sample, a.rank_frac,
+       abs(a.rank_frac - a.p_permille / 1000.0) <= 0.05 + 1.0 / a.m_sample
+         AS within_bound,
+       eq.merge_exact
+FROM audit a JOIN eq ON eq.grp = a.grp
+"""
+
+
+@q("quantile_rollup_weekly", _quantile_rollup_sql())
+def quantile_rollup_weekly(spark, sf_dir):
+    """TEMPORAL SKETCH ROLLUP — the production pattern the mergeable
+    quantile sketch exists for: build ONE k-mins sketch per DAY as
+    ingest lands, then answer weekly (or monthly, or all-time) P50/
+    P90/P99 by MERGING the day sketches — never re-reading the rows.
+    This query runs the whole hierarchy in-frame: per-day sketches →
+    min-merged per ISO week → nearest-rank estimates, plus TWO
+    computed-in-both-engines audit columns: ``merge_exact`` pins the
+    mergeability CONTRACT itself (the merged weekly sketch equals the
+    sketch built directly from the week's rows — bucket minima
+    compose; a hash break here means the merge algebra regressed),
+    and ``within_bound`` is the 5%-rank-error check from
+    quantile_sketch_events (weekly groups are ~10× smaller than the
+    per-type groups, so occupancy m < k and the audited bound leans
+    on the +1/m discreteness term — still ~3σ at the check SF).
+    Scale shape: day sketches are one struct-min agg (the streaming
+    twin's state shape), the weekly merge touches ≤ |days|×k sketch
+    rows, estimates window over ≤k-row frames; only the audits scan
+    the corpus (dropped in production)."""
+    from .operators.sketches import (
+        kmins_merge,
+        kmins_quantiles,
+        kmins_sample,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts").cast("date"))
+        .cast("date")
+        .alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "event_id",
+        "value",
+    )
+    daily = kmins_sample(ev, ["week", "day"], "event_id", "value")
+    merged = kmins_merge(daily.withColumnRenamed("week", "grp"), ["grp"])
+    direct = kmins_sample(
+        ev.withColumnRenamed("week", "grp"), ["grp"], "event_id", "value"
+    ).localCheckpoint(eager=True)
+    m_direct = direct.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__m_direct")
+    )
+    eq = (
+        merged.join(
+            direct.withColumn("__hit", F.lit(1)),
+            ["grp", "idx", "hh", "v"],
+            "left",
+        )
+        .join(F.broadcast(m_direct), "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                (F.count(F.lit(1)) == F.sum(F.coalesce("__hit", F.lit(0))))
+                & (F.count(F.lit(1)) == F.max("__m_direct"))
+            ).alias("merge_exact")
+        )
+    )
+    kq = kmins_quantiles(merged, ["grp"])
+    audit = (
+        ev.select(F.col("week").alias("grp"), "value")
+        .join(F.broadcast(kq), "grp")
+        .groupBy("grp", "p_permille", "q_est", "m_sample")
+        .agg(
+            F.round(
+                F.sum((F.col("value") <= F.col("q_est")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rank_frac")
+        )
+    )
+    return audit.join(F.broadcast(eq), "grp").select(
+        F.col("grp").alias("week"),
+        "p_permille",
+        F.round("q_est", 4).alias("q_est"),
+        "m_sample",
+        "rank_frac",
+        (
+            F.abs(F.col("rank_frac") - F.col("p_permille") / 1000.0)
+            <= 0.05 + 1.0 / F.col("m_sample")
+        ).alias("within_bound"),
+        "merge_exact",
+    )
+
+
 @q(
     "skyline_parts",
     """
