@@ -35,6 +35,7 @@ EXCLUSION_RULES: tuple[tuple[str, str], ...] = (
     ("dedup_", "dedup family: dedup_survivors collects the pair set at build time (driver union-find fast path) / localCheckpoint"),
     ("jaccard", "near-dup pair build memoized via localCheckpoint; plan is the serving tail"),
     ("minhash", "banded minhash stores built eagerly (parquet side artifacts); plan is the serving tail"),
+    ("kmv_overlap", "bottom-k sketch build localCheckpointed (feeds every pair twice + the exact audit); plan is the estimation tail"),
     ("simhash", "fingerprint band stores built eagerly; plan is the serving tail"),
     ("contamination", "decontam pair build collects candidate set at build time"),
     ("ivf", "IVF coarse centroids trained eagerly (collect to driver); plan is the probe tail"),

@@ -219,6 +219,10 @@ HEAVY = [
     # <= groups x 1024 buckets; the exact rank-fraction audit join is
     # the only corpus-width pass (dropped in production).
     ("quantile_sketch_events", "linear (struct-min agg over sketch buckets; rank audit is the scan)"),
+    # round-12: bottom-k (KMV/theta) overlap — per-brand top-k windows
+    # emit k rows per set; pair estimation runs on <= 2k-row frames;
+    # the exact-Jaccard audit's set self-join is the corpus pass.
+    ("kmv_overlap_brands", "linear (bottom-k sketches; exact-overlap audit is the set join)"),
     ("cms_heavy_hitters_events", "linear (x4 map explode; cells bounded)"),
     ("mann_whitney_events", "linear (one agg; window over quantized value domain)"),
     ("prefix_filter_neardup_docs", "linear (pair build per-call — cold by construction)"),
