@@ -1066,3 +1066,115 @@ def test_checkpoint_recovery_windowed_agg(spark, tmp_path):
     for w, t, n in recovered:
         assert batch[(w, t)] == n
     assert len(emitted) > 0
+
+
+def test_checkpoint_recovery_kmins_sketch_state(spark, tmp_path):
+    """Restart correctness for the k-mins QUANTILE-SKETCH state — a
+    third state-store flavor beyond dropDuplicates' key set and the
+    windowed COUNT: a struct-typed MIN aggregation (the
+    stream_quantile_sketch_events shape, windowed here so append mode
+    emits finalized sketches).  Drain the first half of the time
+    range, stop, land the rest, restart from the same checkpoint:
+    broken offset recovery feeds duplicate rows (harmless to min — so
+    the real teeth are the window/watermark restore), broken
+    struct-min state restore emits partial bucket minima that diverge
+    from the uninterrupted run and the batch referee."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.sketches import kmins_sample
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    src = str(tmp_path / "src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = ev.agg(
+        F.expr(
+            "timestamp_millis(CAST(avg(unix_millis(CAST(ts AS TIMESTAMP)))"
+            " AS BIGINT))"
+        )
+    ).collect()[0][0]
+    ev.filter(F.col("ts") <= mid).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def sketch_stream():
+        s = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        base = (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
+            .select(
+                F.window("ts", "1 day").alias("w"),
+                "event_id",
+                "value",
+            )
+        )
+        return kmins_sample(base, ["w"], "event_id", "value", k=64).select(
+            F.col("w.start").alias("window_start"), "idx", "hh", "v"
+        )
+
+    def drain(out, ckpt):
+        q = (
+            sketch_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    out_r, ckpt_r = str(tmp_path / "out_r"), str(tmp_path / "ckpt_r")
+    drain(out_r, ckpt_r)
+    n_phase1 = spark.read.parquet(out_r).count()
+    assert n_phase1 > 0
+
+    p2 = str(tmp_path / "p2")
+    ev.filter(F.col("ts") > mid).coalesce(2).write.mode("overwrite").parquet(p2)
+    for i, f in enumerate(sorted(_glob.glob(f"{p2}/*.parquet"))):
+        shutil.copy(f, f"{src}/late-{i:02d}.parquet")
+    drain(out_r, ckpt_r)
+
+    out_u = str(tmp_path / "out_u")
+    drain(out_u, str(tmp_path / "ckpt_u"))
+
+    def rows(path):
+        return sorted(
+            (r["window_start"], r["idx"], r["hh"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    recovered, uninterrupted = rows(out_r), rows(out_u)
+    assert recovered == uninterrupted
+    # batch referee over the closed (emitted) windows: every emitted
+    # bucket minimum must equal the batch-built sketch's — a min that
+    # "forgot" phase-1 state on restart would sit too high
+    batch = {
+        (r["window_start"], r["idx"]): (r["hh"], r["v"])
+        for r in kmins_sample(
+            ev.select(
+                F.window(F.col("ts").cast("timestamp"), "1 day").alias("w"),
+                "event_id",
+                "value",
+            ),
+            ["w"],
+            "event_id",
+            "value",
+            k=64,
+        )
+        .select(F.col("w.start").alias("window_start"), "idx", "hh", "v")
+        .collect()
+    }
+    assert len(recovered) > 0
+    for w, idx, hh, v in recovered:
+        assert batch[(w, idx)] == (hh, v)
