@@ -556,3 +556,40 @@ def test_mutual_lsh_recovers_clustered_mutual_pairs(spark):
     }
     assert exact  # non-vacuous
     assert approx == exact  # recall 1, no spurious pairs on this corpus
+
+
+def test_mutual_lsh_bounded_bucket_decomposition_equals_unbounded(spark):
+    """Force the hot-bucket block decomposition (max_bucket smaller
+    than the cluster) and assert the cross-block argmax partials merge
+    to the SAME mutual pairs as the undecomposed run and the exact
+    baseline.  A near-parallel 40-vector cluster lands whole in one
+    (band, bucket) per band — with max_bucket=8 every bucket splits
+    into block pairs, exercising the bi != bj branch of bucket_best
+    (per-A-row and per-B-row partial bests) that whole-bucket corpora
+    never touch."""
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        mutual_top1_pairs,
+        mutual_top1_pairs_lsh,
+    )
+
+    # one tight cluster: all cos ~1, argmax decided by 4-dp rounding +
+    # id tiebreaks — the hardest case for partial-merge consistency
+    rows = [
+        (i, [1.0, 0.001 * i, 0.0005 * (i % 7)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+    exact = {
+        (r.vec_a, r.vec_b, round(r.cos, 4))
+        for r in mutual_top1_pairs(emb).collect()
+    }
+    whole = {
+        (r.vec_a, r.vec_b, round(r.cos, 4))
+        for r in mutual_top1_pairs_lsh(emb, max_bucket=4096).collect()
+    }
+    split = {
+        (r.vec_a, r.vec_b, round(r.cos, 4))
+        for r in mutual_top1_pairs_lsh(emb, max_bucket=8).collect()
+    }
+    assert exact  # non-vacuous
+    assert whole == exact  # cluster co-falls: LSH recall 1 here
+    assert split == whole  # decomposition must not change the answer
