@@ -1354,53 +1354,175 @@ def mutual_top1_pairs_lsh(
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     replicated = _bounded_bucket_groups(banded, max_bucket, counts)
+    best = replicated.groupBy("band", "bucket", "__bi", "__bj").applyInPandas(
+        _group_best_kernel, out_schema
+    )
+    return _mutual_from_best(best)
 
-    def bucket_best(key, pdf):
-        _, _, bi, bj = key
-        ids = pdf["__id"].to_numpy()
-        empty = pd.DataFrame({"node": [], "other": [], "cos": []})
-        if len(ids) < 2:
-            return empty
-        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        # id-ascending column order → np.argmax's first-max IS the
-        # smallest tied id, matching (cos DESC, id ASC)
-        order = np.argsort(ids, kind="stable")
-        ids_s, m_s = ids[order], m[order]
-        if bi == bj:
-            sims = np.round(m_s @ m_s.T, 4)
-            np.fill_diagonal(sims, -2.0)
-            j = np.argmax(sims, axis=1)
-            return pd.DataFrame(
-                {
-                    "node": ids_s,
-                    "other": ids_s[j],
-                    "cos": sims[np.arange(len(ids_s)), j],
-                }
-            )
-        blks = pdf["__blk"].to_numpy()[order]
-        a = np.nonzero(blks == bi)[0]
-        b = np.nonzero(blks == bj)[0]
-        if len(a) == 0 or len(b) == 0:
-            return empty
-        sims = np.round(m_s[a] @ m_s[b].T, 4)
-        ja = np.argmax(sims, axis=1)
-        jb = np.argmax(sims, axis=0)
+
+def _group_best_kernel(key, pdf):
+    """Per-(group, block-pair) argmax Arrow kernel shared by the LSH and
+    IVF reciprocal-kNN compositions: reduce a candidate group (an LSH
+    bucket / an IVF posting list, possibly block-decomposed by
+    :func:`_bounded_bucket_groups`) to ONE best-candidate row per
+    member.  Cosines round to 4dp BEFORE the argmax and columns are
+    pre-sorted by id so numpy's first-occurrence argmax picks the
+    smallest tied id — (cos DESC, id ASC), the exact form's order."""
+    import numpy as np
+    import pandas as pd
+
+    _, _, bi, bj = key
+    ids = pdf["__id"].to_numpy()
+    empty = pd.DataFrame({"node": [], "other": [], "cos": []})
+    if len(ids) < 2:
+        return empty
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids, kind="stable")
+    ids_s, m_s = ids[order], m[order]
+    if bi == bj:
+        sims = np.round(m_s @ m_s.T, 4)
+        np.fill_diagonal(sims, -2.0)
+        j = np.argmax(sims, axis=1)
         return pd.DataFrame(
             {
-                "node": np.concatenate([ids_s[a], ids_s[b]]),
-                "other": np.concatenate([ids_s[b][ja], ids_s[a][jb]]),
-                "cos": np.concatenate(
-                    [
-                        sims[np.arange(len(a)), ja],
-                        sims[jb, np.arange(len(b))],
-                    ]
-                ),
+                "node": ids_s,
+                "other": ids_s[j],
+                "cos": sims[np.arange(len(ids_s)), j],
             }
         )
+    blks = pdf["__blk"].to_numpy()[order]
+    a = np.nonzero(blks == bi)[0]
+    b = np.nonzero(blks == bj)[0]
+    if len(a) == 0 or len(b) == 0:
+        return empty
+    sims = np.round(m_s[a] @ m_s[b].T, 4)
+    ja = np.argmax(sims, axis=1)
+    jb = np.argmax(sims, axis=0)
+    return pd.DataFrame(
+        {
+            "node": np.concatenate([ids_s[a], ids_s[b]]),
+            "other": np.concatenate([ids_s[b][ja], ids_s[a][jb]]),
+            "cos": np.concatenate(
+                [
+                    sims[np.arange(len(a)), ja],
+                    sims[jb, np.arange(len(b))],
+                ]
+            ),
+        }
+    )
 
+
+def mutual_top1_pairs_ivf(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    max_train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 0x1BF,
+    max_bucket: int = 4096,
+    centroids=None,
+) -> DataFrame:
+    """RECIPROCAL BEST MATCH over the IVF candidate generator — the
+    data-ADAPTIVE sibling of :func:`mutual_top1_pairs_lsh` (coarse
+    k-means lists follow the corpus distribution; sign-LSH buckets are
+    data-independent).  Each vector is replicated to its ``nprobe``
+    nearest coarse centroids, every (list) group runs the shared
+    :func:`_group_best_kernel` argmax (hot lists block-decomposed by
+    ``max_bucket`` like LSH buckets), and partials merge through the
+    same map-side struct-min.  A pair is found iff the two vectors
+    co-probe at least one list — on clustered corpora reciprocal pairs
+    share their home cluster and recall ≈ 1; on structureless data
+    recall follows the co-probe probability (audited by the suite's
+    sampled exact baseline, the mutual_knn_lsh pattern).
+
+    Scale levers: ``n_centroids`` grows with N (bounded list
+    occupancy → compute ~ N·nprobe·list_size), ``nprobe`` trades
+    compute for recall without retraining; pass pre-trained
+    ``centroids`` to skip the bounded-sample k-means (ivf_train).
+    Returns (vec_a, vec_b, cos), vec_a < vec_b."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    idtype = embeddings.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", idtype),
+            T.StructField("other", idtype),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            max_train_sample=max_train_sample,
+            kmeans_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+    )
+    if len(C) == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("vec_a", idtype),
+                    T.StructField("vec_b", idtype),
+                    T.StructField("cos", T.DoubleType()),
+                ]
+            ),
+        )
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn == 0, 1.0, cn)
+    npb = min(nprobe, len(C))
+    list_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("__id", idtype),
+            T.StructField("__v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def probe_lists(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            en = np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / np.where(en == 0, 1.0, en)
+            sims = En @ Cn.T
+            # top-npb lists per vector; order within the probe set is
+            # irrelevant (membership only)
+            top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            rows = len(ids)
+            yield pd.DataFrame(
+                {
+                    "band": np.zeros(rows * npb, dtype=np.int32),
+                    "bucket": top.reshape(-1).astype(np.int64),
+                    "__id": np.repeat(ids, npb),
+                    "__v": [
+                        list(E[i]) for i in np.repeat(np.arange(rows), npb)
+                    ],
+                }
+            )
+
+    lists = embeddings.select(id_col, vec_col).mapInPandas(
+        probe_lists, list_schema
+    )
+    replicated = _bounded_bucket_groups(lists, max_bucket)
     best = replicated.groupBy("band", "bucket", "__bi", "__bj").applyInPandas(
-        bucket_best, out_schema
+        _group_best_kernel, out_schema
     )
     return _mutual_from_best(best)
 

@@ -593,3 +593,36 @@ def test_mutual_lsh_bounded_bucket_decomposition_equals_unbounded(spark):
     assert exact  # non-vacuous
     assert whole == exact  # cluster co-falls: LSH recall 1 here
     assert split == whole  # decomposition must not change the answer
+
+
+def test_mutual_ivf_recovers_clustered_mutual_pairs(spark):
+    """The IVF composition on the same tight-cluster corpus as the LSH
+    test: reciprocal pairs share their home coarse cluster, so
+    mutual_top1_pairs_ivf must recover the exact mutual set — and the
+    hot-list decomposition (max_bucket=8 < cluster size) must not
+    change the answer."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        mutual_top1_pairs,
+        mutual_top1_pairs_ivf,
+    )
+
+    rows = []
+    for c in range(12):
+        base = [math.cos(c * 0.5), math.sin(c * 0.5), math.cos(c * 1.3), math.sin(c * 1.3)]
+        rows.append((2 * c, base))
+        rows.append((2 * c + 1, [x * 1.01 + 0.001 for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(5)
+    exact = {
+        (r.vec_a, r.vec_b) for r in mutual_top1_pairs(emb).collect()
+    }
+    assert exact
+    for kw in (dict(), dict(max_bucket=8)):
+        approx = {
+            (r.vec_a, r.vec_b)
+            for r in mutual_top1_pairs_ivf(
+                emb, n_centroids=8, nprobe=4, **kw
+            ).collect()
+        }
+        assert approx == exact, kw

@@ -237,6 +237,7 @@ HEAVY = [
     # 256-probe exact audit (two broadcast |Q|xN scans) instead of the
     # quadratic all-pairs audit.
     ("mutual_knn_lsh", "linear (log-priced planes; sampled 256-probe exact audit)"),
+    ("mutual_knn_ivf", "linear (n_centroids ~ N/512 bounds list occupancy; sampled 256-probe exact audit)"),
     ("ks_test_events", "linear (one agg; CDF window over quantized value domain)"),
     ("spearman_corr_events", "linear (two domain-bounded rank windows + one power-sum agg)"),
     ("kcore_parts", "linear (basket-bounded pair explode; ~6 peel rounds on a shrinking frame)"),
