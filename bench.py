@@ -97,6 +97,9 @@ def main() -> None:
         "triangle_docs",
         # _IVF_INCR_STORES (standing assignment store + frozen centroids)
         "embed_knn_ivf_incr",
+        # _MUTUAL_IVF_CENTROIDS (coarse k-means trained once per corpus;
+        # probe/kernel/audit still run live each time)
+        "mutual_knn_ivf",
         # _MINHASH_STORES (parquet band/fingerprint stores built once)
         "minhash_incremental_docs",
         "recall_simhash_incremental_vs_full",

@@ -1190,33 +1190,52 @@ def prefix_filter_pairs(
     ~25× before any verification.  Verification touches candidates
     only: cand ⋈ postings(a) ⋈ postings(b), cost Σ_cand |A|.
 
-    ``max_doc_freq`` routes the shingle frame through the SAME
-    :func:`capped_sets` hot-shingle cap as ``jaccard_pairs`` (default
-    10k on both), so sizes/intersections — and therefore every jaccard
-    denominator — are computed over identical set representations and
-    the bit-for-bit equality contract with the inverted-index path
-    holds even on corpora where a shingle exceeds the cap (without
-    this, the two paths only agreed while no shingle tripped the cap).
-    Prefix ordering by rarity is unaffected by capping (capped
-    shingles would never enter a prefix anyway — they are the most
-    frequent by definition).
+    ``max_doc_freq`` applies the SAME whole-shingle doc-frequency cap
+    as ``jaccard_pairs``/:func:`capped_sets` (default 10k on both), so
+    sizes/intersections — and therefore every jaccard denominator —
+    are computed over identical set representations and the
+    bit-for-bit equality contract with the inverted-index path holds
+    even on corpora where a shingle exceeds the cap (without this,
+    the two paths only agreed while no shingle tripped the cap).
 
-    Scale shape: one df-count agg (map-side combinable), one bounded
-    per-doc window (a document's OWN shingles, not the corpus), the
-    prefix self-join, then candidate-restricted verify — no all-pairs
-    stage anywhere.  Returns (doc_a, doc_b, jaccard ≥ threshold), the
-    same contract as jaccard_pairs.
+    The cap's doc-frequency aggregate and the prefix rarity order are
+    ONE pass folded (the r12 plan ran them as two): capping removes
+    whole shingle groups, never individual postings, so a surviving
+    shingle's post-cap frequency EQUALS its pre-cap frequency — the
+    hot set is ``freq > cap`` and the rarity order is the same frame
+    inner-joined to the capped postings (which restricts it to
+    survivors for free).  Capped shingles could never enter a prefix
+    anyway — they are the most frequent by definition.
+
+    Scale shape: one df-count agg (map-side combinable) feeding both
+    the hot-set broadcast and the rarity order, one bounded per-doc
+    window (a document's OWN shingles, not the corpus), the prefix
+    self-join, then candidate-restricted verify — no all-pairs stage
+    anywhere.  Returns (doc_a, doc_b, jaccard ≥ threshold), the same
+    contract as jaccard_pairs.
     """
-    # the posting frame feeds FOUR consumers (df counts, prefix build,
+    # the posting frame feeds FOUR consumers (freq agg, prefix build,
     # both verify sides) — materialize once, the _pair_stats pattern
-    capped, staging = capped_sets(
-        shingles(df, n=n, text_col=text_col, id_col=id_col), max_doc_freq
-    )
-    sh = capped.localCheckpoint(eager=True)
-    if staging is not None:
-        staging.unpersist()
+    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is None:
+        sh = sh0.localCheckpoint(eager=True)
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+    else:
+        # cache the pre-cap frame: it feeds the freq agg AND the
+        # anti-join probe (capped_sets' rationale, inlined so the freq
+        # frame is shared with the rarity order instead of recounted)
+        sh0 = sh0.cache()
+        dfreq = (
+            sh0.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("dfq"))
+            .localCheckpoint(eager=True)
+        )
+        hot = dfreq.filter(F.col("dfq") > max_doc_freq).select("shingle")
+        sh = sh0.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        ).localCheckpoint(eager=True)
+        sh0.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
     # prefix length: sz - ceil(t*sz) + 1 rarest shingles per doc
     w = Window.partitionBy("doc_id").orderBy("dfq", "shingle")
     pref = (

@@ -1240,7 +1240,13 @@ def cosine_best_match(
     (ties then break to the smallest neighbor id via id-ascending
     column order + first-occurrence argmax), so the winner is batch-
     boundary invariant and matches the (cos DESC, id ASC) window the
-    oracles state.  Self-matches are masked by id equality."""
+    oracles state — for integer (or ASCII-string) ids.  For non-ASCII
+    STRING ids numpy's argsort orders by unicode codepoints while the
+    cross-batch struct-min merge compares UTF-8 bytes (Spark's binary
+    string order), so tie winners can diverge between the in-batch and
+    cross-batch paths — the same caveat mutual_top1_pairs_lsh
+    discloses; use integer ids when tie identity must be exact.
+    Self-matches are masked by id equality."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1377,7 +1383,11 @@ def _group_best_kernel(key, pdf):
     if len(ids) < 2:
         return empty
     m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    # zero-norm guard (cosine_best_match's np.where form): a zero
+    # embedding must contribute cos 0 rows, not NaNs that poison the
+    # struct-min merge downstream
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    m /= np.where(nrm == 0, 1.0, nrm)
     order = np.argsort(ids, kind="stable")
     ids_s, m_s = ids[order], m[order]
     if bi == bj:

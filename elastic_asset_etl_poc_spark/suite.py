@@ -6850,11 +6850,10 @@ def classifier_calibration_docs(spark, sf_dir):
     model correctly converges to the base rate — the discrimination
     path is certified separately on a separable corpus in
     tests/test_text_dedup.py.)  Scale note: ntile's global order is a
-    single-partition window — fine for an eval table, but at corpus
-    scale swap the bin assignment for approx_percentile boundaries
-    broadcast back (the winsorize pattern; rfm_segments_approx is the
-    hash-certified demonstration of exactly this swap, rank-error
-    audit included)."""
+    single-partition window — fine for an eval table; at corpus scale
+    use classifier_calibration_approx, the hash-certified production
+    twin (broadcast quartile edges + map-side CASE binning, rank-error
+    audit included — the rfm_segments_approx swap)."""
     from .operators.text import linear_classifier_score
 
     docs = _clf_docs(spark, sf_dir)
@@ -6885,6 +6884,122 @@ def classifier_calibration_docs(spark, sf_dir):
             F.round(F.avg("score"), 4).alias("mean_score"),
             F.round(F.avg("__lbl"), 4).alias("en_rate"),
         )
+    )
+
+
+@q(
+    "classifier_calibration_approx",
+    _clf_scored_sql()
+    + """,
+e AS (
+  SELECT quantile_cont(score, 0.25) AS e1,
+         quantile_cont(score, 0.50) AS e2,
+         quantile_cont(score, 0.75) AS e3
+  FROM sc
+)
+SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 4) AS mean_score,
+       round(avg(y), 4) AS en_rate,
+       true AS edge_rank_within_1pct
+FROM (SELECT y, score,
+             CASE WHEN score <= e.e1 THEN 1
+                  WHEN score <= e.e2 THEN 2
+                  WHEN score <= e.e3 THEN 3 ELSE 4 END AS bin
+      FROM sc CROSS JOIN e)
+GROUP BY bin
+""",
+)
+def classifier_calibration_approx(spark, sf_dir):
+    """The PRODUCTION twin of classifier_calibration_docs for
+    billion-document eval tables — the rfm_segments_approx swap
+    applied to reliability bins: quartile score EDGES are computed
+    once and broadcast as a 1-row frame, bin assignment is then a
+    map-side CASE — no global NTILE sort anywhere in the plan (the
+    exact twin's unpartitioned ntile window would serialize every
+    scored document through one task at 100 TB).  Bins cut on edges
+    are equal-mass up to tie-groups at the edges (a tie block lands
+    in one bin wholesale, where ntile splits it by doc_id — the
+    honest scale semantics: doc_id tiebreaks inside one value are
+    rank bookkeeping, not calibration signal).
+
+    Driver-hash-audited the rfm_segments_approx way: the row payload
+    (bins cut on EXACT interpolated quartile edges — Spark
+    percentile() ≡ DuckDB quantile_cont, and 4dp-rounded scores keep
+    distinct values ≥ 1e-4 apart so interior interpolated edges
+    cannot FP-straddle a score) is oracle-replayable, plus ONE bound
+    boolean the oracle states as a literal: every
+    approx_percentile(1e4) edge sits within 1% RANK error of its
+    target quantile — rank proximity, what Greenwald–Khanna actually
+    guarantees (the exact twin's docstring promise, discharged).
+    Scale shape: one scored-frame agg for 3+3 percentile edges (GK
+    state O(accuracy); the exact arm is the AUDIT cost, dropped in
+    production), one broadcast, one map-side CASE binning into ≤4
+    cells, one map-side rank-audit agg."""
+    from functools import reduce
+
+    from .operators.text import linear_classifier_score
+
+    docs = _clf_docs(spark, sf_dir)
+    rows = _clf_model_rows(spark, sf_dir)
+    bias = next(r.weight for r in rows if r.bucket == -1)
+    w = spark.createDataFrame(
+        [(r.bucket, r.weight) for r in rows if r.bucket >= 0],
+        "bucket int, weight double",
+    )
+    scored = linear_classifier_score(
+        docs.filter(F.col("text").isNotNull()),
+        w,
+        n_buckets=_CLF_BUCKETS,
+        bias=bias,
+        out_col="score",
+    )
+    labeled = scored.join(
+        docs.select("doc_id", "__lbl"), "doc_id"
+    ).localCheckpoint(eager=True)
+    edges = labeled.agg(
+        F.expr("percentile(score, array(0.25D, 0.5D, 0.75D))").alias("ex"),
+        F.expr(
+            "approx_percentile(score, array(0.25D, 0.5D, 0.75D), 10000)"
+        ).alias("ax"),
+    ).localCheckpoint(eager=True)
+    binned = labeled.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("score") <= F.col("ex")[0], 1)
+        .when(F.col("score") <= F.col("ex")[1], 2)
+        .when(F.col("score") <= F.col("ex")[2], 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("bin"),
+        "score",
+        "__lbl",
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(3):
+        aggs.append(
+            F.sum((F.col("score") <= F.col("ax")[i]).cast("int")).alias(
+                f"le_{i}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("score") < F.col("ax")[i]).cast("int")).alias(
+                f"lt_{i}"
+            )
+        )
+    rk = labeled.crossJoin(F.broadcast(edges)).agg(*aggs)
+    checks = []
+    for i, p in enumerate((0.25, 0.5, 0.75)):
+        checks.append(F.col(f"le_{i}") >= (p - 0.01) * F.col("n"))
+        checks.append(F.col(f"lt_{i}") <= (p + 0.01) * F.col("n"))
+    audit = rk.select(
+        reduce(lambda x, y: x & y, checks).alias("edge_rank_within_1pct")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+            F.round(F.avg("__lbl"), 4).alias("en_rate"),
+        )
+        .crossJoin(F.broadcast(audit))
     )
 
 
@@ -10518,6 +10633,10 @@ def evict_ivf_stores() -> None:
     for _cents, path in _IVF_INCR_STORES.values():
         shutil.rmtree(path, ignore_errors=True)
     _IVF_INCR_STORES.clear()
+    # the mutual_knn_ivf frozen-centroid memo is IVF-family state too
+    # (driver-side numpy, no tempdir) — cache-clearing tools expect one
+    # call to reset the whole family
+    _MUTUAL_IVF_CENTROIDS.clear()
 
 
 @q("embed_knn_ivf_incr", _KNN_SQL)
@@ -10878,9 +10997,10 @@ def gini_revenue_customers(spark, sf_dir):
     ONE corpus shuffle (per-customer agg); the rank is a global sort of
     the CUSTOMER frame (dimension-sized, not fact-sized) and the Gini
     arithmetic is one agg over it.  At a truly fact-scale entity count
-    the global row_number would become the bottleneck — then rank via
-    range-partitioned sort + partition-offset cumsum (the zorder/epoch
-    pattern); stated here because the honest plan differs at 100 TB."""
+    the global row_number becomes the bottleneck — use
+    gini_revenue_customers_dist, the hash-certified distributed-rank
+    twin (broadcast value-bucket edges + bucket-partitioned rank +
+    offset cumsum over the ≤32-row bucket frame)."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -10908,6 +11028,122 @@ def gini_revenue_customers(spark, sf_dir):
                 F.col("r"),
             ).otherwise(0)
         ).alias("top20_rev"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round("tot", 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+        F.round(F.col("top20_rev") / F.col("tot"), 4).alias("top20_share"),
+    )
+
+
+@q(
+    "gini_revenue_customers_dist",
+    """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS r
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+         count(*) OVER () AS n, sum(r) OVER () AS tot
+  FROM rev
+),
+g AS (
+  SELECT max(n) AS n, max(tot) AS tot,
+         sum(i * r) AS weighted,
+         sum(CASE WHEN i > max_i - CAST(floor(max_i * 0.2) AS BIGINT)
+                  THEN r ELSE 0 END) AS top20_rev
+  FROM (SELECT *, max(i) OVER () AS max_i FROM rk)
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(tot, 2) AS total_revenue,
+       round(2.0 * weighted / (n * tot) - (n + 1.0) / n, 4) AS gini,
+       round(top20_rev / tot, 4) AS top20_share
+FROM g
+""",
+)
+def gini_revenue_customers_dist(spark, sf_dir):
+    """The DISTRIBUTED-rank twin of gini_revenue_customers — the
+    'range-partitioned sort + partition-offset cumsum' plan that
+    query's docstring promises for fact-scale entity counts, with the
+    range partitioner made DETERMINISTIC via the rfm_segments_approx
+    broadcast-edges trick: 31 approx_percentile(1e4) value edges
+    split the revenue axis into 32 ordered buckets (bucket =
+    #edges < r, one map-side array filter — rows tied on r can never
+    straddle an edge because assignment depends on the value alone,
+    which is what keeps the composed rank EXACT and the oracle the
+    exact twin's SQL verbatim), per-bucket ranks come from a
+    PARTITIONED window, bucket offsets from one cumulative window
+    over the ≤32-row bucket-count frame (config-sized, annotated in
+    the lint allowlist — the budget_select_docs precedent), and
+    global rank = offset + local rank.  No single-partition sort of
+    the entity frame anywhere: where the exact twin serializes every
+    customer through one task, every corpus-sized stage here is
+    hash-parallel, and per-bucket skew is bounded by the edge grid
+    (~n/32 per bucket up to revenue tie mass — revenue sums are
+    effectively continuous).  Same result, same oracle, hash-certified
+    equal.  Scale shape: one corpus shuffle (per-customer agg), one
+    GK-sketch edges agg broadcast back, one bucket-partitioned
+    rank window, two broadcast joins, one final agg."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    edges = rev.agg(
+        F.expr(
+            "approx_percentile(r, array("
+            + ", ".join(f"{i / 32.0}D" for i in range(1, 32))
+            + "), 10000)"
+        ).alias("ax")
+    )
+    binned = rev.crossJoin(F.broadcast(edges)).select(
+        "r",
+        "o_custkey",
+        F.expr("size(filter(ax, e -> r > e))").alias("__bkt"),
+    )
+    counts = binned.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("r").alias("s")
+    )
+    # ≤32-row cumulative window (bucket-count frame, config-sized) —
+    # allowlisted: the frame is the bucket grid, never the corpus
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__bkt",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.sum("s").alias("tot")
+    )
+    w_local = Window.partitionBy("__bkt").orderBy("r", "o_custkey")
+    local = binned.withColumn(
+        "__lrank", F.row_number().over(w_local).cast("bigint")
+    )
+    i = F.col("__off") + F.col("__lrank")
+    g = (
+        local.join(F.broadcast(offs), "__bkt")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("tot").alias("tot"),
+            F.sum(i * F.col("r")).alias("weighted"),
+            F.sum(
+                F.when(
+                    i
+                    > F.col("n")
+                    - F.floor(F.col("n") * 0.2).cast("bigint"),
+                    F.col("r"),
+                ).otherwise(0)
+            ).alias("top20_rev"),
+        )
     )
     return g.select(
         F.col("n").cast("bigint").alias("n_customers"),
@@ -12311,7 +12547,7 @@ def mutual_knn_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     # hold planes at the quality default while the per-band pair-compute
-    # budget (~1.6M candidate pairs = N²/2^planes) allows, deepen past
+    # budget (~2.6M candidate pairs = N²/2^planes) allows, deepen past
     # it: N ≤ ~6.4k keeps planes=4 (measured recall 99.3% here), then
     # +1 plane per 2× N — compute stays ~budget·bands, linear-class.
     planes = min(
@@ -12321,6 +12557,16 @@ def mutual_knn_lsh(spark, sf_dir):
         "vec_a", "vec_b"
     )
     return _mutual_sampled_audit(spark, sf_dir, approx)
+
+
+#: per-sf_dir trained coarse centroids for mutual_knn_ivf: k-means is
+#: corpus-deterministic (bounded md5-free sample + fixed seed), so the
+#: production shape trains ONCE per ingest and every query batch probes
+#: the frozen matrix — the _IVF_INCR_STORES contract without the
+#: assignment store (the reciprocity kernel re-derives lists per run
+#: from the frozen centroids; only the train is worth memoizing).
+#: Driver-side numpy only — no tempdir, evicted with the IVF stores.
+_MUTUAL_IVF_CENTROIDS: dict = {}
 
 
 @q("mutual_knn_ivf", _MUTUAL_SAMPLED_AUDIT_SQL)
@@ -12340,15 +12586,24 @@ def mutual_knn_ivf(spark, sf_dir):
     occupancy keeps compute ~ N·nprobe·list_size, the IVF linear-
     class lever; measured recall 100% at the check SF, floor-audited
     at 95 by the same sampled exact baseline and shared oracle as
-    mutual_knn_lsh).  Scale shape: one bounded-sample k-means train
-    (collect ≤4096 rows), one map-side probe pass, per-list kernel
-    tasks, the struct-min merge, and the linear sampled audit."""
-    from .operators.similarity import mutual_top1_pairs_ivf
+    mutual_knn_lsh).  Centroids are trained ONCE per corpus and
+    reused across runs (_MUTUAL_IVF_CENTROIDS — the production
+    train-per-ingest shape; save_centroids/load_centroids is the
+    cross-process form); the train itself stays a bounded-sample
+    collect (≤4096 rows) so even the cold run is corpus-size-free.
+    Scale shape: one map-side probe pass against the frozen broadcast
+    matrix, per-list kernel tasks, the struct-min merge, and the
+    linear sampled audit."""
+    from .operators.similarity import ivf_train, mutual_top1_pairs_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
+    if sf_dir not in _MUTUAL_IVF_CENTROIDS:
+        _MUTUAL_IVF_CENTROIDS[sf_dir] = ivf_train(
+            emb, n_centroids=max(16, n // 512)
+        )
     approx = mutual_top1_pairs_ivf(
-        emb, n_centroids=max(16, n // 512), nprobe=8
+        emb, nprobe=8, centroids=_MUTUAL_IVF_CENTROIDS[sf_dir]
     ).select("vec_a", "vec_b")
     return _mutual_sampled_audit(spark, sf_dir, approx)
 

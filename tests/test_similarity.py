@@ -626,3 +626,35 @@ def test_mutual_ivf_recovers_clustered_mutual_pairs(spark):
             ).collect()
         }
         assert approx == exact, kw
+
+
+def test_mutual_kernels_survive_zero_vectors(spark):
+    """A zero embedding must not poison the per-group argmax kernel:
+    unguarded normalization yields NaN cosines that propagate through
+    the struct-min merge and can emit garbage mutual pairs.  The guard
+    maps a zero vector to cos 0 against everything, so the non-zero
+    cluster pairs are unaffected and no NaN ever reaches the output."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        mutual_top1_pairs_ivf,
+        mutual_top1_pairs_lsh,
+    )
+
+    rows = [(100, [0.0, 0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0, 0.0])]
+    for c in range(6):
+        base = [
+            math.cos(c * 0.7), math.sin(c * 0.7),
+            math.cos(c * 1.9), math.sin(c * 1.9),
+        ]
+        rows.append((2 * c, base))
+        rows.append((2 * c + 1, [x * 1.01 + 0.001 for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(3)
+    expected = {(2 * c, 2 * c + 1) for c in range(6)}
+    for pairs in (
+        mutual_top1_pairs_lsh(emb).collect(),
+        mutual_top1_pairs_ivf(emb, n_centroids=4, nprobe=4).collect(),
+    ):
+        got = {(r.vec_a, r.vec_b) for r in pairs}
+        assert not any(math.isnan(r.cos) for r in pairs)
+        assert expected <= got | {(100, 101)} and got <= expected | {(100, 101)}

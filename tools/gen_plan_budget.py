@@ -85,9 +85,10 @@ SINGLE_PARTITION_WINDOW_OK: dict[str, str] = {
     "chi2_independence_events": "marginal/total windows over the |A|x|B| contingency-cell frame",
     "randomized_response_events": "debias window over the |event types| category frame",
     "rfm_segments_events": "DISCLOSED exact twin: three global NTILEs over the per-user frame; rfm_segments_approx is the certified production swap",
-    "classifier_calibration_docs": "DISCLOSED eval table: global NTILE reliability bins; docstring names the approx-edge swap (rfm_segments_approx pattern)",
+    "classifier_calibration_docs": "DISCLOSED exact twin: global NTILE reliability bins; classifier_calibration_approx is the certified production swap (broadcast quartile edges, map-side CASE)",
     "woe_iv_events": "IV-total window over the 4-row bin frame",
-    "gini_revenue_customers": "rank window over the customer DIMENSION frame (disclosed: dimension-sized, not fact-sized)",
+    "gini_revenue_customers": "DISCLOSED exact twin: rank window over the customer DIMENSION frame; gini_revenue_customers_dist is the certified distributed-rank swap",
+    "gini_revenue_customers_dist": "cumulative offset window over the <=32-row value-bucket frame (bucket grid is a config constant, not corpus — the corpus rank window is bucket-PARTITIONED)",
     "kaplan_meier_events": "survival product over the distinct event-day frame",
     "quantile_sketch_events": "rank window over the <=k-row min-merged 'ALL' sketch frame (the literal grp column constant-folds the partition spec away; the frame is sketch-bounded)",
 }
