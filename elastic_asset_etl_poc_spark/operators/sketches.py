@@ -471,3 +471,113 @@ km AS (
   ) WHERE rn = 1
 ),
 kq AS ({kmins_quantile_body_sql('km', p_permilles)})"""
+
+
+def kmv_sketch(
+    df: DataFrame, set_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """Per-set KMV / theta BOTTOM-k signature → (set_id, h): the k
+    SMALLEST distinct 60-bit md5 hashes of each set's members (Beyer
+    et al. 2007; DataSketches theta).  Input must already be DISTINCT
+    per (set, key) — set semantics are the caller's contract (the
+    set_similarity_pairs rule; deduping here would pay a redundant
+    shuffle for callers that already built a distinct frame).
+
+    The signature is union-MERGEABLE: per-ingest-batch sketches
+    combine via ``kmv_merge`` (union + re-truncate) without touching
+    the corpus again, and ship k BIGINTs per set.  Scale shape: one
+    map-side hash pass + one per-set top-k window whose output is ≤
+    S·k rows regardless of corpus size — the sketch property."""
+    from pyspark.sql.window import Window
+
+    uh = df.select(
+        F.col(set_col).alias("set_id"), _h60(F.col(key_col)).alias("h")
+    )
+    w = Window.partitionBy("set_id").orderBy("h")
+    return (
+        uh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("set_id", "h")
+    )
+
+
+def kmv_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge KMV signatures for the SAME logical set across batches:
+    union the (set_id, h) frames, then re-truncate each set to its k
+    smallest — the bottom-k of a union is the bottom-k of the union
+    of bottom-k's, which is what makes per-batch sketching sound.
+    Input is the unionByName of ``kmv_sketch`` outputs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("set_id").orderBy("h")
+    return (
+        sketches.dropDuplicates(["set_id", "h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("set_id", "h")
+    )
+
+
+def kmv_overlap(
+    df: DataFrame, set_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """ALL-PAIRS set-overlap estimation from KMV bottom-k sketches →
+    (set_a, set_b, k_eff, j_est) for every unordered pair of sets in
+    ``df`` — the production surface kmv_overlap_brands (suite) wraps:
+    for a pair, the k smallest hashes of the sketch UNION are a
+    uniform sample of A∪B, and the fraction present in BOTH sketches
+    estimates J(A,B) with σ = √(J(1−J)/k) — error scales with J
+    itself, which is why this beats HLL inclusion–exclusion in the
+    small-Jaccard regime (three ±1σ estimates differenced leave noise
+    that can exceed a small signal).  Unbiased at every occupancy and
+    EXACT when a set has ≤ k members (k_eff = |A∪B| then — the
+    sketch is the whole set).
+
+    The pair frame is built from sketch SIGNATURES only — S·k rows —
+    never from the corpus: after the one ``kmv_sketch`` pass, every
+    pairwise estimate among S sets costs pair-frame joins over
+    ≤ 2k-row groups (the all-pairs |A∩B| corpus join this replaces at
+    100 TB touches the corpus once PER PAIR; the suite query keeps
+    that join as its in-frame exact AUDIT, dropped here).  S² pair
+    fan-out is the caller's knob — sets are entities (brands, cohorts,
+    days), not corpus rows.  Input must be DISTINCT per (set, key),
+    the ``kmv_sketch`` contract.  Oracle-replayable to the bit:
+    integer bottom-k ranks, integer membership counts, one division
+    rounded at 6dp."""
+    from pyspark.sql.window import Window
+
+    sig = kmv_sketch(df, set_col, key_col, k=k).localCheckpoint(
+        eager=True
+    )  # feeds both sides of every pair
+    sets = sig.select("set_id").distinct()
+    pr = (
+        sets.select(F.col("set_id").alias("set_a"))
+        .crossJoin(sets.select(F.col("set_id").alias("set_b")))
+        .filter(F.col("set_a") < F.col("set_b"))
+    )
+    pa = pr.join(
+        sig.withColumnRenamed("set_id", "set_a"), "set_a"
+    ).select("set_a", "set_b", "h", F.lit(1).alias("in_a"))
+    pb = pr.join(
+        sig.withColumnRenamed("set_id", "set_b"), "set_b"
+    ).select("set_a", "set_b", "h", F.lit(1).alias("in_b"))
+    u = pa.join(pb, ["set_a", "set_b", "h"], "full").select(
+        "set_a",
+        "set_b",
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w_p = Window.partitionBy("set_a", "set_b").orderBy("h")
+    return (
+        u.withColumn("__rn", F.row_number().over(w_p))
+        .filter(F.col("__rn") <= k)
+        .groupBy("set_a", "set_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
+            F.round(
+                F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)),
+                6,
+            ).alias("j_est"),
+        )
+    )

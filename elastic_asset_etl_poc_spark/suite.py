@@ -12062,13 +12062,16 @@ def kmv_overlap_brands(spark, sf_dir):
 
     Oracle-replayable to the bit (sketches.py md5 contract): integer
     bottom-k ranks, integer membership counts, one division rounded
-    at 6dp.  The exact Jaccard audit rides in-frame (computed in BOTH
+    at 6dp.  The estimator is operators/sketches.py kmv_overlap —
+    THE reusable surface (any (set, key) frame; pair frame built
+    from S·k signature rows only), this query is its thin wrapper
+    adding the exact Jaccard audit in-frame (computed in BOTH
     engines — the only corpus-pair pass, dropped in production) with
     a within-±0.04 boolean = 5σ at k=1024.  Scale shape: one
     broadcast dim join + distinct, a per-brand top-k window (k-row
     output per brand), pair unions over ≤ 2k-row frames, and the
     audit's exact set join."""
-    from .operators.sketches import _h60
+    from .operators.sketches import kmv_overlap
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey"
@@ -12084,45 +12087,11 @@ def kmv_overlap_brands(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)  # feeds signatures + exact audit
     )
-    uh = lp.select("brand", _h60(F.col("ok")).alias("h"))
-    w_b = Window.partitionBy("brand").orderBy("h")
-    sig = (
-        uh.withColumn("rn", F.row_number().over(w_b))
-        .filter(F.col("rn") <= 1024)
-        .select("brand", "h")
-        .localCheckpoint(eager=True)  # feeds both sides of every pair
-    )
-    brands = sig.select("brand").distinct()
-    pr = (
-        brands.select(F.col("brand").alias("brand_a"))
-        .crossJoin(brands.select(F.col("brand").alias("brand_b")))
-        .filter(F.col("brand_a") < F.col("brand_b"))
-    )
-    pa = pr.join(
-        sig.withColumnRenamed("brand", "brand_a"), "brand_a"
-    ).select("brand_a", "brand_b", "h", F.lit(1).alias("in_a"))
-    pb = pr.join(
-        sig.withColumnRenamed("brand", "brand_b"), "brand_b"
-    ).select("brand_a", "brand_b", "h", F.lit(1).alias("in_b"))
-    u = pa.join(pb, ["brand_a", "brand_b", "h"], "full").select(
-        "brand_a",
-        "brand_b",
-        "h",
-        F.coalesce("in_a", F.lit(0)).alias("in_a"),
-        F.coalesce("in_b", F.lit(0)).alias("in_b"),
-    )
-    w_p = Window.partitionBy("brand_a", "brand_b").orderBy("h")
-    est = (
-        u.withColumn("rn", F.row_number().over(w_p))
-        .filter(F.col("rn") <= 1024)
-        .groupBy("brand_a", "brand_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("k_eff"),
-            F.round(
-                F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)),
-                6,
-            ).alias("j_est"),
-        )
+    est = kmv_overlap(lp, "brand", "ok", k=1024).select(
+        F.col("set_a").alias("brand_a"),
+        F.col("set_b").alias("brand_b"),
+        "k_eff",
+        "j_est",
     )
     sz = lp.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     la = lp.select(F.col("brand").alias("brand_a"), "ok")

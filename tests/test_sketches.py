@@ -256,3 +256,69 @@ def test_kmins_quantiles_within_rank_bound(spark):
             rank_frac,
         )
         assert r.m_sample <= 1024
+
+
+def test_kmv_overlap_exact_when_sets_fit_in_k(spark):
+    """With every set smaller than k the sketch IS the set, so j_est
+    must equal the exact Jaccard for every pair (k_eff = |A∪B|)."""
+    from elastic_asset_etl_poc_spark.operators.sketches import kmv_overlap
+
+    rows = (
+        [("A", i) for i in range(0, 60)]
+        + [("B", i) for i in range(30, 90)]  # J(A,B)=30/90
+        + [("C", i) for i in range(200, 260)]  # disjoint from A and B
+    )
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(4)
+    got = {
+        (r.set_a, r.set_b): (r.k_eff, r.j_est)
+        for r in kmv_overlap(df, "s", "k", k=1024).collect()
+    }
+    assert got[("A", "B")] == (90, round(30 / 90, 6))
+    assert got[("A", "C")] == (120, 0.0)
+    assert got[("B", "C")] == (120, 0.0)
+
+
+def test_kmv_overlap_estimate_within_sigma_bound(spark):
+    """Large overlapping sets: the estimate must land within 5σ of the
+    true Jaccard (σ = √(J(1−J)/k) — a miss is a build bug)."""
+    from elastic_asset_etl_poc_spark.operators.sketches import kmv_overlap
+
+    n, ov = 8000, 2000  # J = 2000 / 14000
+    rows = [("A", i) for i in range(0, n)] + [
+        ("B", i) for i in range(n - ov, 2 * n - ov)
+    ]
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(8)
+    r = kmv_overlap(df, "s", "k", k=1024).collect()[0]
+    j_true = ov / (2 * n - ov)
+    sigma = (j_true * (1 - j_true) / 1024) ** 0.5
+    assert r.k_eff == 1024
+    assert abs(r.j_est - j_true) <= 5 * sigma, (r.j_est, j_true)
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Sketch two halves of a set separately, merge, and the merged
+    signature must be row-identical to sketching the whole set — the
+    union-mergeability contract per-ingest-batch pipelines rely on."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    whole = spark.createDataFrame(
+        [("A", i) for i in range(4000)], ["s", "k"]
+    )
+    h1 = whole.filter(F.col("k") < 1500)  # uneven, overlapping split
+    h2 = whole.filter(F.col("k") >= 1200)
+    direct = {
+        (r.set_id, r.h) for r in kmv_sketch(whole, "s", "k", k=256).collect()
+    }
+    merged = {
+        (r.set_id, r.h)
+        for r in kmv_merge(
+            kmv_sketch(h1, "s", "k", k=256).unionByName(
+                kmv_sketch(h2, "s", "k", k=256)
+            ),
+            k=256,
+        ).collect()
+    }
+    assert merged == direct and len(direct) == 256
