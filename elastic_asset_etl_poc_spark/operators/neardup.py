@@ -40,12 +40,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document → (id, shingle).
 
     Shingle construction happens inside ``transform`` over the token array
     (JVM lambda, no explode until the final step), then one explode+distinct.
+    ``distinct=False`` skips the final dedup shuffle for consumers whose
+    downstream aggregate is idempotent under duplicates (the streaming
+    KMV bucketed-min path — a STREAMING frame cannot afford the unbounded
+    dropDuplicates state anyway) — set semantics become the caller's
+    responsibility.
     """
     # Materialize the token array into a column FIRST: referencing split()
     # inside the transform lambda would re-tokenize per shingle (quadratic —
@@ -62,7 +71,8 @@ def shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tdf.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = tdf.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def capped_sets(sh0: DataFrame, max_doc_freq: int | None = 10_000):

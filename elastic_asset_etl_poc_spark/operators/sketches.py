@@ -518,37 +518,47 @@ def kmv_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
     )
 
 
-def kmv_overlap(
-    df: DataFrame, set_col: str, key_col: str, k: int = 1024
+def kmv_bucketed_minima(
+    df: DataFrame, set_col: str, key_col: str, n_buckets: int = 65536
 ) -> DataFrame:
-    """ALL-PAIRS set-overlap estimation from KMV bottom-k sketches →
-    (set_a, set_b, k_eff, j_est) for every unordered pair of sets in
-    ``df`` — the production surface kmv_overlap_brands (suite) wraps:
-    for a pair, the k smallest hashes of the sketch UNION are a
-    uniform sample of A∪B, and the fraction present in BOTH sketches
-    estimates J(A,B) with σ = √(J(1−J)/k) — error scales with J
-    itself, which is why this beats HLL inclusion–exclusion in the
-    small-Jaccard regime (three ±1σ estimates differenced leave noise
-    that can exceed a small signal).  Unbiased at every occupancy and
-    EXACT when a set has ≤ k members (k_eff = |A∪B| then — the
-    sketch is the whole set).
+    """STREAMING-AGGREGABLE pre-reduction for KMV: one min hash per
+    (set, h % n_buckets) bucket → (set_id, idx, h).  ``min`` is
+    order-free AND idempotent under duplicates, so this runs as ONE
+    plain running aggregation over a raw (set, key) stream — no
+    distinct, no custom state — with state ≤ S·n_buckets BIGINT rows,
+    bounded by sketch geometry, never by stream length or key
+    cardinality (the HLL/CMS/k-mins streaming contract).
 
-    The pair frame is built from sketch SIGNATURES only — S·k rows —
-    never from the corpus: after the one ``kmv_sketch`` pass, every
-    pairwise estimate among S sets costs pair-frame joins over
-    ≤ 2k-row groups (the all-pairs |A∩B| corpus join this replaces at
-    100 TB touches the corpus once PER PAIR; the suite query keeps
-    that join as its in-frame exact AUDIT, dropped here).  S² pair
-    fan-out is the caller's knob — sets are entities (brands, cohorts,
-    days), not corpus rows.  Input must be DISTINCT per (set, key),
-    the ``kmv_sketch`` contract.  Oracle-replayable to the bit:
-    integer bottom-k ranks, integer membership counts, one division
-    rounded at 6dp."""
+    The bottom-k of the minima approximates the true bottom-k: an
+    element of the true bottom-k is lost only when a SMALLER hash of
+    the same set shares its bucket — expected losses ≈ k²/(2·B)
+    (birthday bound; 8 of 1024 at the default B = 64k, a sub-1%
+    perturbation of the union sample, disclosed where used).  This is
+    NOT the rejected one-permutation estimator (which compared k
+    bucket minima directly and collapsed at occupancy ≪ 1, measured
+    0.49 vs true 0.09): here bucketing only PRE-REDUCES the
+    candidate pool and the estimator stays the union-sample
+    membership test over the k smallest."""
+    hashed = df.select(
+        F.col(set_col).alias("set_id"), _h60(F.col(key_col)).alias("h")
+    )
+    return (
+        hashed.withColumn("idx", F.col("h") % n_buckets)
+        .groupBy("set_id", "idx")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+def kmv_overlap_from_sketch(sig: DataFrame, k: int = 1024) -> DataFrame:
+    """Pairwise overlap estimates from a PRE-BUILT (set_id, h)
+    signature frame — the serving half of :func:`kmv_overlap`, split
+    out so batch sketches, merged per-ingest sketches (kmv_merge),
+    and streaming-drained bucketed minima all share one estimator.
+    ``sig`` should be materialized (it feeds both sides of every
+    pair) and hold ≤ k rows per set."""
     from pyspark.sql.window import Window
 
-    sig = kmv_sketch(df, set_col, key_col, k=k).localCheckpoint(
-        eager=True
-    )  # feeds both sides of every pair
+    sig = sig.select("set_id", "h")
     sets = sig.select("set_id").distinct()
     pr = (
         sets.select(F.col("set_id").alias("set_a"))
@@ -581,3 +591,35 @@ def kmv_overlap(
             ).alias("j_est"),
         )
     )
+
+
+def kmv_overlap(
+    df: DataFrame, set_col: str, key_col: str, k: int = 1024
+) -> DataFrame:
+    """ALL-PAIRS set-overlap estimation from KMV bottom-k sketches →
+    (set_a, set_b, k_eff, j_est) for every unordered pair of sets in
+    ``df`` — the production surface kmv_overlap_brands /
+    kmv_overlap_sources (suite) wrap: for a pair, the k smallest
+    hashes of the sketch UNION are a uniform sample of A∪B, and the
+    fraction present in BOTH sketches estimates J(A,B) with
+    σ = √(J(1−J)/k) — error scales with J itself, which is why this
+    beats HLL inclusion–exclusion in the small-Jaccard regime (three
+    ±1σ estimates differenced leave noise that can exceed a small
+    signal).  Unbiased at every occupancy and EXACT when a set has
+    ≤ k members (k_eff = |A∪B| then — the sketch is the whole set).
+
+    The pair frame is built from sketch SIGNATURES only — S·k rows —
+    never from the corpus: after the one ``kmv_sketch`` pass, every
+    pairwise estimate among S sets costs pair-frame joins over
+    ≤ 2k-row groups (the all-pairs |A∩B| corpus join this replaces at
+    100 TB touches the corpus once PER PAIR; the suite queries keep
+    that join as their in-frame exact AUDIT, dropped here).  S² pair
+    fan-out is the caller's knob — sets are entities (brands, sources,
+    cohorts, days), not corpus rows.  Input must be DISTINCT per
+    (set, key), the ``kmv_sketch`` contract.  Oracle-replayable to
+    the bit: integer bottom-k ranks, integer membership counts, one
+    division rounded at 6dp."""
+    sig = kmv_sketch(df, set_col, key_col, k=k).localCheckpoint(
+        eager=True
+    )  # feeds both sides of every pair
+    return kmv_overlap_from_sketch(sig, k=k)

@@ -4196,15 +4196,16 @@ def _stream_shuffle(spark, n: str = "8"):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _staged_events(sf_dir: str) -> str:
-    if sf_dir not in _STREAM_STAGED:
+def _staged_table(sf_dir: str, table: str) -> str:
+    key = f"{sf_dir}::{table}"
+    if key not in _STREAM_STAGED:
         import atexit
         import os
         import shutil
         import tempfile
 
         staged = tempfile.mkdtemp(prefix="suite_stream_")
-        src = f"{sf_dir}/events.parquet"
+        src = f"{sf_dir}/{table}.parquet"
         if os.path.isdir(src):  # Spark-written table: stage its data files
             for i, f in enumerate(sorted(os.listdir(src))):
                 if f.endswith(".parquet"):
@@ -4212,8 +4213,16 @@ def _staged_events(sf_dir: str) -> str:
         else:  # single-file fixture
             shutil.copy(src, f"{staged}/part-000.parquet")
         atexit.register(shutil.rmtree, staged, ignore_errors=True)
-        _STREAM_STAGED[sf_dir] = staged
-    return _STREAM_STAGED[sf_dir]
+        _STREAM_STAGED[key] = staged
+    return _STREAM_STAGED[key]
+
+
+def _staged_events(sf_dir: str) -> str:
+    return _staged_table(sf_dir, "events")
+
+
+def _staged_docs(sf_dir: str) -> str:
+    return _staged_table(sf_dir, "documents")
 
 
 @q(
@@ -12122,6 +12131,263 @@ def kmv_overlap_brands(spark, sf_dir):
             (F.abs(F.col("j_est") - j_exact) <= 0.04).alias("within_bound"),
         )
     )
+
+
+def _kmv_sources_sql(bucketed: bool = False) -> str:
+    """Shared oracle text for the batch and streaming source-overlap
+    twins: identical shingle/hash/pair/audit chains; the streaming
+    variant inserts the bucketed-min pre-reduction (one min per
+    h % 64k bucket) between hashing and the bottom-k — the DuckDB
+    restatement of operators/sketches.py kmv_bucketed_minima."""
+    sig_src = (
+        """bm AS (
+  SELECT source, h % 65536 AS bidx, min(h) AS h FROM uh GROUP BY 1, 2
+),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM bm
+  ) WHERE rn <= 1024
+),"""
+        if bucketed
+        else """sig AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM uh
+  ) WHERE rn <= 1024
+),"""
+    )
+    return f"""
+WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t
+              FROM documents),
+idx AS (SELECT source, doc_id, t,
+               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        FROM toks),
+ss AS (SELECT DISTINCT source,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM idx),
+uh AS (
+  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ss
+),
+{sig_src}
+pr AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sig) a
+  JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
+),
+u AS (
+  SELECT coalesce(pa.src_a, pb.src_a) AS src_a,
+         coalesce(pa.src_b, pb.src_b) AS src_b,
+         coalesce(pa.h, pb.h) AS h,
+         CASE WHEN pa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN pb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM (SELECT pr.src_a, pr.src_b, s.h FROM pr
+        JOIN sig s ON s.source = pr.src_a) pa
+  FULL JOIN (SELECT pr.src_a, pr.src_b, s.h FROM pr
+             JOIN sig s ON s.source = pr.src_b) pb
+    ON pa.src_a = pb.src_a AND pa.src_b = pb.src_b AND pa.h = pb.h
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(count(*) AS BIGINT) AS k_eff,
+         round(sum(in_a * in_b) * 1.0 / count(*), 6) AS j_est
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                 ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 1024
+  GROUP BY 1, 2
+),
+sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ninter
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.k_eff, e.j_est,
+       round(coalesce(i.ninter, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.ninter, 0)), 6) AS j_exact,
+       abs(e.j_est - coalesce(i.ninter, 0) * 1.0
+             / (sa.n + sb.n - coalesce(i.ninter, 0))) <= 0.04
+         AS within_bound
+FROM est e
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN sz sa ON sa.source = e.src_a
+JOIN sz sb ON sb.source = e.src_b
+"""
+
+
+def _kmv_sources_ss(spark, sf_dir):
+    """The distinct (source, shingle) set frame both twins audit
+    against, checkpointed (it feeds sizes + both intersection sides)."""
+    from .operators.neardup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kmv_sources_audit(spark, sf_dir, est, ss=None):
+    """Attach the exact-Jaccard audit tail shared by the batch and
+    streaming source-overlap twins: sizes + shingle-equality
+    intersections from the STATIC documents table (the audit arm —
+    the only corpus-pair pass, dropped in production), LEFT-joined so
+    a zero-overlap pair audits as J = 0."""
+    if ss is None:
+        ss = _kmv_sources_ss(spark, sf_dir)
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = ss.select(F.col("source").alias("src_a"), "shingle")
+    sb = ss.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    ninter = F.coalesce(F.col("ninter"), F.lit(0))
+    j_exact = ninter / (F.col("na") + F.col("nb") - ninter)
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("na")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("nb")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "k_eff",
+            "j_est",
+            F.round(j_exact, 6).alias("j_exact"),
+            (F.abs(F.col("j_est") - j_exact) <= 0.04).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+@q("kmv_overlap_sources", _kmv_sources_sql())
+def kmv_overlap_sources(spark, sf_dir):
+    """CORPUS CROSS-CONTAMINATION MATRIX from KMV sketches — the
+    operator-reuse demonstration kmv_overlap_brands' extraction was
+    for, on a genuinely different domain: pairwise 3-gram SHINGLE
+    overlap between document SOURCES (which feeds duplicate each
+    other's content — the question an LLM-data team asks before
+    weighting a source mix, and the aggregate view the per-pair
+    near-dup families don't give).  Each source's distinct shingle
+    set (~1.4k here, > k — the sketch genuinely estimates, unlike a
+    small-set exact regime) compresses to a k=1024 bottom-k
+    signature via operators/sketches.py kmv_overlap on the
+    (source, shingle) frame, and all S(S−1)/2 = 190 pair estimates
+    come from S·k signature rows — at 100 TB the corpus is read
+    ONCE per snapshot, and every cross-source question after that is
+    sketch algebra.  Fixture overlap sits at J ≈ 0.02–0.05 at the
+    sf0.01 gate (the small-Jaccard regime where HLL
+    inclusion–exclusion is noise-dominated and KMV's
+    σ = √(J(1−J)/k) shines; ±0.04 ≈ 8σ) and J ≈ 0.22–0.26 at sf0.1
+    (±0.04 = 3σ; measured max error 0.034, all 190 bounds hold —
+    deterministic md5 draws, so the boolean cannot flake).  Shingles reuse the neardup operator (same whitespace
+    3-gram contract as the _JACCARD_CTES oracle family); the exact
+    Jaccard audit rides in-frame (both engines; LEFT-joined so a
+    zero-overlap pair audits as J=0, the only corpus-pair pass,
+    dropped in production).  Scale shape: one shingle
+    explode+distinct, one per-source top-k window (k-row output per
+    source), pair unions over ≤2k-row frames, the audit's
+    shingle-equality join (Σ per-shingle df² with df ≤ S)."""
+    from .operators.sketches import kmv_overlap
+
+    ss = _kmv_sources_ss(spark, sf_dir)  # signatures + exact audit
+    est = kmv_overlap(ss, "source", "shingle", k=1024).select(
+        F.col("set_a").alias("src_a"),
+        F.col("set_b").alias("src_b"),
+        "k_eff",
+        "j_est",
+    )
+    return _kmv_sources_audit(spark, sf_dir, est, ss=ss)
+
+
+@q("stream_kmv_overlap_sources", _kmv_sources_sql(bucketed=True))
+def stream_kmv_overlap_sources(spark, sf_dir):
+    """§2.9 STREAMING twin of kmv_overlap_sources — the live
+    cross-source contamination monitor: the KMV substrate is
+    maintained as ONE plain running aggregation over the raw document
+    stream (operators/sketches.py kmv_bucketed_minima —
+    groupBy(source, h % 64k).min(h); ``min`` is order-free AND
+    idempotent under duplicates, so the stream needs NO distinct and
+    NO custom state, and state is ≤ S·64k BIGINT rows, bounded by
+    sketch geometry, never by stream length) drained availableNow
+    into the memory sink; the bottom-k truncation, the pair
+    estimates (kmv_overlap_from_sketch), and the exact audit are
+    static views over the drained minima.  The bucketed pre-reduction
+    perturbs the union sample only when a smaller same-set hash
+    shares a bucket — expected ≈ k²/(2·64k) = 8 of 1024, and the
+    oracle replays the SAME bucketed construction bit-identically,
+    so the ±0.04 audit bound is checked on exactly what the stream
+    computes (this is NOT the rejected one-permutation estimator —
+    bucketing pre-reduces the candidate pool; the estimator stays
+    the union-sample membership test).  Unlike the HLL/CMS/quantile
+    twins whose state is a plain min/sum, the KMV bottom-k is not
+    itself an aggregate — the bucket grid is what buys streaming
+    aggregability at a disclosed sub-1% sample perturbation."""
+    import uuid
+
+    from .operators.neardup import shingles
+    from .operators.sketches import kmv_bucketed_minima, kmv_overlap_from_sketch
+    from .streaming import run_to_memory
+
+    docs_s = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(_staged_docs(sf_dir))
+        .select("source", "text")
+    )
+    # duplicates are harmless under the bucketed min (idempotent), so
+    # the stream skips the unbounded dropDuplicates a distinct would need
+    sh_s = shingles(docs_s, id_col="source", distinct=False)
+    name = f"kmv_stream_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        sq = run_to_memory(
+            kmv_bucketed_minima(sh_s, "doc_id", "shingle"),
+            name,
+            "complete",
+        )
+        sq.stop()
+    minima = spark.table(name)
+    w_b = Window.partitionBy("set_id").orderBy("h")
+    sig = (
+        minima.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= 1024)
+        .select("set_id", "h")
+        .localCheckpoint(eager=True)
+    )
+    est = kmv_overlap_from_sketch(sig, k=1024).select(
+        F.col("set_a").alias("src_a"),
+        F.col("set_b").alias("src_b"),
+        "k_eff",
+        "j_est",
+    )
+    return _kmv_sources_audit(spark, sf_dir, est)
 
 
 @q(

@@ -322,3 +322,32 @@ def test_kmv_merge_equals_direct_sketch(spark):
         ).collect()
     }
     assert merged == direct and len(direct) == 256
+
+
+def test_kmv_bucketed_minima_duplicate_idempotent_and_near_exact(spark):
+    """The streaming pre-reduction contract: (1) duplicate (set, key)
+    rows change nothing (min is idempotent — why the stream needs no
+    distinct); (2) the bottom-k of the bucketed minima loses only
+    same-set bucket collisions vs the exact bottom-k — a few of k at
+    the birthday bound, never a different hash value ordering."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_bucketed_minima,
+        kmv_sketch,
+    )
+
+    base = [("A", i) for i in range(5000)]
+    df = spark.createDataFrame(base, ["s", "k"]).repartition(4)
+    dup = spark.createDataFrame(base * 2, ["s", "k"]).repartition(7)
+
+    def bottom_k(minima, k=256):
+        rows = sorted(r.h for r in minima.collect())
+        return rows[:k]
+
+    m1 = bottom_k(kmv_bucketed_minima(df, "s", "k", n_buckets=4096))
+    m2 = bottom_k(kmv_bucketed_minima(dup, "s", "k", n_buckets=4096))
+    assert m1 == m2  # duplicates absorbed
+    exact = sorted(r.h for r in kmv_sketch(df, "s", "k", k=256).collect())
+    # losses only: every bucketed survivor is a true member, and the
+    # overlap misses at most ~k^2/(2B) = 8 expected (assert 5x slack)
+    assert set(m1) <= set(sorted(r.h for r in kmv_sketch(df, "s", "k", k=5000).collect()))
+    assert len(set(exact) - set(m1)) <= 40
