@@ -1500,8 +1500,14 @@ def mutual_top1_pairs_ivf(
             T.StructField("__v", T.ArrayType(T.DoubleType())),
         ]
     )
+    count_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
 
-    def probe_lists(it):
+    def probe_lists(it, with_payload=True):
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -1516,21 +1522,36 @@ def mutual_top1_pairs_ivf(
             # irrelevant (membership only)
             top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
             rows = len(ids)
-            yield pd.DataFrame(
-                {
-                    "band": np.zeros(rows * npb, dtype=np.int32),
-                    "bucket": top.reshape(-1).astype(np.int64),
-                    "__id": np.repeat(ids, npb),
-                    "__v": [
-                        list(E[i]) for i in np.repeat(np.arange(rows), npb)
-                    ],
-                }
-            )
+            cols = {
+                "band": np.zeros(rows * npb, dtype=np.int32),
+                "bucket": top.reshape(-1).astype(np.int64),
+            }
+            if with_payload:
+                cols["__id"] = np.repeat(ids, npb)
+                # rows of one numpy matrix, never per-element python
+                # lists — Arrow ingests ndarray cells directly and the
+                # float-object churn was measurable at N·nprobe rows
+                cols["__v"] = list(E[np.repeat(np.arange(rows), npb)])
+            yield pd.DataFrame(cols)
 
     lists = embeddings.select(id_col, vec_col).mapInPandas(
         probe_lists, list_schema
     )
-    replicated = _bounded_bucket_groups(lists, max_bucket)
+    # payload-free counting pass (the _banded_signatures with_payload
+    # design): _bounded_bucket_groups' bucket-size aggregate would
+    # otherwise re-execute the FULL vector-carrying probe — the count
+    # branch and the replication branch are separate shuffles, so the
+    # map stage runs once per consumer; dropping id/vector from the
+    # counting arm re-runs only the matmul, not the Arrow transfer
+    counts = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(
+            lambda it: probe_lists(it, with_payload=False), count_schema
+        )
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    replicated = _bounded_bucket_groups(lists, max_bucket, counts)
     best = replicated.groupBy("band", "bucket", "__bi", "__bj").applyInPandas(
         _group_best_kernel, out_schema
     )

@@ -12391,6 +12391,178 @@ def stream_kmv_overlap_sources(spark, sf_dir):
 
 
 @q(
+    "kmv_incremental_sources",
+    """
+WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t
+              FROM documents),
+idx AS (SELECT source, doc_id, t,
+               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        FROM toks),
+shd AS (SELECT DISTINCT source, doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM idx),
+uh_stand AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM shd
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 5 <> 0
+),
+uh_delta AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM shd
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT % 5 = 0
+),
+uh_full AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM shd
+),
+sig_stand AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM uh_stand) WHERE rn <= 1024
+),
+sig_delta AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM uh_delta) WHERE rn <= 1024
+),
+merged AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM (SELECT DISTINCT source, h FROM (
+            SELECT * FROM sig_stand UNION ALL SELECT * FROM sig_delta))
+  ) WHERE rn <= 1024
+),
+direct AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM uh_full) WHERE rn <= 1024
+),
+cmp AS (
+  SELECT coalesce(m.source, d.source) AS source,
+         CAST(sum(CASE WHEN m.h IS NULL OR d.h IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         CAST(sum(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS m_merged
+  FROM merged m
+  FULL JOIN direct d ON m.source = d.source AND m.h = d.h
+  GROUP BY 1
+)
+SELECT c.source,
+       (SELECT CAST(count(*) AS BIGINT) FROM sig_stand s
+        WHERE s.source = c.source) AS m_standing,
+       (SELECT CAST(count(*) AS BIGINT) FROM sig_delta s
+        WHERE s.source = c.source) AS m_delta,
+       c.m_merged,
+       c.n_mismatch = 0 AS merge_exact
+FROM cmp c
+""",
+)
+def kmv_incremental_sources(spark, sf_dir):
+    """INCREMENTAL KMV index maintenance, mergeability contract
+    HASH-CHECKED (the quantile_rollup_weekly merge_exact pattern
+    applied to bottom-k): the standing corpus (80% of documents)
+    sketches once, the 20% delta batch sketches independently, and
+    kmv_merge folds the two signatures WITHOUT re-reading either
+    corpus — the per-ingest-batch maintenance shape at 100 TB, where
+    re-sketching history per batch is the cost this kills.  The
+    merge_exact boolean pins the algebra itself in BOTH engines:
+    bottom-k(dedup(bottom-k(A) ∪ bottom-k(B))) ≡ bottom-k(A ∪ B) —
+    true by the subset argument (any of the k smallest of A∪B is
+    among the k smallest of its home set), so a regression in the
+    merge (a dropped dedup, a wrong truncation order) breaks the
+    driver hash instead of silently degrading downstream overlap
+    estimates.  Scale shape: two bounded sketch builds (the delta
+    build touches ONLY the delta), one ≤2k-row-per-source merge
+    window, and the direct-build arm — the AUDIT cost, dropped in
+    production where merged state simply replaces standing."""
+    from .operators.neardup import shingles
+    from .operators.sketches import kmv_merge, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)  # feeds standing/delta/full frames
+    )
+    def _sets(frame):
+        return frame.select("source", "shingle").distinct()
+
+    # md5-hash split, NOT doc_id % 5: source is doc_id % 20 on this
+    # fixture, so any arithmetic-mod split correlates with the set key
+    # and leaves some sources standing-only/delta-only (measured: a
+    # %5 split gave 4 delta-only sources and an empty inner join)
+    is_delta = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 5
+        == 0
+    )
+    standing = _sets(sh.filter(~is_delta))
+    delta = _sets(sh.filter(is_delta))
+    full = _sets(sh)
+    sig_s = kmv_sketch(standing, "source", "shingle", k=1024)
+    sig_d = kmv_sketch(delta, "source", "shingle", k=1024)
+    merged = kmv_merge(sig_s.unionByName(sig_d), k=1024)
+    direct = kmv_sketch(full, "source", "shingle", k=1024)
+    m = merged.select(
+        F.col("set_id").alias("source"), F.col("h").alias("mh")
+    )
+    d = direct.select(
+        F.col("set_id").alias("source"), F.col("h").alias("dh")
+    )
+    cmp = (
+        m.join(
+            d,
+            (m["source"] == d["source"]) & (m["mh"] == d["dh"]),
+            "full",
+        )
+        .select(
+            F.coalesce(m["source"], d["source"]).alias("source"),
+            m["mh"].alias("mh"),
+            d["dh"].alias("dh"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("mh").isNull() | F.col("dh").isNull()).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+            F.sum(F.col("mh").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("m_merged"),
+        )
+    )
+    cs = sig_s.groupBy("set_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_standing")
+    ).withColumnRenamed("set_id", "source")
+    cd = sig_d.groupBy("set_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_delta")
+    ).withColumnRenamed("set_id", "source")
+    return (
+        cmp.join(F.broadcast(cs), "source")
+        .join(F.broadcast(cd), "source")
+        .select(
+            "source",
+            "m_standing",
+            "m_delta",
+            "m_merged",
+            (F.col("n_mismatch") == 0).alias("merge_exact"),
+        )
+    )
+
+
+@q(
     "skyline_parts",
     """
 SELECT p.p_retailprice, p.p_size, count(*) AS n_dup

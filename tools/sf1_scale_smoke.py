@@ -241,6 +241,17 @@ HEAVY = [
     ("ks_test_events", "linear (one agg; CDF window over quantized value domain)"),
     ("spearman_corr_events", "linear (two domain-bounded rank windows + one power-sum agg)"),
     ("kcore_parts", "linear (basket-bounded pair explode; ~6 peel rounds on a shrinking frame)"),
+    # round-13: the production twins for global-rank eval tables — one
+    # percentile-edges agg broadcast back + map-side CASE binning, no
+    # single-partition window over the entity frame; gini's bucket rank
+    # window is bucket-PARTITIONED.
+    ("classifier_calibration_approx", "linear (GK edges agg + map-side binning; train memoized, scored frame is the scan)"),
+    ("gini_revenue_customers_dist", "linear (edges agg + bucket-partitioned rank + <=32-row offset cumsum)"),
+    # round-13: KMV reused on (source, shingle) — sketch build is one
+    # shingle pass + per-source top-k window; the exact-Jaccard audit's
+    # shingle self-join is the corpus pass (per-shingle df <= S).
+    ("kmv_overlap_sources", "linear (bottom-k sketches over shingles; audit shingle join bounded by df <= S)"),
+    ("stream_kmv_overlap_sources", "linear (one running bucketed-min agg, state <= S x 64k; audit as batch)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
