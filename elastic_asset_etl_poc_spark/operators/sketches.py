@@ -589,6 +589,17 @@ def kmv_overlap_from_sketch(sig: DataFrame, k: int = 1024) -> DataFrame:
                 F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)),
                 6,
             ).alias("j_est"),
+            # raw membership counts over the union sample — the full
+            # theta-sketch surface: consumers derive containment
+            # (n_inter/n_a estimates |A∩B|/|A| — the asymmetric
+            # "is A inside B" mirror-site question Jaccard can't
+            # answer) and relative set sizes (n_a/n_b) from the same
+            # k rows, no extra pass
+            F.sum(F.col("in_a")).cast("bigint").alias("n_a"),
+            F.sum(F.col("in_b")).cast("bigint").alias("n_b"),
+            F.sum(F.col("in_a") * F.col("in_b"))
+            .cast("bigint")
+            .alias("n_inter"),
         )
     )
 

