@@ -351,3 +351,22 @@ def test_kmv_bucketed_minima_duplicate_idempotent_and_near_exact(spark):
     # overlap misses at most ~k^2/(2B) = 8 expected (assert 5x slack)
     assert set(m1) <= set(sorted(r.h for r in kmv_sketch(df, "s", "k", k=5000).collect()))
     assert len(set(exact) - set(m1)) <= 40
+
+
+def test_kmv_membership_counts_exact_when_sets_fit_in_k(spark):
+    """With sets ≤ k the union sample IS the union, so the raw
+    membership counts give EXACT containment: n_inter/n_a = |A∩B|/|A|
+    (the theta-sketch containment surface kmv_containment_sources
+    estimates at scale)."""
+    from elastic_asset_etl_poc_spark.operators.sketches import kmv_overlap
+
+    rows = (
+        [("A", i) for i in range(0, 40)]
+        + [("B", i) for i in range(0, 100)]  # A fully inside B
+    )
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(3)
+    r = kmv_overlap(df, "s", "k", k=1024).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter) == (40, 100, 40)
+    assert r.n_inter / r.n_a == 1.0  # containment A in B
+    assert r.n_inter / r.n_b == 0.4
+    assert r.j_est == 0.4  # J = 40/100
