@@ -100,6 +100,13 @@ def main() -> None:
         # _MUTUAL_IVF_CENTROIDS (coarse k-means trained once per corpus;
         # probe/kernel/audit still run live each time)
         "mutual_knn_ivf",
+        # _KMV_SS_FRAMES (shared (source, shingle) set frame built once;
+        # sketches, estimates, and audits still run live each time.
+        # kmv_incremental_sources is NOT here: it needs doc granularity
+        # for the standing/delta split and builds its own frame live)
+        "kmv_overlap_sources",
+        "stream_kmv_overlap_sources",
+        "kmv_containment_sources",
         # _MINHASH_STORES (parquet band/fingerprint stores built once)
         "minhash_incremental_docs",
         "recall_simhash_incremental_vs_full",

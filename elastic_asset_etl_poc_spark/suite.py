@@ -12219,19 +12219,29 @@ JOIN sz sb ON sb.source = e.src_b
 """
 
 
+#: per-sf_dir distinct (source, shingle) set frame — the shared input of
+#: the KMV source-overlap family (overlap/containment estimates + both
+#: audit arms), checkpointed once per process like _SHINGLE_FRAMES: the
+#: frame is deterministic, three queries consume it identically, and at
+#: 100 TB it is built once per corpus snapshot.
+_KMV_SS_FRAMES: dict = {}
+
+
 def _kmv_sources_ss(spark, sf_dir):
-    """The distinct (source, shingle) set frame both twins audit
-    against, checkpointed (it feeds sizes + both intersection sides)."""
+    """The distinct (source, shingle) set frame the KMV source family
+    sketches and audits against, checkpointed + memoized per sf_dir."""
     from .operators.neardup import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        shingles(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if sf_dir not in _KMV_SS_FRAMES:
+        docs = load_table(spark, sf_dir, "documents")
+        _KMV_SS_FRAMES[sf_dir] = (
+            shingles(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("source", "shingle")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _KMV_SS_FRAMES[sf_dir]
 
 
 def _kmv_sources_audit(spark, sf_dir, est, ss=None):

@@ -280,6 +280,12 @@ COLD_CACHES = {
     "mmr_rerank_docs",
     # _IVF_INCR_STORES consumer: clearing prices train+standing assign
     "embed_knn_ivf_incr",
+    # _KMV_SS_FRAMES consumers: clearing prices the (source, shingle)
+    # set-frame build, the dominant cost of the KMV source family
+    # (kmv_incremental_sources builds its own doc-granularity frame)
+    "kmv_overlap_sources",
+    "stream_kmv_overlap_sources",
+    "kmv_containment_sources",
 }
 
 
@@ -398,6 +404,7 @@ def main() -> None:
                 if name in COLD_CACHES:
                     suite._PAIR_FRAMES.clear()
                     suite._SHINGLE_FRAMES.clear()
+                    suite._KMV_SS_FRAMES.clear()
                     # evict (rmtree + clear), not bare clear: each
                     # rebuild mkdtemps a fresh IVF store and a bare
                     # clear leaks the old dir until process exit
