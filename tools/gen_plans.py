@@ -24,6 +24,8 @@ PICKS = [
     ("funnel_fold_events", "Funnel: one per-user shuffle; the step state machine is an aggregate-fold lambda, not k self-joins"),
     ("drift_psi_value_events", "Numeric PSI: frozen-ruler quartile edges broadcast as a single row; binning is a scan-rate CASE; both window counts in one conditional agg"),
     ("rrf_fusion_docs", "Hybrid retrieval fusion: two independent top-k arms full-outer joined on (query, doc); the re-rank runs on <= 20 rows per query"),
+    ("gini_revenue_customers_dist", "Distributed exact rank: broadcast value-bucket edges, bucket-PARTITIONED rank window, <=32-row offset cumsum - no single-partition window over the entity frame"),
+    ("classifier_calibration_approx", "Reliability bins at scale: GK quartile edges broadcast as one row; bin assignment is a scan-rate CASE; zero global windows"),
 ]
 
 
