@@ -107,6 +107,7 @@ def main() -> None:
         "kmv_overlap_sources",
         "stream_kmv_overlap_sources",
         "kmv_containment_sources",
+        "kmv_candidates_sources",
         # _MINHASH_STORES (parquet band/fingerprint stores built once)
         "minhash_incremental_docs",
         "recall_simhash_incremental_vs_full",

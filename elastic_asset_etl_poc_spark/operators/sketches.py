@@ -549,22 +549,30 @@ def kmv_bucketed_minima(
     )
 
 
-def kmv_overlap_from_sketch(sig: DataFrame, k: int = 1024) -> DataFrame:
+def kmv_overlap_from_sketch(
+    sig: DataFrame, k: int = 1024, pairs: DataFrame | None = None
+) -> DataFrame:
     """Pairwise overlap estimates from a PRE-BUILT (set_id, h)
     signature frame — the serving half of :func:`kmv_overlap`, split
     out so batch sketches, merged per-ingest sketches (kmv_merge),
     and streaming-drained bucketed minima all share one estimator.
     ``sig`` should be materialized (it feeds both sides of every
-    pair) and hold ≤ k rows per set."""
+    pair) and hold ≤ k rows per set.  ``pairs`` (set_a, set_b with
+    set_a < set_b) restricts estimation to a candidate pair frame —
+    at large S pass :func:`kmv_candidate_pairs`' output so the plan
+    is candidate-sized instead of S(S−1)/2."""
     from pyspark.sql.window import Window
 
     sig = sig.select("set_id", "h")
-    sets = sig.select("set_id").distinct()
-    pr = (
-        sets.select(F.col("set_id").alias("set_a"))
-        .crossJoin(sets.select(F.col("set_id").alias("set_b")))
-        .filter(F.col("set_a") < F.col("set_b"))
-    )
+    if pairs is not None:
+        pr = pairs.select("set_a", "set_b")
+    else:
+        sets = sig.select("set_id").distinct()
+        pr = (
+            sets.select(F.col("set_id").alias("set_a"))
+            .crossJoin(sets.select(F.col("set_id").alias("set_b")))
+            .filter(F.col("set_a") < F.col("set_b"))
+        )
     pa = pr.join(
         sig.withColumnRenamed("set_id", "set_a"), "set_a"
     ).select("set_a", "set_b", "h", F.lit(1).alias("in_a"))
@@ -626,7 +634,9 @@ def kmv_overlap(
     100 TB touches the corpus once PER PAIR; the suite queries keep
     that join as their in-frame exact AUDIT, dropped here).  S² pair
     fan-out is the caller's knob — sets are entities (brands, sources,
-    cohorts, days), not corpus rows.  Input must be DISTINCT per
+    cohorts, days), not corpus rows; at LARGE S generate candidates
+    with :func:`kmv_candidate_pairs` and pass them via
+    ``kmv_overlap_from_sketch(sig, k, pairs=...)``.  Input must be DISTINCT per
     (set, key), the ``kmv_sketch`` contract.  Oracle-replayable to
     the bit: integer bottom-k ranks, integer membership counts, one
     division rounded at 6dp."""
@@ -634,3 +644,37 @@ def kmv_overlap(
         eager=True
     )  # feeds both sides of every pair
     return kmv_overlap_from_sketch(sig, k=k)
+
+
+def kmv_candidate_pairs(sig: DataFrame, min_shared: int = 1) -> DataFrame:
+    """CANDIDATE pair generation for large set counts S — the scale
+    lever that replaces :func:`kmv_overlap_from_sketch`'s all-pairs
+    S(S−1)/2 fan-out with an output-sized plan: self-join the
+    signature frame on the HASH (the inverted-index move at the
+    sketch level), count shared sampled hashes per pair, keep pairs
+    with ≥ ``min_shared`` → (set_a, set_b, n_shared).
+
+    Why shared-hash counting finds overlapping pairs: the hash is the
+    same function in every sketch, so an element of A∩B occupies the
+    SAME position in both sets' hash order — the j-th smallest of
+    A∩B sits near rank j·|A|/|A∩B| in A and is sampled iff that rank
+    ≤ k.  Hence E[n_shared] ≈ k·min(|A∩B|/|A|, |A∩B|/|B|) — k times
+    the smaller CONTAINMENT, ≥ k·J — while a disjoint pair shares
+    nothing (md5 collisions aside).  A threshold m ≈ k·t/2 keeps
+    pairs with J ≥ t with hypergeometric-tail confidence and drops
+    the quadratic bulk of unrelated pairs.
+
+    Scale shape: one self-equi-join on h over S·k signature rows —
+    per-hash fan-out is the number of SKETCHES containing that
+    element (bounded by how shared the element actually is), so the
+    join is candidate-sized, never S².  Feed the survivors to
+    ``kmv_overlap_from_sketch(sig, k, pairs=...)`` for estimates."""
+    a = sig.select(F.col("set_id").alias("set_a"), "h")
+    b = sig.select(F.col("set_id").alias("set_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -370,3 +370,32 @@ def test_kmv_membership_counts_exact_when_sets_fit_in_k(spark):
     assert r.n_inter / r.n_a == 1.0  # containment A in B
     assert r.n_inter / r.n_b == 0.4
     assert r.j_est == 0.4  # J = 40/100
+
+
+def test_kmv_candidate_pairs_prunes_disjoint(spark):
+    """The large-S candidate generator: overlapping pairs share
+    ~k·containment sampled hashes, disjoint pairs share none — so a
+    modest min_shared keeps the true pair and drops the quadratic
+    bulk.  Sets here fit in k, making expectations exact."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_candidate_pairs,
+        kmv_overlap_from_sketch,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("A", i) for i in range(0, 600)]
+        + [("B", i) for i in range(300, 900)]  # |A∩B| = 300
+        + [("C", i) for i in range(5000, 5600)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(4)
+    sig = kmv_sketch(df, "s", "k", k=1024)
+    cand = {
+        (r.set_a, r.set_b, r.n_shared)
+        for r in kmv_candidate_pairs(sig, min_shared=10).collect()
+    }
+    assert cand == {("A", "B", 300)}  # sets ≤ k → n_shared exact
+    est = kmv_overlap_from_sketch(
+        sig, k=1024, pairs=kmv_candidate_pairs(sig, min_shared=10)
+    ).collect()
+    assert len(est) == 1 and est[0].j_est == round(300 / 900, 6)

@@ -252,6 +252,7 @@ HEAVY = [
     # shingle self-join is the corpus pass (per-shingle df <= S).
     ("kmv_overlap_sources", "linear (bottom-k sketches over shingles; audit shingle join bounded by df <= S)"),
     ("stream_kmv_overlap_sources", "linear (one running bucketed-min agg, state <= S x 64k; audit as batch)"),
+    ("kmv_candidates_sources", "linear (hash-equi signature self-join; estimation candidate-sized, never S^2)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
@@ -286,6 +287,7 @@ COLD_CACHES = {
     "kmv_overlap_sources",
     "stream_kmv_overlap_sources",
     "kmv_containment_sources",
+    "kmv_candidates_sources",
 }
 
 
