@@ -11105,13 +11105,20 @@ def gini_revenue_customers_dist(spark, sf_dir):
         .agg(F.sum("o_totalprice").alias("r"))
         .localCheckpoint(eager=True)
     )
+    # PIN the edges frame: the bucket-count/offset branch and the
+    # local-rank branch would otherwise evaluate the GK aggregate
+    # independently (column pruning makes the parent exchanges
+    # non-identical, so exchange reuse is not guaranteed), and two
+    # merge-order-dependent GK runs can return different edge vectors —
+    # offsets inconsistent with bucket assignments = wrong ranks.  The
+    # calibration twin pins its edges for the same reason.
     edges = rev.agg(
         F.expr(
             "approx_percentile(r, array("
             + ", ".join(f"{i / 32.0}D" for i in range(1, 32))
             + "), 10000)"
         ).alias("ax")
-    )
+    ).localCheckpoint(eager=True)
     binned = rev.crossJoin(F.broadcast(edges)).select(
         "r",
         "o_custkey",
@@ -12244,12 +12251,14 @@ def _kmv_sources_ss(spark, sf_dir):
     return _KMV_SS_FRAMES[sf_dir]
 
 
-def _kmv_sources_audit(spark, sf_dir, est, ss=None):
-    """Attach the exact-Jaccard audit tail shared by the batch and
-    streaming source-overlap twins: sizes + shingle-equality
-    intersections from the STATIC documents table (the audit arm —
-    the only corpus-pair pass, dropped in production), LEFT-joined so
-    a zero-overlap pair audits as J = 0."""
+def _kmv_sources_audit_frame(spark, sf_dir, est, ss=None):
+    """Exact-audit JOIN FRAME shared by the source-overlap family:
+    ``est`` (keyed src_a, src_b) + the corpus truth columns
+    (ninter — LEFT-joined so a zero-overlap pair audits as 0 —
+    plus set sizes na/nb) from the STATIC documents table.  The
+    shingle-equality intersection is the audit arm, the only
+    corpus-pair pass, dropped in production.  Consumers derive their
+    metric (Jaccard, containment) from the same three columns."""
     if ss is None:
         ss = _kmv_sources_ss(spark, sf_dir)
     sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -12261,8 +12270,6 @@ def _kmv_sources_audit(spark, sf_dir, est, ss=None):
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("ninter"))
     )
-    ninter = F.coalesce(F.col("ninter"), F.lit(0))
-    j_exact = ninter / (F.col("na") + F.col("nb") - ninter)
     return (
         est.join(inter, ["src_a", "src_b"], "left")
         .join(
@@ -12281,16 +12288,20 @@ def _kmv_sources_audit(spark, sf_dir, est, ss=None):
             ),
             "src_b",
         )
-        .select(
-            "src_a",
-            "src_b",
-            "k_eff",
-            "j_est",
-            F.round(j_exact, 6).alias("j_exact"),
-            (F.abs(F.col("j_est") - j_exact) <= 0.04).alias(
-                "within_bound"
-            ),
-        )
+    )
+
+
+def _kmv_sources_audit(spark, sf_dir, est, ss=None):
+    """The Jaccard form of the audit tail (overlap + streaming twins)."""
+    ninter = F.coalesce(F.col("ninter"), F.lit(0))
+    j_exact = ninter / (F.col("na") + F.col("nb") - ninter)
+    return _kmv_sources_audit_frame(spark, sf_dir, est, ss=ss).select(
+        "src_a",
+        "src_b",
+        "k_eff",
+        "j_est",
+        F.round(j_exact, 6).alias("j_exact"),
+        (F.abs(F.col("j_est") - j_exact) <= 0.04).alias("within_bound"),
     )
 
 
@@ -12510,15 +12521,6 @@ def kmv_containment_sources(spark, sf_dir):
         "n_b",
         "n_inter",
     )
-    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sa = ss.select(F.col("source").alias("src_a"), "shingle")
-    sb = ss.select(F.col("source").alias("src_b"), "shingle")
-    inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("ninter"))
-    )
     ninter = F.coalesce(F.col("ninter"), F.lit(0))
     c_a_est = F.when(
         F.col("n_a") > 0, F.col("n_inter") / F.col("n_a")
@@ -12528,36 +12530,17 @@ def kmv_containment_sources(spark, sf_dir):
     ).otherwise(F.lit(0.0))
     c_a_exact = ninter / F.col("na")
     c_b_exact = ninter / F.col("nb")
-    return (
-        est.join(inter, ["src_a", "src_b"], "left")
-        .join(
-            F.broadcast(
-                sz.select(
-                    F.col("source").alias("src_a"), F.col("n").alias("na")
-                )
-            ),
-            "src_a",
-        )
-        .join(
-            F.broadcast(
-                sz.select(
-                    F.col("source").alias("src_b"), F.col("n").alias("nb")
-                )
-            ),
-            "src_b",
-        )
-        .select(
-            "src_a",
-            "src_b",
-            F.round(c_a_est, 6).alias("c_a_est"),
-            F.round(c_b_est, 6).alias("c_b_est"),
-            F.round(c_a_exact, 6).alias("c_a_exact"),
-            F.round(c_b_exact, 6).alias("c_b_exact"),
-            (
-                (F.abs(c_a_est - c_a_exact) <= 0.1)
-                & (F.abs(c_b_est - c_b_exact) <= 0.1)
-            ).alias("within_bound"),
-        )
+    return _kmv_sources_audit_frame(spark, sf_dir, est, ss=ss).select(
+        "src_a",
+        "src_b",
+        F.round(c_a_est, 6).alias("c_a_est"),
+        F.round(c_b_est, 6).alias("c_b_est"),
+        F.round(c_a_exact, 6).alias("c_a_exact"),
+        F.round(c_b_exact, 6).alias("c_b_exact"),
+        (
+            (F.abs(c_a_est - c_a_exact) <= 0.1)
+            & (F.abs(c_b_est - c_b_exact) <= 0.1)
+        ).alias("within_bound"),
     )
 
 
@@ -12823,13 +12806,21 @@ def kmv_incremental_sources(spark, sf_dir):
     cd = sig_d.groupBy("set_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("m_delta")
     ).withColumnRenamed("set_id", "source")
+    # LEFT joins + coalesce(0): a source whose documents land entirely
+    # in one split has no sketch on the other side, and the oracle's
+    # scalar subqueries emit that source with a 0 count — an inner
+    # join would silently drop its mergeability certificate instead
     return (
-        cmp.join(F.broadcast(cs), "source")
-        .join(F.broadcast(cd), "source")
+        cmp.join(F.broadcast(cs), "source", "left")
+        .join(F.broadcast(cd), "source", "left")
         .select(
             "source",
-            "m_standing",
-            "m_delta",
+            F.coalesce("m_standing", F.lit(0).cast("bigint")).alias(
+                "m_standing"
+            ),
+            F.coalesce("m_delta", F.lit(0).cast("bigint")).alias(
+                "m_delta"
+            ),
             "m_merged",
             (F.col("n_mismatch") == 0).alias("merge_exact"),
         )
@@ -13278,8 +13269,10 @@ def mutual_knn_ivf(spark, sf_dir):
     from .operators.similarity import ivf_train, mutual_top1_pairs_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     if sf_dir not in _MUTUAL_IVF_CENTROIDS:
+        # the corpus count only sizes the one-time train — inside the
+        # memo branch so warm runs pay zero extra jobs
+        n = emb.count()
         _MUTUAL_IVF_CENTROIDS[sf_dir] = ivf_train(
             emb, n_centroids=max(16, n // 512)
         )
