@@ -512,3 +512,71 @@ def _kcore_canonical(
         "the unrolled-oracle contract would be violated; raise "
         "max_rounds (and the oracle unroll) for this graph"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DETERMINISTIC synchronous label propagation → (node, label) —
+    the standard community-detection primitive (Raghavan et al. 2007)
+    made engine-replayable: every node starts as its own label; each
+    round EVERY node simultaneously adopts the most frequent label
+    among its neighbors AND itself (the self-vote damps the classic
+    bipartite-oscillation failure of pure-neighbor sync LPA), with
+    frequency ties broken to the SMALLEST label.  Sync update + min
+    tie-break remove both sources of the algorithm's usual
+    nondeterminism (visit order, random tie choice), so a fixed-round
+    run is a pure function of the edge set — an unrolled SQL oracle
+    replays it round for round (the bfs_khop certification pattern).
+
+    ``edges`` must contain BOTH directions of every undirected edge
+    (the bfs_khop contract); self-loops are added here.  ``rounds``
+    is fixed by the caller like bfs_khop's hop bound — communities
+    stabilize in a few rounds on modular graphs; this is a bounded
+    refinement, not a fixpoint loop.
+
+    Scale shape: per round, ONE partitioned hash join (labels onto
+    edge destinations), one (node, label) count agg, and one
+    node-PARTITIONED rank window — never a global window; lineage is
+    truncated per round with localCheckpoint, the iterative-operator
+    discipline pagerank/bfs/k-core established.  State = one label
+    row per node."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(
+        nodes.select("node", F.col("node").alias("nbr"))  # self-vote
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("__c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("nbr"), "label"
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            votes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

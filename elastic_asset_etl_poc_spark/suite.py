@@ -13034,6 +13034,97 @@ def bfs_khop_custsupp(spark, sf_dir):
     )
 
 
+def _label_prop_round_sql(cur: str, prev: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT node, label FROM (
+    SELECT ev.node, p.label,
+           row_number() OVER (PARTITION BY ev.node
+                              ORDER BY count(*) DESC, p.label)
+             AS rk
+    FROM ev JOIN {prev} p ON p.node = ev.nbr
+    GROUP BY ev.node, p.label
+  ) WHERE rk = 1
+)"""
+
+
+@q(
+    "label_prop_custsupp",
+    """
+WITH ce AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS cn,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS sn
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (SELECT cn AS node, sn AS nbr FROM ce
+          UNION ALL SELECT sn, cn FROM ce),
+nodes AS (SELECT DISTINCT node FROM edges),
+ev AS (SELECT node, nbr FROM edges
+       UNION ALL SELECT node, node FROM nodes),
+l0 AS (SELECT node, node AS label FROM nodes),"""
+    + _label_prop_round_sql("l1", "l0")
+    + ","
+    + _label_prop_round_sql("l2", "l1")
+    + ","
+    + _label_prop_round_sql("l3", "l2")
+    + """
+SELECT label AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(sum(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM l3 GROUP BY 1
+""",
+)
+def label_prop_custsupp(spark, sf_dir):
+    """COMMUNITY DETECTION via deterministic label propagation
+    (operators/graph.py label_propagation; Raghavan et al. 2007) over
+    the customer↔supplier co-transaction graph — the graph family's
+    community member alongside k-core (density tiers), connected
+    components (reachability), and PageRank (centrality): which
+    customer/supplier groups transact among THEMSELVES more than with
+    the rest.  Three synchronous rounds, every node voting the most
+    frequent label among neighbors + itself (the self-vote damps
+    bipartite sync oscillation), ties to the smallest label — both
+    nondeterminism sources of classic LPA (visit order, random ties)
+    removed, so the oracle UNROLLS the rounds as layered CTEs and
+    hash-checks the refinement round for round, the bfs_khop
+    certification pattern.  Output is the community census (label,
+    member counts by node type).  Scale shape: one distinct-edge
+    build, then per round ONE partitioned hash join + (node, label)
+    agg + node-PARTITIONED rank window — state one label row per
+    node, rounds fixed by the question, never a global window or a
+    fixpoint loop."""
+    from .operators.graph import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ce = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cn"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = ce.select(
+        F.col("cn").alias("src"), F.col("sn").alias("dst")
+    ).unionByName(
+        ce.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    labels = label_propagation(edges, rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(
+            (F.substring("node", 1, 2) == "c:").cast("int")
+        ).cast("bigint").alias("n_customers"),
+        F.sum(
+            (F.substring("node", 1, 2) == "s:").cast("int")
+        ).cast("bigint").alias("n_suppliers"),
+    )
+
+
 @q(
     "mutual_knn_embeddings",
     """

@@ -242,3 +242,42 @@ def test_kcore_shuffled_semi_join_fallback_equals_broadcast(spark):
             ).collect()
         }
         assert got == want, f"fallback diverged for {kw}"
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two dense cliques joined by a single bridge edge: 3 rounds of
+    deterministic LPA must give each clique one label (the smallest
+    member id — min tie-break propagates the minimum through dense
+    groups) and must NOT merge them across the bridge."""
+    from elastic_asset_etl_poc_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    g1 = [f"a{i}" for i in range(6)]
+    g2 = [f"b{i}" for i in range(6)]
+    und = clique(g1) + clique(g2) + [("a0", "b0"), ("b0", "a0")]
+    edges = spark.createDataFrame(und, ["src", "dst"]).repartition(3)
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert {got[n] for n in g1} == {"a0"}
+    assert {got[n] for n in g2} == {"b0"}
+
+
+def test_label_propagation_deterministic_across_partitions(spark):
+    """Sync update + min tie-break: the result is a pure function of
+    the edge set, independent of partitioning."""
+    from elastic_asset_etl_poc_spark.operators.graph import label_propagation
+
+    und = [("x1", "x2"), ("x2", "x1"), ("x2", "x3"), ("x3", "x2"),
+           ("x3", "x4"), ("x4", "x3")]
+    runs = []
+    for n in (1, 7):
+        edges = spark.createDataFrame(und, ["src", "dst"]).repartition(n)
+        runs.append(sorted(
+            (r.node, r.label)
+            for r in label_propagation(edges, rounds=3).collect()
+        ))
+    assert runs[0] == runs[1]
