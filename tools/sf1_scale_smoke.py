@@ -253,6 +253,7 @@ HEAVY = [
     ("kmv_overlap_sources", "linear (bottom-k sketches over shingles; audit shingle join bounded by df <= S)"),
     ("stream_kmv_overlap_sources", "linear (one running bucketed-min agg, state <= S x 64k; audit as batch)"),
     ("kmv_candidates_sources", "linear (hash-equi signature self-join; estimation candidate-sized, never S^2)"),
+    ("label_prop_custsupp", "linear (3 fixed rounds: partitioned join + agg + node-partitioned rank window each)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
