@@ -1157,3 +1157,47 @@ def test_kcore_equals_bruteforce_peel(spark, edge_picks, k):
                 changed = True
     expect = {str(n): len(vs) for n, vs in adj.items() if vs}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(st.integers(0, 100_000), min_size=1, max_size=400),
+    cut=st.integers(0, 100_000),
+    k=st.sampled_from([16, 64, 256]),
+)
+def test_kmv_merge_property(spark, keys, cut, k):
+    """Mergeability over RANDOM splits: sketch the two (overlapping —
+    the split point duplicates nothing but batches may share keys via
+    list duplicates) halves separately, kmv_merge them, and the result
+    must be row-identical to sketching the whole set — for any key
+    multiset, any split point, any k.  bottom-k(dedup(bottom-k(A) ∪
+    bottom-k(B))) ≡ bottom-k(A ∪ B) is the algebra the incremental
+    certificate (kmv_incremental_sources) rides on."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    uniq = sorted(set(keys))
+    whole = spark.createDataFrame([("S", x) for x in uniq], ["s", "k"])
+    lo = [x for x in uniq if x <= cut]
+    hi = [x for x in uniq if x > cut]
+    parts = []
+    if lo:
+        parts.append(kmv_sketch(
+            spark.createDataFrame([("S", x) for x in lo], ["s", "k"]),
+            "s", "k", k=k,
+        ))
+    if hi:
+        parts.append(kmv_sketch(
+            spark.createDataFrame([("S", x) for x in hi], ["s", "k"]),
+            "s", "k", k=k,
+        ))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = {(r.set_id, r.h) for r in kmv_merge(u, k=k).collect()}
+    direct = {
+        (r.set_id, r.h) for r in kmv_sketch(whole, "s", "k", k=k).collect()
+    }
+    assert merged == direct
