@@ -46,7 +46,14 @@ def shingles(
     id_col: str = "doc_id",
     distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+    """Distinct word n-gram shingles per document → (doc_id, shingle).
+
+    ``id_col`` names the INPUT column; the output id column is ALWAYS
+    ``doc_id`` (every downstream set operator — capped_sets, the pair
+    builders, decontamination — consumes that canonical name).  A
+    caller grouping by source/entity rather than document gets its
+    values under ``doc_id`` and should rename or comment at the call
+    site.
 
     Shingle construction happens inside ``transform`` over the token array
     (JVM lambda, no explode until the final step), then one explode+distinct.
@@ -1246,7 +1253,16 @@ def prefix_filter_pairs(
         ).localCheckpoint(eager=True)
         sh0.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # prefix length: sz - ceil(t*sz) + 1 rarest shingles per doc
+    # CANDIDATE threshold: the final filter keeps round(J,4) >= t — the
+    # same rounded predicate as jaccard_pairs — which admits unrounded
+    # J as low as t - 5e-5.  The prefix length and length filter must
+    # therefore prune at that LOOSER bound, or a boundary pair (e.g.
+    # |A|=3999 ⊂ |B|=4999 at t=0.8: J=0.79996 → rounds to 0.8) would be
+    # emitted by the inverted-index path but never become a candidate
+    # here, breaking the bit-equality contract.  1e-4 of slack costs a
+    # negligible candidate increase and covers banker's-rounding edges.
+    t_cand = threshold - 1e-4
+    # prefix length: sz - ceil(t_cand*sz) + 1 rarest shingles per doc
     w = Window.partitionBy("doc_id").orderBy("dfq", "shingle")
     pref = (
         sh.join(dfreq, "shingle")
@@ -1254,7 +1270,7 @@ def prefix_filter_pairs(
         .withColumn("__pos", F.row_number().over(w))
         .filter(
             F.col("__pos")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            <= F.col("sz") - F.ceil(F.lit(t_cand) * F.col("sz")) + 1
         )
         .select("doc_id", "shingle")
     )
@@ -1272,12 +1288,13 @@ def prefix_filter_pairs(
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")),
             "doc_b",
         )
-        # LENGTH FILTER (lossless): J ≥ t implies min(|A|,|B|) ≥ t·max —
-        # prunes unrelated docs that happened to share one rare shingle
-        # before the verify pass pays Σ|A| for them
+        # LENGTH FILTER (lossless at the ROUNDED predicate): J ≥ t_cand
+        # implies min(|A|,|B|) ≥ t_cand·max — prunes unrelated docs that
+        # happened to share one rare shingle before the verify pass
+        # pays Σ|A| for them
         .filter(
             F.least("na", "nb")
-            >= F.lit(threshold) * F.greatest("na", "nb")
+            >= F.lit(t_cand) * F.greatest("na", "nb")
         )
     )
     inter = (

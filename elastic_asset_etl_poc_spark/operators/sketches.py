@@ -478,10 +478,14 @@ def kmv_sketch(
 ) -> DataFrame:
     """Per-set KMV / theta BOTTOM-k signature → (set_id, h): the k
     SMALLEST distinct 60-bit md5 hashes of each set's members (Beyer
-    et al. 2007; DataSketches theta).  Input must already be DISTINCT
-    per (set, key) — set semantics are the caller's contract (the
-    set_similarity_pairs rule; deduping here would pay a redundant
-    shuffle for callers that already built a distinct frame).
+    et al. 2007; DataSketches theta).  Hash VALUES are deduped
+    (dense_rank + distinct over the ≤ S·k OUTPUT — never a
+    corpus-sized shuffle), which makes the sketch idempotent under
+    duplicate (set, key) rows AND puts two distinct keys colliding on
+    the 60-bit hash in ONE slot — exactly as they would land after
+    ``kmv_merge``'s dropDuplicates — so the
+    bottom-k(dedup(bottom-k(A) ∪ bottom-k(B))) ≡ bottom-k(A ∪ B)
+    merge identity is exact, not modulo-collision.
 
     The signature is union-MERGEABLE: per-ingest-batch sketches
     combine via ``kmv_merge`` (union + re-truncate) without touching
@@ -495,9 +499,10 @@ def kmv_sketch(
     )
     w = Window.partitionBy("set_id").orderBy("h")
     return (
-        uh.withColumn("__rn", F.row_number().over(w))
+        uh.withColumn("__rn", F.dense_rank().over(w))
         .filter(F.col("__rn") <= k)
         .select("set_id", "h")
+        .distinct()
     )
 
 

@@ -12409,6 +12409,8 @@ def stream_kmv_overlap_sources(spark, sf_dir):
     )
     # duplicates are harmless under the bucketed min (idempotent), so
     # the stream skips the unbounded dropDuplicates a distinct would need
+    # shingles() always emits the canonical 'doc_id' output name — here
+    # it carries SOURCE values (id_col picks the input column only)
     sh_s = shingles(docs_s, id_col="source", distinct=False)
     name = f"kmv_stream_{uuid.uuid4().hex[:8]}"
     with _stream_shuffle(spark):

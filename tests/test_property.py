@@ -1166,22 +1166,24 @@ def test_kcore_equals_bruteforce_peel(spark, edge_picks, k):
     k=st.sampled_from([16, 64, 256]),
 )
 def test_kmv_merge_property(spark, keys, cut, k):
-    """Mergeability over RANDOM splits: sketch the two (overlapping —
-    the split point duplicates nothing but batches may share keys via
-    list duplicates) halves separately, kmv_merge them, and the result
-    must be row-identical to sketching the whole set — for any key
-    multiset, any split point, any k.  bottom-k(dedup(bottom-k(A) ∪
-    bottom-k(B))) ≡ bottom-k(A ∪ B) is the algebra the incremental
-    certificate (kmv_incremental_sources) rides on."""
+    """Mergeability over RANDOM overlapping splits: the raw key list is
+    split by POSITION (not value), so a key appearing twice can land in
+    BOTH batches — the overlapping-ingest case.  Sketch each batch,
+    kmv_merge them, and the result must be row-identical to sketching
+    the whole multiset — for any key multiset, any split point, any k.
+    bottom-k(dedup(bottom-k(A) ∪ bottom-k(B))) ≡ bottom-k(A ∪ B) is
+    the algebra the incremental certificate (kmv_incremental_sources)
+    rides on; within-batch duplicates also exercise kmv_sketch's own
+    hash dedup (dense_rank + distinct)."""
     from elastic_asset_etl_poc_spark.operators.sketches import (
         kmv_merge,
         kmv_sketch,
     )
 
-    uniq = sorted(set(keys))
-    whole = spark.createDataFrame([("S", x) for x in uniq], ["s", "k"])
-    lo = [x for x in uniq if x <= cut]
-    hi = [x for x in uniq if x > cut]
+    whole = spark.createDataFrame([("S", x) for x in keys], ["s", "k"])
+    i = cut % (len(keys) + 1)
+    lo = keys[:i]
+    hi = keys[i:]
     parts = []
     if lo:
         parts.append(kmv_sketch(
