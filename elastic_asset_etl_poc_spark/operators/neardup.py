@@ -1179,6 +1179,46 @@ def fingerprint_neardup_incremental(
     return batch_involving
 
 
+def _rarity_postings(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter build → (capped postings, doc-frequency
+    frame), both materialized.  The posting frame feeds FOUR consumers
+    (freq agg, prefix build, both verify sides) — materialize once, the
+    _pair_stats pattern.  The cap's doc-frequency aggregate and the
+    prefix rarity order are ONE pass folded: capping removes whole
+    shingle groups, never individual postings, so a surviving shingle's
+    post-cap frequency EQUALS its pre-cap frequency — the hot set is
+    ``freq > cap`` and the rarity order is the same frame inner-joined
+    to the capped postings (which restricts it to survivors for free).
+    Capped shingles could never enter a prefix anyway — they are the
+    most frequent by definition."""
+    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is None:
+        sh = sh0.localCheckpoint(eager=True)
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
+        return sh, dfreq
+    # cache the pre-cap frame: it feeds the freq agg AND the anti-join
+    # probe (capped_sets' rationale, inlined so the freq frame is
+    # shared with the rarity order instead of recounted)
+    sh0 = sh0.cache()
+    dfreq = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("dfq"))
+        .localCheckpoint(eager=True)
+    )
+    hot = dfreq.filter(F.col("dfq") > max_doc_freq).select("shingle")
+    sh = sh0.join(
+        F.broadcast(hot), "shingle", "left_anti"
+    ).localCheckpoint(eager=True)
+    sh0.unpersist()
+    return sh, dfreq
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     threshold: float,
@@ -1231,27 +1271,7 @@ def prefix_filter_pairs(
     anywhere.  Returns (doc_a, doc_b, jaccard ≥ threshold), the same
     contract as jaccard_pairs.
     """
-    # the posting frame feeds FOUR consumers (freq agg, prefix build,
-    # both verify sides) — materialize once, the _pair_stats pattern
-    sh0 = shingles(df, n=n, text_col=text_col, id_col=id_col)
-    if max_doc_freq is None:
-        sh = sh0.localCheckpoint(eager=True)
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfq"))
-    else:
-        # cache the pre-cap frame: it feeds the freq agg AND the
-        # anti-join probe (capped_sets' rationale, inlined so the freq
-        # frame is shared with the rarity order instead of recounted)
-        sh0 = sh0.cache()
-        dfreq = (
-            sh0.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("dfq"))
-            .localCheckpoint(eager=True)
-        )
-        hot = dfreq.filter(F.col("dfq") > max_doc_freq).select("shingle")
-        sh = sh0.join(
-            F.broadcast(hot), "shingle", "left_anti"
-        ).localCheckpoint(eager=True)
-        sh0.unpersist()
+    sh, dfreq = _rarity_postings(df, n, text_col, id_col, max_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # CANDIDATE threshold: the final filter keeps round(J,4) >= t — the
     # same rounded predicate as jaccard_pairs — which admits unrounded
@@ -1318,3 +1338,128 @@ def prefix_filter_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
     return j
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """:func:`containment_pairs` (max-containment C = |A∩B|/min(|A|,|B|)
+    ≥ t → (doc_a, doc_b, containment, jaccard)) rebuilt on the
+    CONTAINMENT-ADAPTED prefix filter — bit-for-bit the same output as
+    the inverted-index build, candidate-pruned.
+
+    REGIME (measured, sf1 fixture): the prefix plan wins only when
+    (1−t)·|X| ≪ |X| — at t=0.9 candidates are output-sized (2.5k vs
+    15M co-occurring pairs; 17s vs 68s).  At moderate thresholds the
+    prefix covers most of every set, candidates ≈ all co-occurring
+    pairs (t=0.5: 12.9M of ~15M), and the per-candidate verify join
+    explodes (155s) where :func:`containment_pairs`' self-join
+    aggregation computes the same intersections map-side-combined in
+    24s.  Use this for mirror/subset sweeps (t ≥ ~0.8);
+    use containment_pairs below that.
+
+    Asymmetric pigeonhole: for a pair with |X| = min(|A|,|B|), C ≥ t
+    forces i ≥ t·|X|, so the |X| − ⌈t·|X|⌉ + 1 globally-RAREST
+    shingles of the SMALLER set must intersect the other set
+    SOMEWHERE — unlike Jaccard, the larger set contributes its FULL
+    posting list, not a prefix (a tiny doc can sit anywhere inside a
+    huge one).  Candidates are therefore prefix(smaller) ⋈ postings,
+    volume Σ_{(d,s): s ∈ prefix(d)} df(s) — bounded by the per-doc
+    RAREST frequencies, where the naive index pays Σ_s df(s)² over
+    all shingles.  Size order is enforced on the candidate (strictly
+    smaller side's prefix; equal sizes keep one direction — both
+    prefixes qualify there), so no pair is generated from the
+    unguaranteed direction.
+
+    The candidate bound uses t − 1e-4 (prefix length only): the final
+    filter keeps round(C,4) ≥ t — the same rounded predicate as
+    containment_pairs — which admits unrounded C down to t − 5e-5,
+    and a pair at that boundary must still become a candidate for the
+    bit-equality contract to hold (the prefix_filter_pairs rule).
+
+    Every suite consumer's oracle states the inverted-index SQL, so
+    each driver hash check re-certifies prefix ≡ inverted-index on the
+    live corpus; the property test covers synthetic corpora including
+    a tripped doc-frequency cap.
+    """
+    sh, dfreq = _rarity_postings(df, n, text_col, id_col, max_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    t_cand = threshold - 1e-4
+    w = Window.partitionBy("doc_id").orderBy("dfq", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(F.lit(t_cand) * F.col("sz")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    # pair-dedup FIRST (map-side combinable), THEN attach sizes — the
+    # size joins run on the candidate-pair frame, never the raw
+    # prefix ⋈ postings stream
+    raw = (
+        pref.select(F.col("doc_id").alias("doc_x"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_y"), "shingle"), "shingle")
+        .filter(F.col("doc_x") != F.col("doc_y"))
+        .select("doc_x", "doc_y")
+        .distinct()
+    )
+    cand = (
+        raw.join(
+            sizes.select(F.col("doc_id").alias("doc_x"), F.col("sz").alias("nx")),
+            "doc_x",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_y"), F.col("sz").alias("ny")),
+            "doc_y",
+        )
+        # only the SMALLER set's prefix carries the pigeonhole
+        # guarantee; on ties either does, keep one direction — a
+        # qualifying pair always appears in the guaranteed direction,
+        # so dropping the other loses nothing
+        .filter(
+            (F.col("nx") < F.col("ny"))
+            | ((F.col("nx") == F.col("ny")) & (F.col("doc_x") < F.col("doc_y")))
+        )
+        # canonical doc_a < doc_b, matching the inverted index's join
+        # predicate; sizes follow their doc
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("nx"))
+            .otherwise(F.col("ny"))
+            .alias("na"),
+            F.when(F.col("doc_x") < F.col("doc_y"), F.col("ny"))
+            .otherwise(F.col("nx"))
+            .alias("nb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    c = F.round(F.col("i") / F.least(F.col("na"), F.col("nb")), 4)
+    j = F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4)
+    return (
+        inter.join(cand, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            c.alias("containment"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold))
+    )

@@ -651,7 +651,36 @@ def kmv_overlap(
     return kmv_overlap_from_sketch(sig, k=k)
 
 
-def kmv_candidate_pairs(sig: DataFrame, min_shared: int = 1) -> DataFrame:
+def kmv_min_shared(
+    k: int, threshold_jaccard: float, retention: float = 0.99
+) -> int:
+    """Translate a target Jaccard ``t`` into the ``min_shared`` prune
+    for :func:`kmv_candidate_pairs`, keeping J ≥ t pairs with
+    probability ≥ ``retention`` (over the hash draw).
+
+    Soundness: n_shared ≥ |bottom-k(A∪B) ∩ A∩B| — every union-bottom-k
+    element of A∩B ranks ≤ k inside EACH set's own hash order too, so
+    it lands in both sketches.  That count is hypergeometric over the
+    union sample with mean k·J ≥ k·t and variance at most the
+    binomial's, so the distribution-free Hoeffding tail
+    P(X ≤ k·t − s) ≤ exp(−2s²/k) gives s = √(k·ln(1/δ)/2) at
+    δ = 1 − retention:  min_shared = ⌊k·t − s⌋ (floored at 1).
+    k = 1024, t = 0.1, retention 0.99 → 102.4 − 48.6 → 53."""
+    import math
+
+    delta = max(1.0 - retention, 1e-12)
+    s = math.sqrt(k * math.log(1.0 / delta) / 2.0)
+    return max(1, int(math.floor(k * threshold_jaccard - s)))
+
+
+def kmv_candidate_pairs(
+    sig: DataFrame,
+    min_shared: int | None = None,
+    *,
+    threshold_jaccard: float | None = None,
+    k: int = 1024,
+    retention: float = 0.99,
+) -> DataFrame:
     """CANDIDATE pair generation for large set counts S — the scale
     lever that replaces :func:`kmv_overlap_from_sketch`'s all-pairs
     S(S−1)/2 fan-out with an output-sized plan: self-join the
@@ -665,15 +694,27 @@ def kmv_candidate_pairs(sig: DataFrame, min_shared: int = 1) -> DataFrame:
     A∩B sits near rank j·|A|/|A∩B| in A and is sampled iff that rank
     ≤ k.  Hence E[n_shared] ≈ k·min(|A∩B|/|A|, |A∩B|/|B|) — k times
     the smaller CONTAINMENT, ≥ k·J — while a disjoint pair shares
-    nothing (md5 collisions aside).  A threshold m ≈ k·t/2 keeps
-    pairs with J ≥ t with hypergeometric-tail confidence and drops
-    the quadratic bulk of unrelated pairs.
+    nothing (md5 collisions aside).
+
+    The prune threshold is OPERATOR-owned: pass ``threshold_jaccard``
+    (with the sketch ``k`` and a ``retention`` target) and
+    :func:`kmv_min_shared` derives the Hoeffding-tail bound that keeps
+    J ≥ t pairs with probability ≥ retention — a caller can no longer
+    pick a literal that silently drops qualifying pairs.  The raw
+    ``min_shared`` override remains for callers that computed their
+    own bound (exactly one of the two must be given).
 
     Scale shape: one self-equi-join on h over S·k signature rows —
     per-hash fan-out is the number of SKETCHES containing that
     element (bounded by how shared the element actually is), so the
     join is candidate-sized, never S².  Feed the survivors to
     ``kmv_overlap_from_sketch(sig, k, pairs=...)`` for estimates."""
+    if (min_shared is None) == (threshold_jaccard is None):
+        raise ValueError(
+            "pass exactly one of min_shared or threshold_jaccard"
+        )
+    if threshold_jaccard is not None:
+        min_shared = kmv_min_shared(k, threshold_jaccard, retention)
     a = sig.select(F.col("set_id").alias("set_a"), "h")
     b = sig.select(F.col("set_id").alias("set_b"), "h")
     return (

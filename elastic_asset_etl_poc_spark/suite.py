@@ -8415,11 +8415,73 @@ def containment_neardup_docs(spark, sf_dir):
     Shares jaccard_pairs' inverted-index core and hot-shingle cap, so
     the 100-TB posture is identical: hash joins/aggs on shingle and
     pair keys, no cross product, quadratic-blowup stop-phrases capped
-    on both the intersection and size sides."""
+    on both the intersection and size sides.
+
+    Why the inverted index and NOT a prefix filter at THIS threshold
+    (measured, sf1): at t=0.5 the containment prefix is HALF of every
+    set, so prefix candidates ≈ all co-occurring pairs (12.9M of
+    ~15M at sf1) and the per-candidate verify join explodes
+    (155s) where the self-join's map-side-combined aggregation
+    computes the same intersections in 24s.  Prefix filtering pays
+    off only when (1−t)·|X| ≪ |X| — see containment_prefix_neardup_docs
+    (t=0.9: 2.5k candidates, 17s vs 68s) for the high-threshold
+    regime on the prefix plan."""
     from .operators.neardup import containment_pairs
 
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@q(
+    "containment_prefix_neardup_docs",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM toks),
+sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 10000),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / least(sa.n, sb.n), 4) AS containment,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / least(sa.n, sb.n), 4) >= 0.9
+""",
+)
+def containment_prefix_neardup_docs(spark, sf_dir):
+    """HIGH-threshold containment (C ≥ 0.9 — the "is this doc a
+    mirror/embed of another" sweep) on the CONTAINMENT-ADAPTED prefix
+    filter (operators/neardup.py containment_prefix_pairs): the
+    smaller set's ⌈(1−t)·|X|⌉+1 globally-rarest shingles joined
+    against FULL posting lists — the asymmetric pigeonhole, since a
+    tiny doc can sit anywhere inside a huge one — then exact
+    verification over candidates only.
+
+    The ORACLE states the plain inverted-index formulation, so every
+    driver hash check re-certifies prefix ≡ inverted-index on the
+    live corpus (the _shared_pairs("jaccard") pattern; bit-equality
+    also property-tested incl. a tripped doc-freq cap).  This is the
+    regime where the prefix plan WINS — measured at sf1: 2.5k
+    candidates vs 15M co-occurring pairs, 17s vs 68s on the same
+    corpus — whereas at t=0.5 the prefix is half of every set,
+    candidates ≈ all co-occurring pairs, and the aggregation plan of
+    containment_neardup_docs is the right one (its docstring carries
+    the numbers).  Scale shape: one df-count agg feeding the rarity
+    order, one bounded per-doc window, prefix ⋈ postings candidate
+    join whose volume is Σ_{s ∈ prefixes} df(s) — bounded by per-doc
+    RAREST frequencies — then candidate-restricted verify."""
+    from .operators.neardup import containment_prefix_pairs
+
+    return containment_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
     )
 
 
@@ -12596,7 +12658,7 @@ pr AS (
          CAST(count(*) AS BIGINT) AS n_shared
   FROM sig a JOIN sig b ON a.h = b.h AND a.source < b.source
   GROUP BY 1, 2
-  HAVING count(*) >= 48
+  HAVING count(*) >= 53
 ),
 u AS (
   SELECT coalesce(pa.src_a, pb.src_a) AS src_a,
@@ -12634,13 +12696,17 @@ def kmv_candidates_sources(spark, sf_dir):
     self-joining the signatures on the HASH (the inverted-index move
     at the sketch level — per-hash fan-out is the number of sketches
     actually containing that element, so the join is candidate-sized)
-    and only pairs sharing ≥ 48 sampled hashes are estimated.
+    and only pairs sharing enough sampled hashes are estimated.
     E[n_shared] ≈ k·min-containment ≥ k·J because a shared element
-    occupies the same position in both sets' hash order — on this
-    fixture n_shared spans 24–145 at the sf0.01 gate (the threshold
-    genuinely prunes ~half the 190 pairs) and 346–430 at sf0.1 (all
-    pass — J grows with SF here; disclosed, the mechanism not the
-    split is what's certified).  Deterministic md5 draws make the
+    occupies the same position in both sets' hash order.  The prune
+    is the OPERATOR-derived bound, not a fixture literal:
+    threshold_jaccard=0.1 at k=1024 with 99% retention →
+    kmv_min_shared's Hoeffding tail ⌊k·t − √(k·ln(1/δ)/2)⌋ = 53
+    (the oracle states the resulting literal).  On this fixture
+    n_shared spans 24–145 at the sf0.01 gate (the threshold genuinely
+    prunes: 50 of 190 pairs survive) and 346–430 at sf0.1 (all pass —
+    J grows with SF here; disclosed, the mechanism not the split is
+    what's certified).  Deterministic md5 draws make the
     survivor set hash-stable; the estimator tail is
     kmv_overlap_from_sketch restricted to the candidate frame — the
     identical math the unpruned twin certifies, so the exact-audit
@@ -12657,9 +12723,9 @@ def kmv_candidates_sources(spark, sf_dir):
     sig = kmv_sketch(ss, "source", "shingle", k=1024).localCheckpoint(
         eager=True
     )
-    cand = kmv_candidate_pairs(sig, min_shared=48).localCheckpoint(
-        eager=True
-    )
+    cand = kmv_candidate_pairs(
+        sig, threshold_jaccard=0.1, k=1024
+    ).localCheckpoint(eager=True)
     est = kmv_overlap_from_sketch(sig, k=1024, pairs=cand)
     return (
         est.join(cand, ["set_a", "set_b"])

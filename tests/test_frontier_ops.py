@@ -281,3 +281,74 @@ def test_label_propagation_deterministic_across_partitions(spark):
             for r in label_propagation(edges, rounds=3).collect()
         ))
     assert runs[0] == runs[1]
+
+
+def test_containment_prefix_equals_exact_join(spark):
+    """Containment prefix filter is lossless on the doc-inside-doc
+    shape Jaccard misses: a short doc fully embedded in a long one
+    must surface with containment 1.0 from BOTH paths, identically."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    long = (
+        "the quick brown fox jumps over the lazy dog while "
+        "seventeen additional clauses pad this document with "
+        "unrelated filler about parquet row groups and shuffles"
+    )
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, long),
+        (3, "entirely other content mentioning ducks and databases here"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    kw = dict(threshold=0.5, n=2)
+    pf = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_prefix_pairs(df, **kw).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(df, **kw).collect()
+    }
+    assert pf == exact
+    assert (1, 2) in pf
+    assert pf[(1, 2)][0] == 1.0  # fully contained
+    assert pf[(1, 2)][1] < 0.5  # the pair a Jaccard pass misses
+
+
+def test_containment_prefix_equals_exact_join_under_tripped_cap(spark):
+    """The bit-equality contract must survive the doc-frequency cap
+    actually firing — both paths drop the hot shingles from every set
+    so containment/jaccard denominators stay identical."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon unique one"),
+        (2, "alpha beta gamma delta epsilon unique two"),
+        (3, "alpha beta gamma delta epsilon unique three"),
+        (4, "alpha beta gamma delta epsilon unique four"),
+        (5, "totally unrelated content about parquet row groups here"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    kw = dict(threshold=0.3, n=2, max_doc_freq=2)
+    pf = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_prefix_pairs(df, **kw).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(df, **kw).collect()
+    }
+    assert pf == exact
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(
+            df, threshold=0.3, n=2, max_doc_freq=None
+        ).collect()
+    }
+    assert uncapped != exact

@@ -1203,3 +1203,42 @@ def test_kmv_merge_property(spark, keys, cut, k):
         (r.set_id, r.h) for r in kmv_sketch(whole, "s", "k", k=k).collect()
     }
     assert merged == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    thr_pct=st.sampled_from([50, 60, 75]),
+)
+def test_containment_prefix_lossless_property(spark, docs, thr_pct):
+    """Containment-adapted prefix filtering == the full inverted-index
+    containment join on random short corpora — the ASYMMETRIC
+    pigeonhole (smaller set's prefix vs the other set's FULL postings)
+    has zero false negatives under tie-heavy token distributions and
+    size-mismatched pairs, and the (containment, jaccard) payload is
+    bit-identical."""
+    from elastic_asset_etl_poc_spark.operators.neardup import (
+        containment_pairs,
+        containment_prefix_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = thr_pct / 100.0
+    pf = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_prefix_pairs(
+            df, threshold=t, n=2, max_doc_freq=None
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in containment_pairs(
+            df, threshold=t, n=2, max_doc_freq=None
+        ).collect()
+    }
+    assert pf == exact

@@ -399,3 +399,45 @@ def test_kmv_candidate_pairs_prunes_disjoint(spark):
         sig, k=1024, pairs=kmv_candidate_pairs(sig, min_shared=10)
     ).collect()
     assert len(est) == 1 and est[0].j_est == round(300 / 900, 6)
+
+
+def test_kmv_min_shared_bound_retains_above_drops_below(spark):
+    """The operator-derived t→min_shared bound keeps pairs with J ≥ t
+    and drops pairs with J well below it, on sets large enough that
+    the sketch actually samples (|union| > k).  Also pins the
+    documented k=1024/t=0.1/99% value (53) and the argument contract
+    (exactly one of min_shared / threshold_jaccard)."""
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_candidate_pairs,
+        kmv_min_shared,
+        kmv_sketch,
+    )
+
+    assert kmv_min_shared(1024, 0.1) == 53
+    assert kmv_min_shared(1024, 0.5, retention=0.999) == 452  # ⌊512-59.5⌋
+    assert kmv_min_shared(16, 0.01) == 1  # floor at 1
+
+    # A∩B: J = 2000/6000 = 0.333 (>= t); A∩C: J = 100/7900 ≈ 0.0127 (<< t)
+    rows = (
+        [("A", i) for i in range(0, 4000)]
+        + [("B", i) for i in range(2000, 6000)]
+        + [("C", i) for i in range(3900, 7900)]
+    )
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(4)
+    sig = kmv_sketch(df, "s", "k", k=1024)
+    t = 0.1
+    cand = {
+        (r.set_a, r.set_b)
+        for r in kmv_candidate_pairs(sig, threshold_jaccard=t, k=1024).collect()
+    }
+    assert ("A", "B") in cand  # J = 0.333 >= t: retained
+    assert ("A", "C") not in cand  # J ≈ 0.013 << t: pruned
+    # B∩C: J = 2100/5900 ≈ 0.356 >= t: retained
+    assert ("B", "C") in cand
+
+    with pytest.raises(ValueError):
+        kmv_candidate_pairs(sig)
+    with pytest.raises(ValueError):
+        kmv_candidate_pairs(sig, min_shared=5, threshold_jaccard=0.1)
