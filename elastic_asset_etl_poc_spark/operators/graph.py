@@ -519,6 +519,7 @@ def label_propagation(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    audit_churn: bool = False,
 ) -> DataFrame:
     """DETERMINISTIC synchronous label propagation → (node, label) —
     the standard community-detection primitive (Raghavan et al. 2007)
@@ -543,7 +544,15 @@ def label_propagation(
     node-PARTITIONED rank window — never a global window; lineage is
     truncated per round with localCheckpoint, the iterative-operator
     discipline pagerank/bfs/k-core established.  State = one label
-    row per node."""
+    row per node.
+
+    ``audit_churn=True`` adds a ``changed`` boolean — did this node's
+    label change in the FINAL round — so a fixed ``rounds`` is
+    evidence-backed rather than conventional: near-zero final-round
+    churn means the refinement has converged, high churn means the
+    caller under-provisioned rounds.  Costs one extra node-sized
+    partitioned join; oracle-replayable (the unrolled round CTEs
+    already materialize the prior round's labels)."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -562,6 +571,7 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.col("__c").desc(), F.col("label").asc()
     )
+    prev = labels
     for _ in range(rounds):
         votes = (
             e.join(
@@ -573,10 +583,17 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
+        prev = labels
         labels = (
             votes.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
             .localCheckpoint(eager=True)
         )
-    return labels
+    if not audit_churn:
+        return labels
+    return labels.join(
+        prev.select("node", F.col("label").alias("__prev")), "node"
+    ).select(
+        "node", "label", (F.col("label") != F.col("__prev")).alias("changed")
+    )

@@ -7243,6 +7243,52 @@ def stream_session_window_events(spark, sf_dir):
     return spark.table(name)
 
 
+@q(
+    "stream_session_watermark_events",
+    _SESSION_WINDOW_SQL
+    + """HAVING max(ts) + INTERVAL 30 MINUTE
+       <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)""",
+)
+def stream_session_watermark_events(spark, sf_dir):
+    """The DEPLOYMENT form of stream_session_window_events: the same
+    native session windows with a REALISTIC 1-hour watermark in APPEND
+    mode, so sessions are finalized, EMITTED ONCE, and EVICTED as the
+    watermark passes them — state is O(open sessions), bounded by
+    concurrent activity, never by stream length (the suite twin's
+    45-day drain-everything watermark deliberately disables eviction
+    and is the one disclosed state-grows-with-corpus row; this query
+    retires that to an explicitly audit-only role).
+
+    Determinism and the oracle: after an availableNow drain the final
+    watermark is (global max event time − 1h) regardless of how many
+    micro-batches the file source split into (the no-data final batch
+    advances it and flushes eligible state), and Spark's eviction
+    predicate is session_end ≤ watermark INCLUSIVE — pinned by a
+    synthetic exact-tie test (tests/test_streaming_more.py) because a
+    boundary session sits in the output or the open set depending on
+    it.  The oracle is therefore the batch gap-session SQL plus
+    ``HAVING session_end <= max(ts) − 1h``: sessions still open at
+    end-of-stream (2 of 946 at sf0.001) are exactly the rows withheld.
+    Microsecond-grain gap semantics identical to _SESSION_WINDOW_SQL."""
+    import uuid
+
+    from .streaming import run_to_memory, stream_events_typed
+    from .streaming.services_stream import stream_session_windows
+
+    name = f"sess_wm_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        qy = run_to_memory(
+            stream_session_windows(
+                stream_events_typed(spark, _staged_events(sf_dir)),
+                watermark="1 hour",
+            ),
+            name,
+            "append",
+        )
+        qy.stop()
+    return spark.table(name)
+
+
 #: full-recompute ER oracle (min-reachable-id ≡ min-label CC fixpoint),
 #: shared by the batch query AND its incremental twin: the incremental
 #: path hashing identical to the FULL recompute's oracle is itself the
@@ -13160,13 +13206,16 @@ l0 AS (SELECT node, node AS label FROM nodes),"""
     + ","
     + _label_prop_round_sql("l3", "l2")
     + """
-SELECT label AS community,
+SELECT l3.label AS community,
        CAST(count(*) AS BIGINT) AS n_members,
-       CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN l3.node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_customers,
-       CAST(sum(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_suppliers
-FROM l3 GROUP BY 1
+       CAST(sum(CASE WHEN l3.node LIKE 's:%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers,
+       CAST(sum(CASE WHEN l3.label <> l2.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed_final
+FROM l3 JOIN l2 ON l2.node = l3.node
+GROUP BY 1
 """,
 )
 def label_prop_custsupp(spark, sf_dir):
@@ -13183,11 +13232,19 @@ def label_prop_custsupp(spark, sf_dir):
     removed, so the oracle UNROLLS the rounds as layered CTEs and
     hash-checks the refinement round for round, the bfs_khop
     certification pattern.  Output is the community census (label,
-    member counts by node type).  Scale shape: one distinct-edge
-    build, then per round ONE partitioned hash join + (node, label)
-    agg + node-PARTITIONED rank window — state one label row per
-    node, rounds fixed by the question, never a global window or a
-    fixpoint loop."""
+    member counts by node type) plus the CONVERGENCE AUDIT column
+    ``n_changed_final`` — how many members changed label in round 3
+    (audit_churn=True; the oracle joins l3 to l2, which the unrolled
+    CTEs already materialize) — making rounds=3 evidence rather than
+    convention.  Measured decay on this graph at sf0.01: rounds 2–5
+    churn 1498 → 56 → 16 → 0 (fixpoint at 5), so rounds=3 carries a
+    disclosed 3.5% refinement tail — visible in the hash, where a
+    regression (oscillation returning, decay stalling) breaks the
+    driver row instead of hiding behind a converged-looking census.  Scale shape: one
+    distinct-edge build, then per round ONE partitioned hash join +
+    (node, label) agg + node-PARTITIONED rank window — state one
+    label row per node, rounds fixed by the question, never a global
+    window or a fixpoint loop; the audit adds one node-sized join."""
     from .operators.graph import label_propagation
 
     o = load_table(spark, sf_dir, "orders")
@@ -13205,7 +13262,7 @@ def label_prop_custsupp(spark, sf_dir):
     ).unionByName(
         ce.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
     )
-    labels = label_propagation(edges, rounds=3)
+    labels = label_propagation(edges, rounds=3, audit_churn=True)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum(
@@ -13214,6 +13271,9 @@ def label_prop_custsupp(spark, sf_dir):
         F.sum(
             (F.substring("node", 1, 2) == "s:").cast("int")
         ).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("changed").cast("int"))
+        .cast("bigint")
+        .alias("n_changed_final"),
     )
 
 

@@ -283,6 +283,30 @@ def test_label_propagation_deterministic_across_partitions(spark):
     assert runs[0] == runs[1]
 
 
+def test_label_propagation_audit_churn(spark):
+    """audit_churn adds the final-round ``changed`` flag: on a clique
+    that stabilizes in round 1, extra rounds report zero churn; on a
+    path graph still refining at rounds=1, the flag captures exactly
+    the nodes whose round-1 label differs from their initial label."""
+    from elastic_asset_etl_poc_spark.operators.graph import label_propagation
+
+    ids = [f"a{i}" for i in range(5)]
+    und = [(a, b) for a in ids for b in ids if a != b]
+    edges = spark.createDataFrame(und, ["src", "dst"])
+    rows = label_propagation(edges, rounds=3, audit_churn=True).collect()
+    assert all(r.label == "a0" for r in rows)
+    assert not any(r.changed for r in rows)  # converged before round 3
+
+    path = [("x1", "x2"), ("x2", "x1"), ("x2", "x3"), ("x3", "x2")]
+    pe = spark.createDataFrame(path, ["src", "dst"])
+    r1 = {
+        r.node: r.changed
+        for r in label_propagation(pe, rounds=1, audit_churn=True).collect()
+    }
+    # round 1: x2 and x3 adopt x1's/x2's smaller label; x1 keeps its own
+    assert r1 == {"x1": False, "x2": True, "x3": True}
+
+
 def test_containment_prefix_equals_exact_join(spark):
     """Containment prefix filter is lossless on the doc-inside-doc
     shape Jaccard misses: a short doc fully embedded in a long one

@@ -1178,3 +1178,47 @@ def test_checkpoint_recovery_kmins_sketch_state(spark, tmp_path):
     assert len(recovered) > 0
     for w, idx, hh, v in recovered:
         assert batch[(w, idx)] == (hh, v)
+
+
+def test_session_watermark_eviction_boundary_inclusive(spark):
+    """Pins Spark's append-mode session eviction predicate as
+    session_end <= watermark INCLUSIVE — the boundary the
+    stream_session_watermark_events oracle states.  A session ending
+    EXACTLY at (max event time - watermark delay) must be emitted; a
+    session still inside the delay must be withheld (open state)."""
+    import datetime
+    import tempfile
+    import uuid
+
+    from elastic_asset_etl_poc_spark.streaming.services_stream import (
+        run_to_memory,
+        stream_session_windows,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: session end = base+30min == final watermark exactly
+        (1, base, 1.0, 10),
+        # user 2: the watermark driver (max ts = base+90min) — its own
+        # session (end base+120min > watermark) must stay open/unemitted
+        (2, base + datetime.timedelta(minutes=90), 2.0, 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    d = tempfile.mkdtemp(prefix="wmtie_")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    st = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, value double, event_id long"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(d)
+    )
+    name = f"tie_{uuid.uuid4().hex[:6]}"
+    q = run_to_memory(
+        stream_session_windows(st, watermark="1 hour"), name, "append"
+    )
+    q.stop()
+    out = spark.table(name).collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 1)]

@@ -132,12 +132,15 @@ HEAVY = [
     # dimension table, copied verbatim at sf1 — no growth to slope.
     ("session_window_events", "linear"),
     ("stream_session_window_events",
-     "state-bound: the suite drain's 45-day watermark deliberately "
+     "state-bound AUDIT-ONLY: the suite drain's 45-day watermark deliberately "
      "disables eviction and this fixture's sparse per-user streams make "
      "sessions ~= events, so complete-mode state grows with the corpus "
      "(measured 30x at 10x) — the batch twin proves the computation "
-     "linear (4.0x); a deployment watermark bounds state at O(open "
-     "sessions) and restores the linear class"),
+     "linear (4.0x); the deployment form with a real watermark is "
+     "stream_session_watermark_events below"),
+    ("stream_session_watermark_events",
+     "linear (deployment form: 1h watermark + append drain — state is "
+     "O(open sessions), each session emitted once and evicted)"),
     ("bucketed_join_orders", "linear"),
     # round-10 additions: robust stats over 10× denser events — moments
     # is ONE map-side-combined power-sum agg; exact MAD's two percentile
