@@ -115,6 +115,10 @@ def main() -> None:
         # _PQ_BOOKS (codebooks trained once)
         "embed_knn_pq",
         "recall_pq_lossless_vs_exact",
+        # _IVFPQ_INDEX (coarse centroids + residual codebooks trained
+        # once per corpus; assign/scan/audit still run live each time)
+        "embed_knn_ivfpq",
+        "recall_ivfpq_lossless_vs_exact",
         # _DIR_EDGES/_PR_EDGES (edge frame checkpointed once)
         "pagerank_cust_supp",
         "hits_cust_supp",

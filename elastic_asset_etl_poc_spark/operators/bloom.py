@@ -168,8 +168,21 @@ def bloom_might_contain(
     Pure builtin expressions (element_at / shiftleft / bitwiseAND) over
     a literal array, so the test is a plain probe-side predicate running
     inside whole-stage codegen at scan rate — and, critically, one the
-    optimizer keeps below the probe's exchange."""
-    arr = F.lit(words).cast("array<bigint>")
+    optimizer keeps below the probe's exchange.
+
+    The bitmap must enter the plan as ONE literal: ``F.lit(list)``
+    builds CreateArray with one child literal per word, and at
+    production m (65,536 words) the generated code for that expression
+    blows janino's 64 KB method limit — whole-stage codegen silently
+    falls back to interpreted eval and the probe scan pays ~15×
+    (measured on 60 M rows: 32.1 s CreateArray vs 2.2 s folded
+    literal, identical survivors).  ``from_json`` of a literal string
+    is foldable, so ConstantFolding collapses it to a single
+    ArrayData literal at optimization time — same plan shape, codegen
+    stays scan-rate at any m."""
+    import json
+
+    arr = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
 
     def _bit_set(p):
         word = F.shiftright(p, 6).cast("int")
@@ -202,11 +215,20 @@ def bloom_semi_join(
     shuffling the full fact table and shuffling the matching sliver.
     """
     bk = build_key or probe_key
-    keys = build.select(F.col(bk).alias("__bloom_bk")).distinct()
+    # ONE build-side scan: the distinct key frame feeds the sizing
+    # count, the bitmap aggregate, AND the exact scrub join — lazily it
+    # would be recomputed (scan + distinct shuffle) for each, three
+    # passes where one materialization suffices (r13 bench: three
+    # documented build passes; this folds them)
+    keys = (
+        build.select(F.col(bk).alias("__bloom_bk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if m_bits is None or k is None:
-        # size the filter from the actual key count (one agg over the
-        # build side, which the bitmap build scans anyway) — a fixed
-        # geometry saturates on large build sides; see bloom_params
+        # size the filter from the actual key count — free off the
+        # materialized frame; a fixed geometry saturates on large
+        # build sides, see bloom_params
         auto_m, auto_k = bloom_params(keys.count())
         m_bits = m_bits or auto_m
         k = k or auto_k

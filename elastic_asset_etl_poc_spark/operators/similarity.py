@@ -816,6 +816,17 @@ def pq_train(
     S = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
     nrm = np.linalg.norm(S, axis=1, keepdims=True)
     S = S / np.where(nrm == 0, 1.0, nrm)
+    return _pq_kmeans(S, m, ksub, kmeans_iters, seed)
+
+
+def _pq_kmeans(S, m: int, ksub: int, kmeans_iters: int, seed: int):
+    """Per-subspace L2 k-means over a driver-side (n, d) training matrix
+    → (m, min(ksub, n), d/m) codebooks.  Shared by :func:`pq_train`
+    (unit vectors) and :func:`ivfpq_train` (coarse residuals) —
+    identical op order and per-subspace seeding, so pq_train's output
+    is byte-stable across the refactor."""
+    import numpy as np
+
     d = S.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1633,4 +1644,251 @@ def pca_project(
     ]
     return embeddings.select(
         F.col(id_col), F.array(*projs).alias("proj")
+    )
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    centroids,
+    m: int = 8,
+    ksub: int = 32,
+    max_train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0xA11,
+):
+    """Train RESIDUAL product-quantization codebooks for IVF-PQ →
+    numpy (m, ksub, d/m): the FAISS IVFPQ layout, where PQ compresses
+    the residual r = unit(v) − C[list(v)] instead of the vector itself.
+    Residuals concentrate near the origin of each list (the coarse
+    quantizer has already explained the between-list variance), so the
+    same code budget spends its centroids on a much tighter
+    distribution — the reason production ANN composes the two tiers
+    rather than running PQ flat.
+
+    Same bounded-sample discipline as :func:`ivf_train`/:func:`pq_train`
+    (deterministic xxhash64 % mod sample, never O(N) on the driver);
+    the per-subspace k-means is the SAME `_pq_kmeans` pq_train uses.
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    sample = embeddings.select(id_col, vec_col)
+    n_total = sample.count()
+    mod = -(-max(n_total, 1) // max_train_sample)
+    if mod > 1:
+        sample = sample.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        )
+    rows = sample.collect()
+    if not rows or C.size == 0:
+        return np.empty((0, 0, 0), dtype=np.float64)
+    S = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(S, axis=1, keepdims=True)
+    S = S / np.where(nrm == 0, 1.0, nrm)
+    R = S - C[np.argmax(S @ C.T, axis=1)]
+    return _pq_kmeans(R, m, ksub, kmeans_iters, seed)
+
+
+def ivfpq_probe(
+    store: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 8,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ serving pass over an assigned store ``(centroid,
+    neighbor_id, __v)`` → (query_id, neighbor_id, rank).
+
+    Scoring decomposes exactly: for v in list c with residual r,
+    q·unit(v) = q·C[c] + q·r ≈ q·C[c] + Σ_j tab[q, j, code_j(r)] —
+    the per-query ADC tables are the same (q_sub · book) gathers as
+    flat PQ, PLUS one scalar per probed list, so the probe ships NO
+    per-pair float math and the table memory is independent of which
+    lists are probed.
+
+    Plan shape (leaner than :func:`ivf_probe`'s equi-join): queries
+    collect (tiny side by contract) into broadcast probe masks + ADC
+    tables; ONE ``mapInPandas`` pass over the store encodes each
+    partition's residuals (m argmins vs the broadcast books), scores
+    only rows whose list each query probes, keeps ``refine × k``
+    candidates per (partition, query) and re-ranks THOSE exactly from
+    the raw vectors already in hand — the shuffle after the scan
+    carries ≤ partitions × nq × refine·k rows into the global top-k
+    window.  No candidate replication, no raw-vector join traffic:
+    the 100-TB form scans the parquet store once, map-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)
+    idtype = _ivf_idtype(queries, id_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", idtype),
+            T.StructField("neighbor_id", idtype),
+            T.StructField("__score", T.DoubleType()),
+        ]
+    )
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows or C.size == 0 or B.size == 0:
+        return spark.createDataFrame([], out_schema).select(
+            "query_id", "neighbor_id", F.lit(1).alias("rank")
+        ).filter(F.lit(False))
+    mm, kc_sub, dsub = B.shape
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / np.where(qn == 0, 1.0, qn)
+    qids = [r[0] for r in qrows]
+    qc = Q @ C.T                                    # (nq, kc) list offsets
+    order = np.argsort(-qc, axis=1)[:, : min(nprobe, len(C))]
+    probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
+    for qi in range(len(Q)):
+        probe_mask[qi, order[qi]] = True
+    tabs = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), B)
+    keep_n = max(refine, 1) * k
+    bc = spark.sparkContext.broadcast((C, B, qc, probe_mask, tabs, Q))
+
+    def scan(it):
+        Cm, Bm, qcm, pm, Tq, Qm = bc.value
+        jar = np.arange(mm)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vu = V / np.where(vn == 0, 1.0, vn)
+            cid = pdf["centroid"].to_numpy()
+            R = (Vu - Cm[cid]).reshape(len(Vu), mm, dsub)
+            codes = np.empty((len(Vu), mm), dtype=np.int64)
+            for j in range(mm):
+                d2 = ((R[:, j, None, :] - Bm[None, j]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            ids = pdf["neighbor_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(Tq)):
+                keep = pm[qi, cid] & (ids != qids[qi])
+                if not keep.any():
+                    continue
+                s = qcm[qi, cid[keep]] + Tq[qi][
+                    jar[None, :], codes[keep]
+                ].sum(axis=1)
+                kids = ids[keep]
+                top = np.lexsort((kids, -s))[: min(keep_n, len(kids))]
+                sc = Vu[keep][top] @ Qm[qi]         # exact refine
+                out_q.extend([qids[qi]] * len(top))
+                out_n.extend(kids[top])
+                out_s.extend(sc)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "__score": out_s}
+            )
+
+    cand = store.select("centroid", "neighbor_id", "__v").mapInPandas(
+        scan, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 32,
+    refine: int = 8,
+    max_train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x1BF,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ ANN → (query_id, neighbor_id, rank): the PRODUCTION
+    composition of the two certified tiers — IVF's coarse pruning
+    (probe nprobe of n_centroids lists) over PQ's 32×-compressed
+    residual codes, with exact re-rank of the refine×k sliver.  This
+    is the FAISS IVFPQ + refine layout: IVF alone still ships raw
+    vectors through its probe join; PQ alone still scans every row;
+    composed, the scan touches only probed lists and reads m bytes per
+    vector until the final sliver.
+
+    Stages (each reusable/persistable like its parents):
+    1. coarse — :func:`ivf_train` / pass ``centroids``;
+    2. residual books — :func:`ivfpq_train` / pass ``codebooks``;
+    3. assign — :func:`ivf_assign` (the same store layout as IVF-Flat,
+       so a standing IVF store upgrades to IVF-PQ without re-assign);
+    4. serve — :func:`ivfpq_probe` (one map pass, broadcast tables).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    idtype = _ivf_idtype(embeddings, id_col)
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else ivf_train(
+            embeddings,
+            n_centroids=n_centroids,
+            max_train_sample=max_train_sample,
+            kmeans_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+    )
+    if len(C) == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", idtype),
+                    T.StructField("neighbor_id", idtype),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+    B = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else ivfpq_train(
+            embeddings,
+            C,
+            m=m,
+            ksub=ksub,
+            max_train_sample=max_train_sample,
+            kmeans_iters=kmeans_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    store = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col)
+    return ivfpq_probe(
+        store,
+        queries,
+        C,
+        B,
+        k=k,
+        nprobe=nprobe,
+        refine=refine,
+        id_col=id_col,
+        vec_col=vec_col,
     )

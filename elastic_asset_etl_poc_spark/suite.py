@@ -2859,6 +2859,136 @@ def recall_pq_lossless_vs_exact(spark, sf_dir):
     )
 
 
+#: per-sf_dir IVF-PQ index (coarse centroids + residual codebooks),
+#: trained once per process — bench runs each query 3×; same
+#: train-once rationale as _PQ_BOOKS / _MUTUAL_IVF_CENTROIDS.
+_IVFPQ_INDEX: dict = {}
+
+
+def _ivfpq_index(spark, sf_dir, slice_below=None, **kw):
+    key = (sf_dir, slice_below, tuple(sorted(kw.items())))
+    if key not in _IVFPQ_INDEX:
+        from .operators.similarity import ivf_train, ivfpq_train
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        if slice_below is not None:
+            emb = emb.filter(F.col("vec_id") < slice_below)
+        C = ivf_train(emb, n_centroids=kw.get("n_centroids", 16))
+        B = ivfpq_train(
+            emb,
+            C,
+            m=kw.get("m", 8),
+            ksub=kw.get("ksub", 32),
+            max_train_sample=kw.get("max_train_sample", 4096),
+        )
+        _IVFPQ_INDEX[key] = (C, B)
+    return _IVFPQ_INDEX[key]
+
+
+@q(
+    "embed_knn_ivfpq",
+    """
+SELECT CAST(5 AS BIGINT) AS n_queries, CAST(10 AS INTEGER) AS k,
+       CAST(1 AS BOOLEAN) AS recall_at_k_ge_050
+""",
+)
+def embed_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk) — the PRODUCTION composition
+    of the two certified tiers: IVF coarse pruning (nprobe=8 of 16
+    lists) over PQ-compressed RESIDUAL codes (m=8, 32× smaller than
+    float32), exact re-rank of the refine×k sliver.  IVF-Flat still
+    ships raw vectors through its probe join; flat PQ still scans
+    every row; composed, the serving pass reads m bytes per vector in
+    probed lists only — the FAISS IVFPQ+refine layout, one
+    mapInPandas pass with broadcast ADC tables and NO candidate join.
+
+    Invariant-row audit (the embed_knn_ivf/pq pattern): random
+    fixtures are the worst case for BOTH tiers (no cluster structure
+    for IVF, neighbor gaps below quantization distortion for PQ), and
+    the composed recall is the IVF probe's candidate ceiling (~0.86
+    here) times PQ+refine survival.  refine=32 because the PQ tier is
+    the binding loss on dense random corpora (measured at sf0.1:
+    refine 8→32 lifts recall 0.44→0.68 at fixed nprobe, while nprobe
+    8→12 adds only ~0.04) — measured 0.68-0.86 across sf, so the
+    stated bound is ≥ 0.5: a broken residual-encode/table/offset path
+    scores ~0 and breaks the hash.  The exact-machinery twin
+    (recall_ivfpq_lossless_vs_exact) pins the decomposition
+    q·C[c] + q·r̂ at 100% separately."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    C, B = _ivfpq_index(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(
+        emb, queries, k=10, nprobe=8, refine=32, centroids=C, codebooks=B
+    ).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count_distinct("query_id").alias("n_queries"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .select(
+            "n_queries",
+            F.lit(10).alias("k"),
+            (F.col("__n_hit") >= F.lit(0.5) * F.col("__n_exact")).alias(
+                "recall_at_k_ge_050"
+            ),
+        )
+    )
+
+
+@q(
+    "recall_ivfpq_lossless_vs_exact",
+    """
+SELECT CAST(1 AS BOOLEAN) AS ivfpq_equals_exact, CAST(50 AS BIGINT) AS n_pairs
+""",
+)
+def recall_ivfpq_lossless_vs_exact(spark, sf_dir):
+    """Exact-machinery audit for the IVF-PQ path: over a 500-vector
+    slice with ksub ≥ |slice| the residual quantizer is LOSSLESS
+    (every training residual becomes its own centroid), and with
+    nprobe = n_centroids every list is probed — so pure-ADC IVF-PQ
+    ranking must equal exact cosine top-k pair-for-pair, certifying
+    the score DECOMPOSITION q·unit(v) = q·C[list] + q·residual and
+    the encode/table/gather path in one shot (the
+    recall_pq_lossless_vs_exact pattern, extended to the offset
+    term).  refine=0 deliberately: the re-rank must not be allowed to
+    mask a broken ADC stage."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    queries = emb.filter(F.col("vec_id") < 5)
+    C, B = _ivfpq_index(
+        spark, sf_dir, slice_below=500, ksub=512, max_train_sample=512
+    )
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(
+        emb,
+        queries,
+        k=10,
+        nprobe=16,
+        refine=0,
+        centroids=C,
+        codebooks=B,
+    ).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint(eager=True)
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("__n_approx")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .select(
+            (
+                (F.col("n_pairs") == F.col("__n_exact"))
+                & (F.col("__n_approx") == F.col("__n_exact"))
+            ).alias("ivfpq_equals_exact"),
+            "n_pairs",
+        )
+    )
+
+
 @q(
     "funnel_fold_events",
     """
@@ -8471,7 +8601,15 @@ def containment_neardup_docs(spark, sf_dir):
     computes the same intersections in 24s.  Prefix filtering pays
     off only when (1−t)·|X| ≪ |X| — see containment_prefix_neardup_docs
     (t=0.9: 2.5k candidates, 17s vs 68s) for the high-threshold
-    regime on the prefix plan."""
+    regime on the prefix plan.
+
+    Scale class: OUTPUT-BOUND on duplication-heavy corpora — a dup
+    group of size g contributes g²/2 true pairs, so on the sf1 scale
+    fixture (10 perturbed copies per doc at C≈0.62 ≥ 0.5, tuned to
+    dodge the 0.8 jaccard gate but not this one) the TRUE result
+    grows ×979 (256 → 250,600 pairs) at ×10 data.  No algorithm that
+    emits the qualifying pairs can beat its own output size; per-pair
+    cost is flat (SCALE_r14)."""
     from .operators.neardup import containment_pairs
 
     return containment_pairs(

@@ -658,3 +658,86 @@ def test_mutual_kernels_survive_zero_vectors(spark):
         got = {(r.vec_a, r.vec_b) for r in pairs}
         assert not any(math.isnan(r.cos) for r in pairs)
         assert expected <= got | {(100, 101)} and got <= expected | {(100, 101)}
+
+
+def test_ivfpq_lossless_full_probe_equals_exact(spark):
+    """ksub >= corpus makes the RESIDUAL quantizer lossless and
+    nprobe = n_centroids probes every list, so pure-ADC IVF-PQ must
+    equal exact cosine top-k rank-for-rank — certifying the score
+    decomposition q.unit(v) = q.C[list] + q.residual plus the
+    encode/table/offset path with no refine to mask it."""
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    emb = _rand_emb(spark)
+    q = emb.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(
+            emb, q, k=5, n_centroids=4, nprobe=4, m=4, ksub=64,
+            max_train_sample=64, refine=0,
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivfpq_prunes_unprobed_lists(spark):
+    """nprobe=1 must restrict candidates to each query's own nearest
+    list: two well-separated clusters, a query from cluster A can only
+    return cluster-A neighbors — proof the probe mask actually prunes
+    rather than scanning everything."""
+    import math
+
+    from elastic_asset_etl_poc_spark.operators.similarity import ivfpq_topk
+
+    rows = []
+    for i in range(20):
+        a = 0.02 * i
+        rows.append((i, [1.0, a, 0.0, 0.0]))            # cluster A
+        rows.append((100 + i, [-1.0, 0.0, a, 0.0]))      # cluster B (opposed)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    got = ivfpq_topk(
+        emb, q, k=5, n_centroids=2, nprobe=1, m=4, ksub=16, refine=0,
+        max_train_sample=64,
+    ).collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id < 100 for r in got)
+
+
+def test_ivfpq_refine_recovers_recall_and_empty_edges(spark):
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    emb = _rand_emb(spark, n=120, d=16, seed=11)
+    q = emb.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_topk(
+                emb, q, k=5, n_centroids=4, nprobe=4, m=4, ksub=8,
+                refine=refine,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r8 = recall(0), recall(8)
+    assert r8 >= r0
+    assert r8 >= 0.8  # full probe: only the PQ tier is lossy here
+    # empty query set and empty corpus both yield empty frames
+    none_q = emb.filter("vec_id < 0")
+    assert ivfpq_topk(emb, none_q, k=5, m=4).count() == 0
+    assert ivfpq_topk(none_q, none_q, k=5, m=4).count() == 0

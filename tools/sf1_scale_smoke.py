@@ -117,7 +117,15 @@ HEAVY = [
     ("bloom_semi_join_lineitem", "linear"),
     ("drift_psi_events", "linear"),
     ("cusum_changepoint_events", "linear"),
-    ("containment_neardup_docs", "linear (pair build per-call — cold by construction)"),
+    # containment@0.5 is OUTPUT-BOUND quadratic on the scaled corpus:
+    # the 10 perturbed copies were tuned to sit BELOW the 0.8 jaccard
+    # gate (J≈0.48) but sit ABOVE the 0.5 containment gate (C≈0.62),
+    # so the TRUE result grows ×979 (256 → 250,600 pairs) at ×10 data —
+    # the embed_neardup_cosine_lsh class, annotated not asserted; the
+    # per-pair cost is flat and the t=0.9 prefix twin (output ~linear
+    # at ×10) is the asserted linear-class member of the family.
+    ("containment_neardup_docs", "quadratic-in-duplication output semantics on the scaled fixture (256→250,600 true pairs at 10x)"),
+    ("containment_prefix_neardup_docs", "linear (pair build per-call — cold by construction; t=0.9 prefix candidates output-sized)"),
     ("embed_drift_centroid", "linear"),
     ("stream_drift_psi_events", "linear"),
     ("drift_psi_value_events", "linear (two corpus scans: frozen-ruler edges, then binning)"),
