@@ -1754,7 +1754,12 @@ def ivfpq_probe(
         probe_mask[qi, order[qi]] = True
     tabs = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), B)
     keep_n = max(refine, 1) * k
-    bc = spark.sparkContext.broadcast((C, B, qc, probe_mask, tabs, Q))
+    # Qm None at refine=0: the emitted score is then the raw ADC sum —
+    # pq_topk's contract, which the lossless twin leans on (a re-rank
+    # must not be allowed to mask a broken ADC stage)
+    bc = spark.sparkContext.broadcast(
+        (C, B, qc, probe_mask, tabs, Q if refine > 0 else None)
+    )
 
     def scan(it):
         Cm, Bm, qcm, pm, Tq, Qm = bc.value
@@ -1784,7 +1789,7 @@ def ivfpq_probe(
                 ].sum(axis=1)
                 kids = ids[keep]
                 top = np.lexsort((kids, -s))[: min(keep_n, len(kids))]
-                sc = Vu[keep][top] @ Qm[qi]         # exact refine
+                sc = Vu[keep][top] @ Qm[qi] if Qm is not None else s[top]
                 out_q.extend([qids[qi]] * len(top))
                 out_n.extend(kids[top])
                 out_s.extend(sc)

@@ -68,7 +68,14 @@ HEAVY = [
     ("jaccard_neardup_docs", "linear (cold: pair build re-run per timing)"),
     ("minhash_neardup_docs", "linear (cold: pair build re-run per timing)"),
     ("dedup_survivors_minhash", "linear (cold: pair build re-run per timing)"),
-    ("simhash_neardup_docs", "linear"),
+    # simhash output is SUPER-LINEAR on the scaled fixture: the 10
+    # perturbed copies share 62.5% of 3-gram features, land within
+    # hamming<=3 of each other, and the verified pair count grows
+    # x41.6 at x10 data (525 -> 21,827 — the band-audit table in this
+    # same report) — wall tracks output (per-pair cost falls); the
+    # banded join's candidates/pairs ratio stays ~flat (1.32x), which
+    # is the property that matters for the plan.
+    ("simhash_neardup_docs", "output-superlinear on the scaled fixture (525→21,827 verified pairs at 10x; band-audit table below)"),
     ("embed_knn_bruteforce", "linear"),  # fixed query set, corpus x10
     ("embed_neardup_cosine_lsh", "quadratic: all-pairs output semantics"),
     ("asof_salted_clicks", "linear"),
@@ -406,13 +413,26 @@ def _child_time(name: str, sf_dir: str, runs: int) -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     fn = e.queries()[name]
-    best = None
-    for _ in range(runs):
+
+    def _cold():
         if name in COLD_CACHES:
             suite._PAIR_FRAMES.clear()
             suite._SHINGLE_FRAMES.clear()
             suite._KMV_SS_FRAMES.clear()
             suite.evict_ivf_stores()
+
+    # one UNTIMED warm execution first: the first run of a heavy query
+    # in a fresh JVM pays 2-3× its steady state in JIT compilation
+    # (measured: containment sf1 73.3s run1 vs 30.3s run2, same
+    # session), which is JVM noise, not plan cost — the slope should
+    # compare steady states.  Cache clearing still precedes every
+    # TIMED run, so cold-build queries re-price their build.
+    _cold()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    best = None
+    for _ in range(runs):
+        _cold()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
@@ -565,8 +585,12 @@ def main() -> None:
             [
                 "",
                 "FRESH-JVM MODE: every (query, sf) arm timed in its own "
-                "subprocess JVM (no mega-process heap/GC asymmetry) — "
-                "slopes are clean measurements, not in-sweep readings.",
+                "subprocess JVM (no mega-process heap/GC asymmetry); one "
+                "untimed warm execution precedes the timed best-of-N in "
+                "each child (first-run JIT costs 2-3× steady state and is "
+                "JVM noise, not plan cost) — slopes compare steady "
+                "states, cache-cleared per timed run for cold-build "
+                "queries.",
             ]
             if args.fresh_jvm
             else []
