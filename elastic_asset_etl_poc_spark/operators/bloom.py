@@ -170,19 +170,16 @@ def bloom_might_contain(
     inside whole-stage codegen at scan rate — and, critically, one the
     optimizer keeps below the probe's exchange.
 
-    The bitmap must enter the plan as ONE literal: ``F.lit(list)``
-    builds CreateArray with one child literal per word, and at
-    production m (65,536 words) the generated code for that expression
-    blows janino's 64 KB method limit — whole-stage codegen silently
-    falls back to interpreted eval and the probe scan pays ~15×
-    (measured on 60 M rows: 32.1 s CreateArray vs 2.2 s folded
-    literal, identical survivors).  ``from_json`` of a literal string
-    is foldable, so ConstantFolding collapses it to a single
-    ArrayData literal at optimization time — same plan shape, codegen
-    stays scan-rate at any m."""
-    import json
-
-    arr = F.from_json(F.lit(json.dumps(words)), "array<bigint>")
+    Literal-size note (measured, r14): ``F.lit(list)`` on PySpark 4.x
+    produces ONE compact array literal even at production m (65,536
+    words) — generated code size and steady-state scan rate are
+    IDENTICAL to a from_json-folded alternative (controlled fresh-JVM
+    A/B, 3-run medians 1.4 s both forms on the 60 M-row sf1 probe).
+    An early one-shot reading blamed this literal for a 15× slowdown;
+    the controlled experiment refuted that — the outlier was cold-JIT
+    first-run variance, the class tools/sf1_scale_smoke.py's
+    warm-first protocol now removes from measurements."""
+    arr = F.lit(words).cast("array<bigint>")
 
     def _bit_set(p):
         word = F.shiftright(p, 6).cast("int")
