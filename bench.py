@@ -3,8 +3,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
     {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "cold": {name: sec, ...},
-     "runs": 3, "sf": 0.1}
+     "n_queries": 272, "queries": {slowest-only}, "fast_n": ...,
+     "drift": {"n": 0, "worst": {}}, "full": "BENCH_FULL.json",
+     "runs": 3, "sf": 0.1, "load": {...}}
+
+The stdout line is hard-capped (≤1500 bytes) so the driver's tail
+capture parses it; the FULL per-query map (median + cold + memoized
+names + full drift) is written to BENCH_FULL.json.
 
 Each query is forced end-to-end with the noop sink (full materialization,
 no driver collect cost).  A tiny warmup query absorbs JVM/codegen start-up
@@ -286,34 +291,73 @@ def main() -> None:
             indent=1,
         )
 
-    def compact(threshold: float) -> str:
-        slow = {k: v for k, v in sorted(medians.items()) if v >= threshold or v < 0}
+    # stdout budget: the driver records only the TAIL (~2000 chars) of
+    # stdout and json-parses it; BENCH_r12/r13/r14 all recorded
+    # "parsed": null because this line exceeded the budget (the full
+    # "memoized" name list alone is ~900 bytes and the drift map is
+    # unbounded).  So the stdout line is now a hard-capped SUMMARY —
+    # full per-query/cold/drift/memoized detail lives only in
+    # BENCH_FULL.json — with counts in place of lists and drift folded
+    # to its 3 worst entries.  The threshold loop ends in a
+    # queries-free fallback that is small by construction.
+    drift_summary = {
+        "n": len(drift),
+        "worst": {
+            n: drift[n]
+            for n in sorted(
+                drift,
+                key=lambda n: -(
+                    drift[n]["suite"] / drift[n]["prev"]
+                    if drift[n]["prev"] > 0
+                    else 0.0
+                ),
+            )[:3]
+        },
+    }
+    n_errors = sum(1 for v in medians.values() if v < 0)
+
+    def compact(threshold: float | None) -> str:
+        if threshold is None:
+            slow: dict[str, float] = {}
+        else:
+            slow = {
+                k: v
+                for k, v in sorted(medians.items())
+                if v >= threshold or v < 0
+            }
         return json.dumps(
             {
+                "metric": "suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(medians),
+                "n_errors": n_errors,
                 "queries": slow,
-                # serve-only numbers (memoized artifact); build cost is in
-                # "cold" in BENCH_FULL.json and pretrain_pipeline_docs
-                "memoized": sorted(memoized),
-                "drift": drift,
                 "fast_n": len(medians) - len(slow),
                 "fast_sec": round(
-                    sum(v for v in medians.values() if 0 <= v < threshold), 2
+                    sum(
+                        v
+                        for k, v in medians.items()
+                        if v >= 0 and k not in slow
+                    ),
+                    2,
                 ),
                 "thresh": threshold,
+                # serve-only queries (memoized artifact; build cost in
+                # "cold" / pretrain_pipeline_docs) — names in BENCH_FULL
+                "memoized_n": len(memoized),
+                "drift": drift_summary,
                 "full": "BENCH_FULL.json",
                 "runs": runs,
                 "sf": sf,
                 "load": load,
-                "metric": "suite_wall_sec",
-                "unit": "sec",
-                "value": total,
             },
             separators=(",", ":"),
         )
 
-    line = compact(0.0)
-    for thr in (0.2, 0.3, 0.5, 0.8, 1.0, 1.5, 2.0):
-        if len(line) <= 1900:
+    line = compact(2.0)
+    for thr in (3.0, 5.0, 8.0, 15.0, None):
+        if len(line) <= 1500:
             break
         line = compact(thr)
     print(line)

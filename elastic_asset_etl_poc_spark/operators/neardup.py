@@ -1371,10 +1371,18 @@ def containment_prefix_pairs(
     huge one).  Candidates are therefore prefix(smaller) ⋈ postings,
     volume Σ_{(d,s): s ∈ prefix(d)} df(s) — bounded by the per-doc
     RAREST frequencies, where the naive index pays Σ_s df(s)² over
-    all shingles.  Size order is enforced on the candidate (strictly
-    smaller side's prefix; equal sizes keep one direction — both
-    prefixes qualify there), so no pair is generated from the
-    unguaranteed direction.
+    all shingles.  Generation itself is direction-blind — EVERY doc's
+    prefix joins the full postings, so the raw stream does include
+    larger-side fan-out — and the size-order rule (strictly smaller
+    side's prefix; equal sizes keep one canonical direction — both
+    prefixes qualify there) is applied on the DEDUPED candidate-pair
+    frame: it is the VERIFY stage, not candidate generation, that
+    pays only the guaranteed direction.  Deliberate: filtering during
+    generation needs per-doc sizes on both shingle streams, and
+    ``sizes`` is doc-cardinality (billions at 100 TB — not
+    broadcastable), so the pushdown would cost two corpus-sized
+    shuffle joins to save at most half the pair-dedup input; the
+    dedup is map-side combinable and wins that trade.
 
     The candidate bound uses t − 1e-4 (prefix length only): the final
     filter keeps round(C,4) ≥ t — the same rounded predicate as

@@ -665,7 +665,23 @@ def kmv_min_shared(
     binomial's, so the distribution-free Hoeffding tail
     P(X ≤ k·t − s) ≤ exp(−2s²/k) gives s = √(k·ln(1/δ)/2) at
     δ = 1 − retention:  min_shared = ⌊k·t − s⌋ (floored at 1).
-    k = 1024, t = 0.1, retention 0.99 → 102.4 − 48.6 → 53."""
+    k = 1024, t = 0.1, retention 0.99 → 102.4 − 48.6 → 53.
+
+    PRECONDITION — full sketches: this scalar bound assumes the union
+    sample has k elements, i.e. |A∪B| ≥ k.  When a pair's union is
+    smaller the sketch is EXACT and n_shared = |A∩B| = J·|A∪B|
+    deterministically, which can sit BELOW ⌊k·t − s⌋ for a J ≥ t pair
+    (|A∪B| = 400, J = 0.12 → n_shared = 48 < 53) — such pairs would
+    be dropped with probability 1, not ≤ 1 − retention.  Pass ``k``
+    as the pair's effective sample size (≥ max of the two sketch row
+    counts) to get the clamped bound; :func:`kmv_candidate_pairs`
+    does exactly that per-pair from the signature frame, so callers
+    going through the operator need no precondition.  The clamp is
+    sound for any true union sample size k_u ≥ k_eff: the threshold
+    f(n) = n·t − √(n·ln(1/δ)/2) is increasing in n whenever it
+    actually prunes (f(k_eff) > 1 ⇒ t·k_eff > s ⇒ f′ > 0 on
+    [k_eff, ∞)), and the extra mean margin (k_u − k_eff)·t only
+    tightens the tail."""
     import math
 
     delta = max(1.0 - retention, 1e-12)
@@ -697,12 +713,23 @@ def kmv_candidate_pairs(
     nothing (md5 collisions aside).
 
     The prune threshold is OPERATOR-owned: pass ``threshold_jaccard``
-    (with the sketch ``k`` and a ``retention`` target) and
-    :func:`kmv_min_shared` derives the Hoeffding-tail bound that keeps
-    J ≥ t pairs with probability ≥ retention — a caller can no longer
-    pick a literal that silently drops qualifying pairs.  The raw
-    ``min_shared`` override remains for callers that computed their
-    own bound (exactly one of the two must be given).
+    (with the sketch ``k`` and a ``retention`` target) and the
+    :func:`kmv_min_shared` Hoeffding-tail bound keeps J ≥ t pairs
+    with probability ≥ retention — a caller can no longer pick a
+    literal that silently drops qualifying pairs.  That holds at ANY
+    occupancy because the bound is clamped PER-PAIR to the effective
+    sample size k_eff = max(|sketch A|, |sketch B|) (a lower bound on
+    the union sample |bottom-k(A∪B)|): an under-full pair's sketch
+    is exact, n_shared = |A∩B| can legitimately sit below the
+    full-sketch literal (⌊k·t − s⌋ = 53 at k = 1024/t = 0.1/99%,
+    while |A∪B| = 400, J = 0.12 gives n_shared = 48), and the clamped
+    threshold ⌊k_eff·t − √(k_eff·ln(1/δ)/2)⌋ retains it.  Soundness
+    of clamping to a LOWER bound of the true sample size is proved in
+    :func:`kmv_min_shared`'s docstring.  The per-pair thresholds come
+    from one S-row set-size frame broadcast onto the candidate
+    aggregate — no extra shuffle.  The raw ``min_shared`` override
+    remains for callers that computed their own bound (exactly one of
+    the two must be given) and is applied as a plain literal.
 
     Scale shape: one self-equi-join on h over S·k signature rows —
     per-hash fan-out is the number of SKETCHES containing that
@@ -713,14 +740,47 @@ def kmv_candidate_pairs(
         raise ValueError(
             "pass exactly one of min_shared or threshold_jaccard"
         )
-    if threshold_jaccard is not None:
-        min_shared = kmv_min_shared(k, threshold_jaccard, retention)
     a = sig.select(F.col("set_id").alias("set_a"), "h")
     b = sig.select(F.col("set_id").alias("set_b"), "h")
-    return (
+    cand = (
         a.join(b, "h")
         .filter(F.col("set_a") < F.col("set_b"))
         .groupBy("set_a", "set_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+    )
+    if threshold_jaccard is None:
+        return cand.filter(F.col("n_shared") >= min_shared)
+    # per-pair clamp: k_eff = max of the two sketch row counts is a
+    # lower bound on the union sample size |bottom-k(A∪B)|, and the
+    # Hoeffding threshold is increasing in the sample size whenever
+    # it prunes (kmv_min_shared docstring) — so evaluating the bound
+    # at k_eff keeps retention sound at any occupancy, including
+    # exact (under-full) sketches where n_shared = |A∩B| < ⌊k·t − s⌋
+    # is legitimate for a J ≥ t pair.  sizes is S rows → broadcast.
+    import math
+
+    delta = max(1.0 - retention, 1e-12)
+    ln_inv_delta = math.log(1.0 / delta)
+    sizes = sig.groupBy("set_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_rows")
+    )
+    k_eff = F.greatest(F.col("ka.k_rows"), F.col("kb.k_rows"))
+    thresh = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(
+            k_eff * F.lit(float(threshold_jaccard))
+            - F.sqrt(k_eff * F.lit(ln_inv_delta) / F.lit(2.0))
+        ),
+    )
+    return (
+        cand.join(
+            F.broadcast(sizes).alias("ka"),
+            cand["set_a"] == F.col("ka.set_id"),
+        )
+        .join(
+            F.broadcast(sizes).alias("kb"),
+            cand["set_b"] == F.col("kb.set_id"),
+        )
+        .filter(F.col("n_shared") >= thresh)
+        .select("set_a", "set_b", "n_shared")
     )

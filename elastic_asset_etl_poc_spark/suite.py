@@ -7394,7 +7394,8 @@ def stream_session_watermark_events(spark, sf_dir):
     micro-batches the file source split into (the no-data final batch
     advances it and flushes eligible state), and Spark's eviction
     predicate is session_end ≤ watermark INCLUSIVE — pinned by a
-    synthetic exact-tie test (tests/test_streaming_more.py) because a
+    synthetic exact-tie test (tests/test_streaming.py
+    test_session_watermark_eviction_boundary_inclusive) because a
     boundary session sits in the output or the open set depending on
     it.  The oracle is therefore the batch gap-session SQL plus
     ``HAVING session_end <= max(ts) − 1h``: sessions still open at
@@ -12837,12 +12838,23 @@ sig AS (
     FROM uh
   ) WHERE rn <= 1024
 ),
-pr AS (
+sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS k_rows FROM sig GROUP BY 1
+),
+pr0 AS (
   SELECT a.source AS src_a, b.source AS src_b,
          CAST(count(*) AS BIGINT) AS n_shared
   FROM sig a JOIN sig b ON a.h = b.h AND a.source < b.source
   GROUP BY 1, 2
-  HAVING count(*) >= 53
+),
+pr AS (
+  SELECT pr0.src_a, pr0.src_b, pr0.n_shared
+  FROM pr0
+  JOIN sz za ON za.source = pr0.src_a
+  JOIN sz zb ON zb.source = pr0.src_b
+  WHERE pr0.n_shared >= greatest(1, floor(
+          greatest(za.k_rows, zb.k_rows) * 0.1
+          - sqrt(greatest(za.k_rows, zb.k_rows) * ln(100.0) / 2)))
 ),
 u AS (
   SELECT coalesce(pa.src_a, pb.src_a) AS src_a,
@@ -12885,8 +12897,11 @@ def kmv_candidates_sources(spark, sf_dir):
     occupies the same position in both sets' hash order.  The prune
     is the OPERATOR-derived bound, not a fixture literal:
     threshold_jaccard=0.1 at k=1024 with 99% retention →
-    kmv_min_shared's Hoeffding tail ⌊k·t − √(k·ln(1/δ)/2)⌋ = 53
-    (the oracle states the resulting literal).  On this fixture
+    kmv_min_shared's Hoeffding tail ⌊k_eff·t − √(k_eff·ln(1/δ)/2)⌋,
+    clamped PER-PAIR to k_eff = max of the two sketch row counts so
+    under-full (exact) sketches are never pruned by the full-sketch
+    literal (53 at k_eff = 1024; the oracle replays the same formula
+    over per-source sketch sizes).  On this fixture
     n_shared spans 24–145 at the sf0.01 gate (the threshold genuinely
     prunes: 50 of 190 pairs survive) and 346–430 at sf0.1 (all pass —
     J grows with SF here; disclosed, the mechanism not the split is

@@ -441,3 +441,47 @@ def test_kmv_min_shared_bound_retains_above_drops_below(spark):
         kmv_candidate_pairs(sig)
     with pytest.raises(ValueError):
         kmv_candidate_pairs(sig, min_shared=5, threshold_jaccard=0.1)
+
+
+def test_kmv_candidate_pairs_underfull_clamp(spark):
+    """Retention soundness at LOW occupancy: when |A∪B| ≤ k the
+    sketch is exact and n_shared = |A∩B| deterministically, which can
+    sit below the FULL-sketch Hoeffding literal for a J ≥ t pair —
+    the r14 bound would drop it with probability 1, not ≤ 1−retention.
+    The per-pair clamp (threshold evaluated at k_eff = max sketch row
+    count) must retain it.  Pinned example (ADVICE r14):
+    |A| = |B| = 224, |A∩B| = 48, |A∪B| = 400 → J = 0.12 ≥ t = 0.1 but
+    n_shared = 48 < 53 = ⌊1024·0.1 − √(1024·ln100/2)⌋; clamped
+    threshold at k_eff = 224 is max(1, ⌊22.4 − 22.7⌋) = 1 → kept."""
+    from elastic_asset_etl_poc_spark.operators.sketches import (
+        kmv_candidate_pairs,
+        kmv_min_shared,
+        kmv_sketch,
+    )
+
+    # the full-sketch literal really is above this pair's exact count
+    assert kmv_min_shared(1024, 0.1) == 53
+    # and the clamped bound at the pair's effective size is permissive
+    assert kmv_min_shared(224, 0.1) == 1
+
+    rows = (
+        [("A", i) for i in range(0, 224)]
+        + [("B", i) for i in range(176, 400)]  # |A∩B| = 48
+        + [("C", i) for i in range(9000, 9224)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, ["s", "k"]).repartition(4)
+    sig = kmv_sketch(df, "s", "k", k=1024)
+    cand = {
+        (r.set_a, r.set_b, r.n_shared)
+        for r in kmv_candidate_pairs(
+            sig, threshold_jaccard=0.1, k=1024
+        ).collect()
+    }
+    # exact under-full pair retained with its exact intersection count;
+    # the raw-literal path still drops it (caller-owned bound honored)
+    assert cand == {("A", "B", 48)}
+    raw = {
+        (r.set_a, r.set_b)
+        for r in kmv_candidate_pairs(sig, min_shared=53).collect()
+    }
+    assert raw == set()
