@@ -2989,6 +2989,112 @@ def recall_ivfpq_lossless_vs_exact(spark, sf_dir):
     )
 
 
+#: per-sf_dir INCREMENTAL IVF-PQ index: coarse centroids + residual
+#: codebooks trained on the 80% STANDING corpus only (frozen), standing
+#: assignments persisted to parquet — the embed_knn_ivf_incr store
+#: pattern extended with the PQ tier.  Evicted with the IVF family via
+#: evict_ivf_stores (owns a parquet tempdir like _IVF_INCR_STORES).
+_IVFPQ_INCR_STORES: dict = {}
+
+
+def _ivfpq_incr_store(spark, sf_dir: str):
+    if sf_dir not in _IVFPQ_INCR_STORES:
+        import atexit
+        import shutil
+        import tempfile
+
+        from .operators.similarity import ivf_assign, ivf_train, ivfpq_train
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        standing = emb.filter(F.col("vec_id") % 5 != 0)
+        C = ivf_train(standing)
+        B = ivfpq_train(standing, C)
+        path = tempfile.mkdtemp(prefix="suite_ivfpqstore_")
+        ivf_assign(standing, C).write.mode("overwrite").parquet(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _IVFPQ_INCR_STORES[sf_dir] = (C, B, path)
+    return _IVFPQ_INCR_STORES[sf_dir]
+
+
+@q(
+    "embed_knn_ivfpq_incr",
+    """
+SELECT CAST(sum(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_standing,
+       CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       CAST(1 AS BOOLEAN) AS incr_equals_full,
+       CAST(50 AS BIGINT) AS n_pairs
+FROM embeddings
+""",
+)
+def embed_knn_ivfpq_incr(spark, sf_dir):
+    """INCREMENTAL index maintenance for IVF-PQ (the embed_knn_ivf_incr
+    pattern lifted to the production composition): the standing store
+    holds assignments for 80% of the corpus under coarse centroids AND
+    residual codebooks trained on that standing corpus alone; the 20%
+    delta batch folds in as ONE stateless map-side assignment against
+    the FROZEN centroids (operators/similarity.py ivf_assign — no
+    retrain of either tier, no rewrite of standing lists).  The store
+    layout is IVF-Flat's (centroid, id, raw vector) — residual codes
+    are computed inside the serving scan against the broadcast frozen
+    codebooks (ivfpq_probe), so fold-in needs no PQ encode step and a
+    standing IVF store upgrades in place; a deployment that persists
+    codes instead changes storage, not this fold contract.
+
+    CERTIFICATE — fold-in ≡ full re-encode: serving the incremental
+    store (standing parquet ∪ fresh delta assignment) must equal
+    serving a from-scratch assignment of the FULL corpus pair-for-pair
+    AND rank-for-rank under the same frozen (C, B).  refine=0
+    deliberately: pure-ADC scores make the per-partition keep and the
+    global top-k the SAME total order (score desc, id asc), so the
+    result is a pure function of the row SET — structurally
+    layout-independent — and any fold bug (stale centroid matrix, lost
+    or duplicated delta rows, wrong list) breaks the driver hash.  A
+    refine > 0 re-rank would reorder AFTER a layout-dependent ADC
+    truncation and could mask exactly the row-set drift this query
+    exists to catch.  Serving recall economics are certified by
+    embed_knn_ivfpq; the lossless decomposition by
+    recall_ivfpq_lossless_vs_exact.
+
+    Scale shape: delta assignment is map-only over the batch; the
+    standing store is read, never recomputed; the full-rebuild arm is
+    the AUDIT baseline (priced here, not in production serving), and
+    probe cost is independent of how many batches were folded."""
+    from .operators.similarity import ivf_assign, ivfpq_probe
+
+    C, B, path = _ivfpq_incr_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = spark.read.parquet(path)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    store_incr = standing.unionByName(ivf_assign(delta, C))
+    store_full = ivf_assign(emb, C)
+    queries = emb.filter(F.col("vec_id") < 5)
+    a_incr = ivfpq_probe(
+        store_incr, queries, C, B, k=10, nprobe=8, refine=0
+    ).localCheckpoint(eager=True)
+    a_full = ivfpq_probe(store_full, queries, C, B, k=10, nprobe=8, refine=0)
+    hit = a_incr.join(a_full, ["query_id", "neighbor_id", "rank"])
+    return (
+        standing.agg(F.count(F.lit(1)).cast("bigint").alias("n_standing"))
+        .crossJoin(
+            delta.agg(F.count(F.lit(1)).cast("bigint").alias("n_delta"))
+        )
+        .crossJoin(a_incr.agg(F.count(F.lit(1)).alias("__n_incr")))
+        .crossJoin(a_full.agg(F.count(F.lit(1)).alias("__n_full")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .select(
+            "n_standing",
+            "n_delta",
+            (
+                (F.col("n_pairs") == F.col("__n_incr"))
+                & (F.col("__n_incr") == F.col("__n_full"))
+            ).alias("incr_equals_full"),
+            "n_pairs",
+        )
+    )
+
+
 @q(
     "funnel_fold_events",
     """
@@ -10913,6 +11019,9 @@ def evict_ivf_stores() -> None:
     for _cents, path in _IVF_INCR_STORES.values():
         shutil.rmtree(path, ignore_errors=True)
     _IVF_INCR_STORES.clear()
+    for _c, _b, path in _IVFPQ_INCR_STORES.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVFPQ_INCR_STORES.clear()
     # the mutual_knn_ivf frozen-centroid memo is IVF-family state too
     # (driver-side numpy, no tempdir) — cache-clearing tools expect one
     # call to reset the whole family

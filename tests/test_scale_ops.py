@@ -195,5 +195,23 @@ def test_sf1_slope_gate_fails_superlinear_plant():
         },
         "quadratic_plant": {"class": "linear", "slope": 6.0},
         "allpairs_audit": {"class": "quadratic by design", "slope": 40.0},
+        # second-decade creep: first decade looks linear (2.0x at 10x)
+        # but per-unit cost doubles decade-over-decade — only the sf3
+        # arm's efficiency gate can catch this
+        "decade_creep": {
+            "class": "linear",
+            "slope": 2.0,
+            "slope2": 1.5,
+            "eff2_ratio": 2.5,
+        },
+        "decade_ok": {
+            "class": "linear",
+            "slope": 2.0,
+            "slope2": 0.7,
+            "eff2_ratio": 1.17,
+        },
     }
-    assert mod.slope_failures(results) == ["quadratic_plant"]
+    assert mod.slope_failures(results) == [
+        "quadratic_plant",
+        "decade_creep (eff2_ratio=2.5)",
+    ]

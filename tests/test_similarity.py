@@ -711,6 +711,49 @@ def test_ivfpq_prunes_unprobed_lists(spark):
     assert all(r.neighbor_id < 100 for r in got)
 
 
+def test_ivfpq_incremental_fold_equals_full(spark):
+    """Incremental IVF-PQ maintenance: assigning a delta batch against
+    FROZEN coarse centroids and unioning it onto the standing store
+    must serve identically to a from-scratch assignment of the full
+    corpus under the same (C, B) — pair-for-pair AND rank-for-rank.
+    refine=0 so per-partition keep and global top-k share one total
+    order (score desc, id asc): the result is a pure function of the
+    row set, so ANY inequality is a fold bug (stale centroids, lost or
+    duplicated rows), never layout noise.  The standing/delta split
+    deliberately leaves the delta out of training — the production
+    regime where codebooks are stale relative to the served corpus."""
+    from elastic_asset_etl_poc_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        ivfpq_probe,
+        ivfpq_train,
+    )
+
+    emb = _rand_emb(spark, n=150, d=16, seed=23)
+    standing = emb.filter("vec_id % 5 != 0")
+    delta = emb.filter("vec_id % 5 = 0")
+    C = ivf_train(standing, n_centroids=4)
+    B = ivfpq_train(standing, C, m=4, ksub=8)
+    store_incr = ivf_assign(standing, C).unionByName(
+        ivf_assign(delta, C)
+    ).repartition(7)  # layout differs from the full arm on purpose
+    store_full = ivf_assign(emb, C).repartition(3)
+    q = emb.filter("vec_id < 3")
+    incr = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_probe(
+            store_incr, q, C, B, k=5, nprobe=2, refine=0
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_probe(
+            store_full, q, C, B, k=5, nprobe=2, refine=0
+        ).collect()
+    }
+    assert incr == full and len(incr) == 15  # 3 queries × k=5
+
+
 def test_ivfpq_refine_recovers_recall_and_empty_edges(spark):
     from elastic_asset_etl_poc_spark.operators.similarity import (
         cosine_topk,

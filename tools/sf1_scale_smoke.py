@@ -57,7 +57,9 @@ os.environ.setdefault("SPARK_GRAFT_PURE_DECODE", "1")
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/sparkgraft_sf1"
+SF3 = "/tmp/sparkgraft_sf3"  # second-decade arm: 30× sf0.1 (3× sf1)
 COPIES = 10
+COPIES3 = 30
 KEY_OFFSET = 100_000_000
 
 #: (query, class) — 'linear' slopes are asserted, others annotated.
@@ -282,6 +284,14 @@ HEAVY = [
     ("stream_kmv_overlap_sources", "linear (one running bucketed-min agg, state <= S x 64k; audit as batch)"),
     ("kmv_candidates_sources", "linear (hash-equi signature self-join; estimation candidate-sized, never S^2)"),
     ("label_prop_custsupp", "linear (3 fixed rounds: partitioned join + agg + node-partitioned rank window each)"),
+    # round-14/15: IVF-PQ serving (memoized codebooks — the slope
+    # prices the ONE mapInPandas pass over probed lists + the exact
+    # brute-force recall arm, both linear in corpus) and the
+    # incremental fold (cold: both tiers + standing store rebuilt per
+    # timing; the in-query full-reassign audit arm is also corpus-
+    # linear, so the composite stays linear-class).
+    ("embed_knn_ivfpq", "linear (serving: one map pass over probed lists + exact recall-audit arm; codebooks memoized)"),
+    ("embed_knn_ivfpq_incr", "linear (cold: train + standing assign rebuilt per timing; fold is map-only, audit arm one full reassign)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
 
@@ -290,12 +300,25 @@ def slope_failures(results: dict) -> list:
     """Gate predicate, split out so tests can plant a synthetic
     superlinear slope and prove the gate actually fails it (the r10
     judge's note: a 15.0 bound passed everything, including a
-    hypothetical 6x quadratic creep)."""
-    return [
+    hypothetical 6x quadratic creep).  When a second-decade arm is
+    present (``eff2_ratio``), linear-class queries additionally assert
+    the per-unit-data cost does not degrade decade over decade
+    (eff2 ≤ 1.5×eff1) — a plan can look linear on one 10× step while
+    its constant is quietly growing with scale."""
+    out = [
         n
         for n, r in results.items()
         if r["class"].startswith("linear") and r["slope"] > MAX_LINEAR_SLOPE
     ]
+    out += [
+        f"{n} (eff2_ratio={r['eff2_ratio']})"
+        for n, r in results.items()
+        if r["class"].startswith("linear")
+        and r.get("eff2_ratio") is not None
+        and r["eff2_ratio"] > 1.5
+        and n not in out
+    ]
+    return out
 
 #: queries whose timing must include the shared-pair-frame build: the
 #: suite memoizes _shared_pairs per (sf_dir, kind) so serving is ~0.02s —
@@ -310,6 +333,9 @@ COLD_CACHES = {
     "mmr_rerank_docs",
     # _IVF_INCR_STORES consumer: clearing prices train+standing assign
     "embed_knn_ivf_incr",
+    # _IVFPQ_INCR_STORES consumer (evict_ivf_stores clears it too):
+    # clearing prices both tiers' training + the standing assign
+    "embed_knn_ivfpq_incr",
     # _KMV_SS_FRAMES consumers: clearing prices the (source, shingle)
     # set-frame build, the dominant cost of the KMV source family
     # (kmv_incremental_sources builds its own doc-granularity frame)
@@ -321,19 +347,31 @@ COLD_CACHES = {
 
 
 def build_sf1(spark) -> None:
+    _build_scaled(spark, SF1, COPIES)
+
+
+def build_sf3(spark) -> None:
+    """Second-decade fixture: the SAME deterministic construction with
+    30 copies (copies 0–9 are bit-identical to sf1's, so sf3 is a
+    strict superset in content terms — the slope comparison never
+    conflates data growth with a different generator)."""
+    _build_scaled(spark, SF3, COPIES3)
+
+
+def _build_scaled(spark, dst: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
-    done = os.path.join(SF1, "_DONE")
+    done = os.path.join(dst, "_DONE")
     if os.path.exists(done):
         return
-    shutil.rmtree(SF1, ignore_errors=True)
-    os.makedirs(SF1)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
     for t in ("region", "nation", "customer", "supplier", "part"):
-        shutil.copy(f"{SF01}/{t}.parquet", f"{SF1}/{t}.parquet")
+        shutil.copy(f"{SF01}/{t}.parquet", f"{dst}/{t}.parquet")
 
     def shifted_union(df, shift_cols, extra=None):
         parts = []
-        for c in range(COPIES):
+        for c in range(copies):
             off = c * KEY_OFFSET
             out = df
             for col in shift_cols:
@@ -349,17 +387,17 @@ def build_sf1(spark) -> None:
     orders = spark.read.parquet(f"{SF01}/orders.parquet")
     shifted_union(orders, ["o_orderkey"]).repartition(32).write.mode(
         "overwrite"
-    ).parquet(f"{SF1}/orders.parquet")
+    ).parquet(f"{dst}/orders.parquet")
 
     lineitem = spark.read.parquet(f"{SF01}/lineitem.parquet")
     shifted_union(lineitem, ["l_orderkey"]).repartition(32).write.mode(
         "overwrite"
-    ).parquet(f"{SF1}/lineitem.parquet")
+    ).parquet(f"{dst}/lineitem.parquet")
 
     events = spark.read.parquet(f"{SF01}/events.parquet")  # ts stays bigint ns
     shifted_union(events, ["event_id", "user_id"]).repartition(32).write.mode(
         "overwrite"
-    ).parquet(f"{SF1}/events.parquet")
+    ).parquet(f"{dst}/events.parquet")
 
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
 
@@ -377,7 +415,7 @@ def build_sf1(spark) -> None:
 
     shifted_union(docs, ["doc_id"], perturb_text).repartition(32).write.mode(
         "overwrite"
-    ).parquet(f"{SF1}/documents.parquet")
+    ).parquet(f"{dst}/documents.parquet")
 
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
@@ -394,7 +432,7 @@ def build_sf1(spark) -> None:
 
     shifted_union(emb, ["vec_id"], rotate).repartition(8).write.mode(
         "overwrite"
-    ).parquet(f"{SF1}/embeddings.parquet")
+    ).parquet(f"{dst}/embeddings.parquet")
     with open(done, "w") as fh:
         fh.write("ok\n")
 
@@ -484,6 +522,16 @@ def main() -> None:
         "removes mega-process heap/GC asymmetry from the slope",
     )
     ap.add_argument(
+        "--sf3",
+        action="store_true",
+        help="add a SECOND-decade arm: build the 30× fixture and time "
+        "each query at sf3 too; linear-class queries then also assert "
+        "that per-unit-data cost does not degrade across decades "
+        "(eff2 = (t_sf3/t_sf1)/3 vs eff1 = (t_sf1/t_sf01)/10, "
+        "eff2 ≤ 1.5×eff1) — the 100-TB claim should not rest on one "
+        "10× extrapolation",
+    )
+    ap.add_argument(
         "--child",
         nargs=3,
         metavar=("NAME", "SF_DIR", "RUNS"),
@@ -502,6 +550,12 @@ def main() -> None:
     t0 = time.time()
     build_sf1(spark)
     print(f"sf1 fixtures ready in {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.sf3:
+        t0 = time.time()
+        build_sf3(spark)
+        print(
+            f"sf3 fixtures ready in {time.time() - t0:.1f}s", file=sys.stderr
+        )
     if args.fresh_jvm:
         # the parent JVM must not compete with the timing children; the
         # band audit below re-creates a session afterwards
@@ -513,10 +567,13 @@ def main() -> None:
     heavy = HEAVY if args.only is None else [
         (n, k) for n, k in HEAVY if n in set(args.only)
     ]
+    arms = [("t_sf01", SF01), ("t_sf1", SF1)]
+    if args.sf3:
+        arms.append(("t_sf3", SF3))
     results: dict[str, dict] = {}
     for name, klass in heavy:
         row: dict = {"class": klass}
-        for label, sf_dir in (("t_sf01", SF01), ("t_sf1", SF1)):
+        for label, sf_dir in arms:
             if args.fresh_jvm:
                 row[label] = round(_fresh_best(name, sf_dir, args.runs), 2)
                 continue
@@ -539,6 +596,15 @@ def main() -> None:
                 spark.catalog.clearCache()
             row[label] = round(best, 2)
         row["slope"] = round(row["t_sf1"] / max(row["t_sf01"], 1e-9), 1)
+        if args.sf3:
+            row["slope2"] = round(row["t_sf3"] / max(row["t_sf1"], 1e-9), 1)
+            # per-unit-data efficiency across decades: decade 1 grows
+            # the data 10×, decade 2 grows it 3× — a linear plan keeps
+            # eff2/eff1 ≈ 1; >1.5 means cost per row is RISING with
+            # scale (the creep a single 10× arm cannot see)
+            eff1 = row["slope"] / 10.0
+            eff2 = row["slope2"] / 3.0
+            row["eff2_ratio"] = round(eff2 / max(eff1, 1e-9), 2)
         results[name] = row
         print(f"{name}: {row}", file=sys.stderr)
 
@@ -605,14 +671,39 @@ def main() -> None:
                 "for queries whose operator code is unchanged.",
             ]
         ),
+        *(
+            [
+                "",
+                "SECOND-DECADE ARM: sf3 = 30× sf0.1 (same deterministic "
+                "generator, 30 copies — copies 0–9 bit-identical to "
+                "sf1's).  `slope2` = t_sf3/t_sf1 (3× data); "
+                "`eff2` = (slope2/3)/(slope/10) compares per-unit-data "
+                "cost across decades — linear-class queries assert "
+                "eff2 ≤ 1.5 so the 100-TB claim does not rest on a "
+                "single 10× extrapolation.",
+            ]
+            if args.sf3
+            else []
+        ),
         "",
-        "| query | class | sf0.1 s | sf1 s | slope |",
-        "|---|---|---|---|---|",
+        (
+            "| query | class | sf0.1 s | sf1 s | sf3 s | slope | slope2 | eff2 |"
+            if args.sf3
+            else "| query | class | sf0.1 s | sf1 s | slope |"
+        ),
+        ("|---|---|---|---|---|---|---|---|" if args.sf3 else "|---|---|---|---|---|"),
     ]
     for n, r in results.items():
-        lines.append(
-            f"| {n} | {r['class']} | {r['t_sf01']} | {r['t_sf1']} | {r['slope']}× |"
-        )
+        if args.sf3:
+            lines.append(
+                f"| {n} | {r['class']} | {r['t_sf01']} | {r['t_sf1']} | "
+                f"{r['t_sf3']} | {r['slope']}× | {r['slope2']}× | "
+                f"{r['eff2_ratio']} |"
+            )
+        else:
+            lines.append(
+                f"| {n} | {r['class']} | {r['t_sf01']} | {r['t_sf1']} | {r['slope']}× |"
+            )
     lines += [
         "",
         "## Banded Hamming join health (simhash, max_hamming=3)",
