@@ -195,23 +195,17 @@ def test_sf1_slope_gate_fails_superlinear_plant():
         },
         "quadratic_plant": {"class": "linear", "slope": 6.0},
         "allpairs_audit": {"class": "quadratic by design", "slope": 40.0},
-        # second-decade creep: first decade looks linear (2.0x at 10x)
-        # but per-unit cost doubles decade-over-decade — only the sf3
-        # arm's efficiency gate can catch this
-        "decade_creep": {
-            "class": "linear",
-            "slope": 2.0,
-            "slope2": 1.5,
-            "eff2_ratio": 2.5,
-        },
-        "decade_ok": {
-            "class": "linear",
-            "slope": 2.0,
-            "slope2": 0.7,
-            "eff2_ratio": 1.17,
-        },
+        # second-decade creep: first decade passes (4.0x at 10x data —
+        # under the 5.0 bound) but the sf1→sf3 step is superlinear
+        # (6.0x at 3x data) — only the sf3 arm's slope2 gate sees it
+        "decade_creep": {"class": "linear", "slope": 4.0, "slope2": 6.0},
+        # genuinely sublinear decade-2 slope passes even though the
+        # overhead-dominated decade-1 slope (1.6x at 10x) would make an
+        # efficiency double-ratio flag it — the rejected-metric case
+        "decade_ok": {"class": "linear", "slope": 1.6, "slope2": 2.2},
     }
+    assert mod.MAX_LINEAR_SLOPE2 <= 4.5
     assert mod.slope_failures(results) == [
         "quadratic_plant",
-        "decade_creep (eff2_ratio=2.5)",
+        "decade_creep (slope2=6.0)",
     ]

@@ -294,28 +294,39 @@ HEAVY = [
     ("embed_knn_ivfpq_incr", "linear (cold: train + standing assign rebuilt per timing; fold is map-only, audit arm one full reassign)"),
 ]
 MAX_LINEAR_SLOPE = 5.0
+#: decade-2 bound: sf1→sf3 is 3× data, linear expectation 3.0; 1.5×
+#: headroom mirrors the decade-1 bound's noise allowance (single
+#: fresh-JVM arms spread ±2× run-to-run — SCALE_r14 disclosure)
+MAX_LINEAR_SLOPE2 = 4.5
 
 
 def slope_failures(results: dict) -> list:
     """Gate predicate, split out so tests can plant a synthetic
     superlinear slope and prove the gate actually fails it (the r10
-    judge's note: a 15.0 bound passed everything, including a
-    hypothetical 6x quadratic creep).  When a second-decade arm is
-    present (``eff2_ratio``), linear-class queries additionally assert
-    the per-unit-data cost does not degrade decade over decade
-    (eff2 ≤ 1.5×eff1) — a plan can look linear on one 10× step while
-    its constant is quietly growing with scale."""
+    judge's note: a 15.0 bound would have passed everything, including
+    a hypothetical 6x quadratic creep).  When a second-decade arm is
+    present (``slope2`` = t_sf3/t_sf1 at 3× data), linear-class
+    queries additionally assert slope2 ≤ MAX_LINEAR_SLOPE2 — the
+    decade-2 analog of the 10×-data bound, so the 100-TB claim does
+    not rest on a single extrapolation.  An efficiency DOUBLE-ratio
+    ((slope2/3)/(slope/10)) was tried first and rejected: at sf0.1
+    the heavy queries are fixed-overhead-dominated (jaccard's decade-1
+    slope is 1.6 at 10× data), which makes decade-1 per-unit cost
+    artificially cheap and flags genuinely sublinear decade-2 slopes
+    (2.2× at 3× data read as a 4.6× 'degradation') — the absolute
+    bound compares against linearity itself, not against a polluted
+    baseline."""
     out = [
         n
         for n, r in results.items()
         if r["class"].startswith("linear") and r["slope"] > MAX_LINEAR_SLOPE
     ]
     out += [
-        f"{n} (eff2_ratio={r['eff2_ratio']})"
+        f"{n} (slope2={r['slope2']})"
         for n, r in results.items()
         if r["class"].startswith("linear")
-        and r.get("eff2_ratio") is not None
-        and r["eff2_ratio"] > 1.5
+        and r.get("slope2") is not None
+        and r["slope2"] > MAX_LINEAR_SLOPE2
         and n not in out
     ]
     return out
@@ -526,10 +537,8 @@ def main() -> None:
         action="store_true",
         help="add a SECOND-decade arm: build the 30× fixture and time "
         "each query at sf3 too; linear-class queries then also assert "
-        "that per-unit-data cost does not degrade across decades "
-        "(eff2 = (t_sf3/t_sf1)/3 vs eff1 = (t_sf1/t_sf01)/10, "
-        "eff2 ≤ 1.5×eff1) — the 100-TB claim should not rest on one "
-        "10× extrapolation",
+        "slope2 = t_sf3/t_sf1 ≤ 4.5 (1.5× the linear 3.0) — the "
+        "100-TB claim should not rest on one 10× extrapolation",
     )
     ap.add_argument(
         "--child",
@@ -597,14 +606,10 @@ def main() -> None:
             row[label] = round(best, 2)
         row["slope"] = round(row["t_sf1"] / max(row["t_sf01"], 1e-9), 1)
         if args.sf3:
+            # decade-2 slope at 3× data; asserted ≤ MAX_LINEAR_SLOPE2
+            # for linear-class (see slope_failures for why an
+            # efficiency double-ratio was rejected)
             row["slope2"] = round(row["t_sf3"] / max(row["t_sf1"], 1e-9), 1)
-            # per-unit-data efficiency across decades: decade 1 grows
-            # the data 10×, decade 2 grows it 3× — a linear plan keeps
-            # eff2/eff1 ≈ 1; >1.5 means cost per row is RISING with
-            # scale (the creep a single 10× arm cannot see)
-            eff1 = row["slope"] / 10.0
-            eff2 = row["slope2"] / 3.0
-            row["eff2_ratio"] = round(eff2 / max(eff1, 1e-9), 2)
         results[name] = row
         print(f"{name}: {row}", file=sys.stderr)
 
@@ -676,29 +681,27 @@ def main() -> None:
                 "",
                 "SECOND-DECADE ARM: sf3 = 30× sf0.1 (same deterministic "
                 "generator, 30 copies — copies 0–9 bit-identical to "
-                "sf1's).  `slope2` = t_sf3/t_sf1 (3× data); "
-                "`eff2` = (slope2/3)/(slope/10) compares per-unit-data "
-                "cost across decades — linear-class queries assert "
-                "eff2 ≤ 1.5 so the 100-TB claim does not rest on a "
-                "single 10× extrapolation.",
+                f"sf1's).  `slope2` = t_sf3/t_sf1 (3× data); linear-"
+                f"class queries assert slope2 ≤ {MAX_LINEAR_SLOPE2} "
+                "(1.5× the linear 3.0) so the 100-TB claim does not "
+                "rest on a single 10× extrapolation.",
             ]
             if args.sf3
             else []
         ),
         "",
         (
-            "| query | class | sf0.1 s | sf1 s | sf3 s | slope | slope2 | eff2 |"
+            "| query | class | sf0.1 s | sf1 s | sf3 s | slope | slope2 |"
             if args.sf3
             else "| query | class | sf0.1 s | sf1 s | slope |"
         ),
-        ("|---|---|---|---|---|---|---|---|" if args.sf3 else "|---|---|---|---|---|"),
+        ("|---|---|---|---|---|---|---|" if args.sf3 else "|---|---|---|---|---|"),
     ]
     for n, r in results.items():
         if args.sf3:
             lines.append(
                 f"| {n} | {r['class']} | {r['t_sf01']} | {r['t_sf1']} | "
-                f"{r['t_sf3']} | {r['slope']}× | {r['slope2']}× | "
-                f"{r['eff2_ratio']} |"
+                f"{r['t_sf3']} | {r['slope']}× | {r['slope2']}× |"
             )
         else:
             lines.append(
