@@ -11,22 +11,48 @@ the injected `bloom_filter_agg` expression is internal-only and its
 trigger heuristics are opaque; this operator states the pattern
 explicitly so a pipeline can rely on it.
 
-Construction (all JVM-side, whole-stage codegen; zero Python UDFs):
+Construction (all JVM-side, whole-stage codegen; zero Python UDFs).
+The filter is REGISTER-BLOCKED (Putze, Sanders & Singler, "Cache-,
+Hash- and Space-Efficient Bloom Filters", WEA 2007 — the design behind
+Parquet's split-block bloom filters): each key owns ONE 64-bit word
+picked by ``h1 mod nwords``, and its k bits all live INSIDE that word
+at positions cut from 6-bit slices of ``h2 = xxhash64(key, salt)``.
 
-  * k hash functions by Kirsch-Mitzenmacher double hashing over
-    ``xxhash64``: ``g_i = h1 + i * h2 (mod m)`` with
-    ``h1 = xxhash64(key)`` and ``h2 = xxhash64(key, salt)`` — two real
-    hashes fan out to any k with no quality cliff (Kirsch & Mitzenmacher,
-    "Less Hashing, Same Performance", ESA 2006).
-  * build: keys → k bit positions → groupBy(word = pos >> 6) →
-    ``bit_or(1 << (pos & 63))`` → one row holding a
-    ``map<int, bigint>`` of non-zero words.  Both the position frame
-    (≤ k·n rows of ints) and the word map (≤ m/64 entries) are tiny
-    regardless of probe volume; the bitmap for m = 2^16 bits is 8 KiB.
+  * build: keys → (word index, 64-bit mask) → ``groupBy(word)`` →
+    ``bit_or(mask)`` → one row holding a ``map<int, bigint>`` of
+    non-zero words.  Map-side combinable; output ≤ m/64 entries
+    regardless of build rows; the bitmap for m = 2^17 bits is 16 KiB.
   * probe: the one-row word map is collected (a bounded, O(m/64)
-    driver action — the bitmap exists precisely to be shipped) and
-    densified into an ``array<bigint>`` LITERAL, then the probe filter
-    ANDs k codegen'd bit tests ``element_at(arr, word+1) & bit != 0``.
+    driver action — the bitmap exists precisely to be shipped),
+    densified, folded into ONE ``array<bigint>`` literal JVM-side (a
+    single byte[] py4j transfer + ``functions.lit(long[])`` — never an
+    element-wise ``F.lit(list)``), and the filter is a single
+    codegen'd test ``element_at(arr, word+1) & mask == mask``.
+
+  Why blocked instead of the textbook k-probe layout — the r15
+  forensics, each cost measured on the 6 M-row sf1 probe at the
+  auto-sized 2^22-bit geometry (full query, warm best-of-N):
+
+  * ``F.forall`` over the k positions: higher-order functions are
+    ``CodegenFallback``, and CollapseCodegenStages refuses to wrap any
+    stage containing one — the scan+filter+exchange probe stage ran
+    fully INTERPRETED (33–41 s; a scan-only microbenchmark hid it at
+    1.9 s, which is how the r14 A/B — comparing two literal FORMS both
+    under forall — concluded "identical").
+  * k chained AND bit-tests: codegen returns, but each of the k
+    occurrences of the 64 Ki-long literal costs O(m) in Catalyst
+    canonicalization per optimizer/AQE pass → ~14 s of DRIVER time
+    per query construction.  ``F.lit(list)`` construction itself is
+    65 536 py4j round trips (~30 s); from_json / parsed-SQL literal
+    forms fix construction but re-lose codegen (JsonToStructs is
+    CodegenFallback) or blow up the parser.
+  * blocked layout: ONE literal occurrence, ONE element_at per row,
+    mask arithmetic in registers → 1.4 s end-to-end, FPP 0.63%
+    measured at 16 bits/key.  The blocked penalty (all k bits in one
+    word collide more) costs ~2-4× the ideal FPP at equal bits/key —
+    BITS_PER_KEY is 16 (was 12) to buy it back; false positives only
+    cost scrub work, never correctness.
+
     Embedding the bitmap as a literal instead of a one-row crossJoin is
     deliberate: with a crossJoin, Catalyst legally reorders the scrub
     semi-join BELOW the cross join (the filter references the joined
@@ -56,17 +82,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: default filter geometry: m = 2^16 bits (8 KiB bitmap), k = 7 hashes.
-#: FPP ≈ (1 - e^(-k n / m))^k — for n = 5 000 keys: ~0.0009.
-DEFAULT_M_BITS = 1 << 16
-DEFAULT_K = 7
+#: default filter geometry: m = 2^17 bits (16 KiB bitmap), k = 6 bits
+#: inside the key's one word.  Blocked-filter FPP for n keys ≈
+#: (1 - (1 - k/(64·nwords))^n·... ) — in practice ~(load/64)^k_distinct
+#: per word; for n = 5 000 at this geometry measured ~2e-4.
+DEFAULT_M_BITS = 1 << 17
+DEFAULT_K = 6
 
-#: auto-sizing bounds: ~12 bits/key targets ≈0.1-0.3% FPP; the cap at
-#: 2^22 bits (512 KiB bitmap, 64 Ki longs) keeps the embedded literal
-#: broadcast-sized — beyond ~350 K build keys FPP degrades gracefully
-#: (the exact scrub keeps results correct regardless) and a deployment
-#: would shard the filter or raise the cap instead.
-BITS_PER_KEY = 12
+#: auto-sizing bounds: 16 bits/key targets ≈0.5-1% FPP for the BLOCKED
+#: layout (2-4× the ideal-bloom FPP at equal budget — the price of the
+#: one-word, one-element_at probe); the cap at 2^22 bits (512 KiB
+#: bitmap, 64 Ki longs) keeps the embedded literal broadcast-sized —
+#: beyond ~260 K build keys FPP degrades gracefully (the exact scrub
+#: keeps results correct regardless) and a deployment would shard the
+#: filter or raise the cap instead.
+BITS_PER_KEY = 16
 MIN_M_BITS = 1 << 10
 MAX_M_BITS = 1 << 22
 
@@ -75,31 +105,42 @@ _SALT = 0x9E3779B9  # golden-ratio constant, any fixed odd salt works
 
 def bloom_params(n_keys: int) -> tuple[int, int]:
     """Filter geometry for ``n_keys`` build keys: the smallest power-of-
-    two m ≥ BITS_PER_KEY·n (clamped), and the FPP-optimal k = m/n·ln 2
-    (clamped to [1, 12]).  A fixed default geometry SATURATES when the
-    build side outgrows it — n ≫ m drives FPP toward 1 and the prune
-    silently becomes a no-op (measured: 300 K keys against the 2^16
-    default pass 100% of a 6 M-row probe) — so size from n, always."""
+    two m ≥ BITS_PER_KEY·n (clamped), and k in-word bits ≈ m/n·ln 2
+    clamped to [1, 6] — beyond ~6 bits inside one 64-bit word the
+    intra-word collisions eat the gain.  A fixed default geometry
+    SATURATES when the build side outgrows it — n ≫ m drives FPP
+    toward 1 and the prune silently becomes a no-op (measured: 300 K
+    keys against the 2^16 default pass 100% of a 6 M-row probe) — so
+    size from n, always."""
     import math
 
     n = max(int(n_keys), 1)
     m = MIN_M_BITS
     while m < n * BITS_PER_KEY and m < MAX_M_BITS:
         m <<= 1
-    k = min(12, max(1, round(m / n * math.log(2))))
+    k = min(6, max(1, round(m / n * math.log(2))))
     return m, k
 
 
-def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """The k Kirsch-Mitzenmacher bit positions of ``key`` in [0, m).
+def _word_and_mask(key: Column, m_bits: int, k: int) -> tuple[Column, Column]:
+    """The blocked-bloom coordinates of ``key``: (word index in
+    [0, m/64), 64-bit mask of its k in-word bits).
 
-    Both hashes are reduced mod m BEFORE the ``h1 + i*h2`` combination:
-    ANSI mode makes the raw 64-bit multiply an overflow error, and since
-    (a + i·b) mod m == ((a mod m) + i·(b mod m)) mod m the reduction is
-    exact, keeping every intermediate under k·m."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(_SALT)), F.lit(m_bits))
-    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+    ``h1 mod nwords`` picks the word; the mask ORs ``1 << b_i`` with
+    each ``b_i`` a 6-bit slice of ``h2`` (slices i·6..i·6+5, so k ≤ 6
+    stays inside h2's low 36 bits — untouched by the arithmetic
+    ``shiftright`` sign extension).  Two independent xxhash64 draws,
+    the Kirsch-Mitzenmacher discipline applied block-wise.  All
+    arithmetic is int/long-range safe under ANSI mode."""
+    nwords = m_bits >> 6
+    word = F.pmod(F.xxhash64(key), F.lit(nwords)).cast("int")
+    h2 = F.xxhash64(key, F.lit(_SALT))
+    mask = None
+    for i in range(k):
+        b = F.pmod(F.shiftright(h2, 6 * i), F.lit(64)).cast("int")
+        t = F.call_function("shiftleft", F.lit(1).cast("long"), b)
+        mask = t if mask is None else mask.bitwiseOR(t)
+    return word, mask
 
 
 def bloom_build(
@@ -110,33 +151,22 @@ def bloom_build(
 ) -> DataFrame:
     """Aggregate ``build[key_col]`` into a one-row Bloom bitmap frame
     with a single column ``bf: map<int, bigint>`` (word index → 64-bit
-    word, zero words omitted).
+    word, zero words omitted).  Blocked layout: each key contributes
+    its full k-bit mask to exactly ONE word.
 
-    Scale shape: one projection to k positions (map-only, exploded),
-    one groupBy on ≤ m/64 distinct words with a map-side-combining
-    ``bit_or``, one single-group ``map_from_entries`` collapse.  The
-    build side streams through once; nothing about the output size
-    depends on n.
+    Scale shape: one map-only projection to (word, mask) — no explode,
+    one row per key — one groupBy on ≤ m/64 distinct words with a
+    map-side-combining ``bit_or``, one single-group
+    ``map_from_entries`` collapse.  The build side streams through
+    once; nothing about the output size depends on n.
     """
     if m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    word, mask = _word_and_mask(F.col(key_col), m_bits, k)
     pos = (
-        build.select(
-            F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias(
-                "pos"
-            )
-        )
-        .groupBy(F.shiftright(F.col("pos"), 6).cast("int").alias("word"))
-        .agg(
-            F.bit_or(
-                # call_function: F.shiftleft only takes a literal count
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    F.pmod(F.col("pos"), F.lit(64)).cast("int"),
-                )
-            ).alias("bits")
-        )
+        build.select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
     )
     return pos.agg(
         F.map_from_entries(
@@ -148,7 +178,7 @@ def bloom_build(
 def bloom_densify(bf_df: DataFrame, m_bits: int = DEFAULT_M_BITS) -> list[int]:
     """Collect the one-row word map into a dense ``m_bits/64``-long word
     list (index = word number).  The collect is bounded by the filter
-    geometry (8 KiB at the default m), never by build-side rows."""
+    geometry (16 KiB at the default m), never by build-side rows."""
     words = bf_df.collect()[0]["bf"] or {}
     dense = [0] * (m_bits >> 6)
     for w, bits in words.items():
@@ -162,36 +192,56 @@ def bloom_might_contain(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
 ) -> Column:
-    """Membership predicate: all k bits of ``key`` set in the dense word
-    list (from :func:`bloom_densify`), embedded as an array literal.
+    """Membership predicate: ALL k in-word bits of ``key`` set in its
+    one word of the dense word list (from :func:`bloom_densify`),
+    embedded as a single folded array literal —
+    ``element_at(arr, word + 1) & mask == mask``.
 
-    Pure builtin expressions (element_at / shiftleft / bitwiseAND) over
-    a literal array, so the test is a plain probe-side predicate running
-    inside whole-stage codegen at scan rate — and, critically, one the
-    optimizer keeps below the probe's exchange.
+    Pure builtin expressions (element_at / shiftleft / bitwiseAND), NO
+    higher-order functions, and exactly ONE occurrence of the bitmap
+    literal in the expression tree — each of those is load-bearing
+    (module docstring has the measured forensics): a ``forall`` is
+    CodegenFallback and costs the whole probe stage its WholeStageCodegen
+    wrap; k chained tests embed the 64 Ki-long literal k times and
+    Catalyst canonicalization walks O(m) per occurrence per
+    optimizer/AQE pass (~14 s of driver time at the 2^22 geometry);
+    the blocked one-word probe needs the literal once, runs inside
+    codegen at scan rate, and the optimizer keeps it below the probe's
+    exchange."""
+    arr = _fold_words_literal(words)
+    word, mask = _word_and_mask(key, m_bits, k)
+    return F.element_at(arr, word + F.lit(1)).bitwiseAND(mask) == mask
 
-    Literal-size note (measured, r14): ``F.lit(list)`` on PySpark 4.x
-    produces ONE compact array literal even at production m (65,536
-    words) — generated code size and steady-state scan rate are
-    IDENTICAL to a from_json-folded alternative (controlled fresh-JVM
-    A/B, 3-run medians 1.4 s both forms on the 60 M-row sf1 probe).
-    An early one-shot reading blamed this literal for a 15× slowdown;
-    the controlled experiment refuted that — the outlier was cold-JIT
-    first-run variance, the class tools/sf1_scale_smoke.py's
-    warm-first protocol now removes from measurements."""
-    arr = F.lit(words).cast("array<bigint>")
 
-    def _bit_set(p):
-        word = F.shiftright(p, 6).cast("int")
-        bit = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+def _fold_words_literal(words: list[int]) -> Column:
+    """ONE folded ``array<bigint>`` literal from a Python word list, in
+    O(1) py4j calls: pack the words into a single byte payload (py4j
+    fast-paths ``bytes`` to ``byte[]`` in one binary frame), decode
+    JVM-side via ``ByteBuffer.asLongBuffer().get(long[])``, and wrap
+    with Scala ``functions.lit(long[])`` — the same folded
+    UnsafeArrayData literal ``F.lit(list)`` yields, WITHOUT its
+    per-element construction: PySpark's ``F.lit(list)`` lowers to
+    ``array(*[lit(x) for x in xs])``, one py4j round trip per element
+    (measured ~30 s at 64 Ki words; this path: 0.03 s).  Falls back to
+    ``F.lit`` when the py4j gateway is unavailable (Spark Connect)."""
+    try:
+        import struct
+
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        gw = spark.sparkContext._gateway
+        payload = struct.pack("<%dq" % len(words), *words)
+        buf = (
+            gw.jvm.java.nio.ByteBuffer.wrap(payload)
+            .order(gw.jvm.java.nio.ByteOrder.LITTLE_ENDIAN)
+            .asLongBuffer()
         )
-        return F.element_at(arr, word + F.lit(1)).bitwiseAND(bit) != F.lit(0)
-
-    # forall over the position array embeds the bitmap literal ONCE in
-    # the plan; k chained tests would clone the full array k times into
-    # the expression tree (64 Ki longs × 12 copies at the size cap).
-    return F.forall(F.array(*_positions(key, m_bits, k)), _bit_set)
+        jarr = gw.new_array(gw.jvm.long, len(words))
+        buf.get(jarr)
+        return Column(gw.jvm.org.apache.spark.sql.functions.lit(jarr))
+    except Exception:  # noqa: BLE001 — gateway-less sessions (Connect)
+        return F.lit(words).cast("array<bigint>")
 
 
 def bloom_semi_join(

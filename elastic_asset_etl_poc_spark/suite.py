@@ -8455,7 +8455,7 @@ GROUP BY l_returnflag
 )
 def bloom_semi_join_lineitem(spark, sf_dir):
     """Bloom-pruned semi-join (operators/bloom.py): lineitem semi-joined
-    to urgent orders with an 8 KiB Bloom bitmap broadcast pruning the
+    to urgent orders with a KB-sized blocked Bloom bitmap pruning the
     probe side MAP-SIDE, before the sort-merge exchange — the explicit
     form of Spark's internal runtime row-level filtering (SPARK-32268),
     stated as an operator because `bloom_filter_agg` is not SQL-exposed

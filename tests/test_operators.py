@@ -893,10 +893,13 @@ def test_bloom_autosizing_avoids_saturation(spark):
     members = spark.range(0, 50_000).select(F.col("id").alias("k"))
     others = spark.range(1_000_000, 1_050_000).select(F.col("id").alias("k"))
 
-    # saturated: fixed default geometry, n*k/m = 5.3 bits set per slot
+    # saturated: fixed default geometry (2^17 bits, blocked) — 50 k
+    # keys load each word with ~24 keys ⇒ ~57 of 64 bits set ⇒
+    # analytic pass rate ~(57/64)^k ≈ 0.5: the prune passes half of
+    # everything, the no-op-prune failure mode demonstrated
     sat = bloom_densify(bloom_build(members, "k"))
     sat_fp = others.filter(bloom_might_contain(sat, F.col("k"))).count()
-    assert sat_fp > 40_000  # the no-op-prune failure mode, demonstrated
+    assert sat_fp > 20_000
 
     # auto-sized: m grows with n, FPP back under control
     m, kk = bloom_params(50_000)
