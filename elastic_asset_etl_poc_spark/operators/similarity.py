@@ -7,6 +7,18 @@ JVM-side via ``zip_with``/``aggregate`` higher-order functions; the
 all-pairs kernels use Arrow-batched numpy matmul (BLAS) — measured 10×+
 faster than interpreted folds for O(N²·d) work.
 
+Higher-order-function note (r15, from the bloom forensics): HOFs are
+``CodegenFallback`` expressions and a stage containing one is NOT
+wrapped in WholeStageCodegen — so the ``_dot``/``_norm`` folds here
+run interpreted, not codegen'd.  That is a deliberate, bounded cost:
+every HOF site in this module sits in an exact/audit arm or a
+query-sized frame (brute-force baselines, recall audits, PCA
+projection of a 64-dim corpus), while the O(N²)/serving hot paths are
+the Arrow-batched numpy kernels precisely because per-element JVM
+folds — codegen'd or not — lose to BLAS by 10×+ there.  A predicate
+on a corpus-sized SHUFFLE stage must not use HOFs (that was the bloom
+bug, operators/bloom.py); a bounded scoring arm may.
+
 Scale posture:
   * top-k: the query side is always the small side — broadcast it.
     Brute force is O(N·Q) dot products with zero shuffle; LSH cuts the
@@ -1585,7 +1597,8 @@ def pca_project(
     d×d eigenproblem is microseconds and independent of corpus size,
     the textbook place for a bounded collect).  The projection itself
     broadcasts the k×d component matrix back as literal arrays and
-    stays whole-stage-codegen (F.aggregate dot products, no UDF).
+    stays JVM-side (F.aggregate dot products, no Python UDF; see the
+    module note on higher-order functions and codegen).
 
     Eigenvector SIGN is normalized (largest-|loading| coordinate made
     positive, ties to the earlier dim) so the projection is

@@ -545,7 +545,8 @@ def funnel(
     Spark-first shape — ONE shuffle total: events are filtered to the
     step types (map-side, pushed to the scan), grouped per user into a
     time-sorted array, and the funnel state machine runs as an
-    ``F.aggregate`` fold over that array — a JVM codegen lambda, not a
+    ``F.aggregate`` fold over that array — a JVM-side lambda (HOFs are
+    CodegenFallback, so the stage is interpreted — still no Python), not a
     Python UDF and not k sequential self-joins (the classic SQL funnel
     pays k−1 extra shuffles; the fold pays zero).  Per-user state is two
     fields (stage, last_ts): memory is bounded by events-per-user for
@@ -621,7 +622,8 @@ def holt_linear(
     b' = β(l'−l) + (1−β)b) is inherently sequential, which usually
     pushes engines to a Python loop; here it runs as a JVM-side
     ``F.aggregate`` fold over the group's collected (x, y) array —
-    whole-stage-codegen arithmetic, no UDF, no window recursion.
+    JVM-side arithmetic (interpreted: HOFs are CodegenFallback), no
+    UDF, no window recursion.
 
     Input is one row per (group, x), the already-aggregated series;
     state initializes from the first two points (l₀ = y₂,

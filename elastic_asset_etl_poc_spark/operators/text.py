@@ -3,8 +3,11 @@
 Not in the reference (its only string work is EAN concatenation, SURVEY.md
 §2.8); these are the text-side operators a 100 TB document pipeline needs:
 token counting, quality scoring, language ID, fingerprinting.  All builtin
-column expressions — array/lambda functions run JVM-side inside codegen, so
-there is no Python row tax.
+column expressions running JVM-side, so there is no Python row tax
+(precision note, r15: the array/lambda higher-order functions here are
+CodegenFallback — their stages evaluate interpreted, not inside
+WholeStageCodegen; that is a bounded map-stage cost, see
+operators/bloom.py for the case where it is NOT acceptable).
 
 Engine-portability: every function here has an exact DuckDB-SQL twin in
 ``__spark_entry__.oracle_sql`` — same tokenization (single-space split),
