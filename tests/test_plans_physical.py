@@ -227,6 +227,49 @@ def test_scd2_history_single_shuffle(spark):
     assert len(nodes("Exchange")) == 1
 
 
+def test_bloom_probe_filter_is_codegen_and_hof_free(spark):
+    """The r15 regression pin: the bloom probe predicate must stay
+    INSIDE WholeStageCodegen and contain NO higher-order function.
+    HOFs (forall/aggregate/...) are CodegenFallback and exclude their
+    whole stage from codegen — with forall, the scan+filter+exchange
+    probe stage ran fully interpreted (39 s vs 3.3 s at sf1 for the
+    full query).  The executed plan's simple string marks codegen'd
+    nodes with ``*(N)``; the element_at membership Filter must carry
+    the marker, and 'forall' must not appear anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.bloom import bloom_semi_join
+    from elastic_asset_etl_poc_spark.sources.registry import load_table
+
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bloom_semi_join(
+            lineitem, orders, probe_key="l_orderkey", build_key="o_orderkey"
+        )
+        # collect() executes df's OWN QueryExecution so AQE finalizes
+        # and codegen markers appear (a write would run a separate one)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "forall" not in plan, "HOF reintroduced into the bloom probe"
+    import re
+
+    assert any(
+        re.search(r"\*\(\d+\) Filter ", ln) and "element_at" in ln
+        for ln in plan.splitlines()
+    ), "bloom membership Filter not inside WholeStageCodegen"
+
+
 def test_bloom_prune_sits_below_probe_exchange(spark):
     """The bloom filter's whole value is pruning BEFORE the sort-merge
     shuffle: in explain output children print below parents, so the
