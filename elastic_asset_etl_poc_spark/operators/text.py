@@ -40,9 +40,21 @@ def token_count(col: Column | str) -> Column:
 
 
 def stopword_count(col: Column | str, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Tokens equal to any stopword, duplicates counted.
+
+    Formulated as size(toks) minus size after an ``array_remove`` fold
+    over the (config-constant, tiny) stopword list rather than
+    ``F.filter(toks, λ)``: higher-order functions are CodegenFallback
+    and exclude their whole stage from WholeStageCodegen, and this
+    kernel sits in corpus-scan filter predicates (corpus_clean_docs /
+    training_manifest_docs) — the r15 bloom lesson.  ``array_remove``
+    drops ALL occurrences of one value and keeps duplicates of others,
+    so the count is identical to the filtered-size form."""
     toks = tokens(col)
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    cleaned = toks
+    for w in words:
+        cleaned = F.array_remove(cleaned, w)
+    return F.size(toks) - F.size(cleaned)
 
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:

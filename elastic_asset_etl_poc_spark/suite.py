@@ -3327,9 +3327,12 @@ def retrieval_eval_bm25(spark, sf_dir):
     base = docs.select("doc_id", F.split("text", " ").alias("t"))
     rel = (
         base.crossJoin(F.broadcast(qt))
-        .filter(
-            F.forall("terms", lambda x: F.array_contains(F.col("t"), x))
-        )
+        # subset test as size(array_except)=0, NOT F.forall: the forall
+        # condition made the corpus-side BroadcastNestedLoopJoin
+        # CodegenFallback (interpreted probe stage feeding the metric
+        # shuffles); array_except is codegen'd and emptiness ≡ forall
+        # containment (terms come from split(), never null elements)
+        .filter(F.size(F.array_except("terms", "t")) == 0)
         .select("query_id", "doc_id")
     )
     nrel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
@@ -11460,10 +11463,11 @@ def gini_revenue_customers_dist(spark, sf_dir):
     """The DISTRIBUTED-rank twin of gini_revenue_customers — the
     'range-partitioned sort + partition-offset cumsum' plan that
     query's docstring promises for fact-scale entity counts, with the
-    range partitioner made DETERMINISTIC via the rfm_segments_approx
-    broadcast-edges trick: 31 approx_percentile(1e4) value edges
-    split the revenue axis into 32 ordered buckets (bucket =
-    #edges < r, one map-side array filter — rows tied on r can never
+    range partitioner made DETERMINISTIC via driver-collected edges
+    (the classifier_calibration_approx precedent): 31
+    approx_percentile(1e4) value edges split the revenue axis into 32
+    ordered buckets (bucket = #edges < r, 31 codegen'd literal
+    comparisons — rows tied on r can never
     straddle an edge because assignment depends on the value alone,
     which is what keeps the composed rank EXACT and the oracle the
     exact twin's SQL verbatim), per-bucket ranks come from a
@@ -11477,33 +11481,43 @@ def gini_revenue_customers_dist(spark, sf_dir):
     (~n/32 per bucket up to revenue tie mass — revenue sums are
     effectively continuous).  Same result, same oracle, hash-certified
     equal.  Scale shape: one corpus shuffle (per-customer agg), one
-    GK-sketch edges agg broadcast back, one bucket-partitioned
-    rank window, two broadcast joins, one final agg."""
+    GK-sketch edges agg collected (31 floats), one bucket-partitioned
+    rank window, two broadcast joins (offsets + totals), one final
+    agg."""
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("r"))
         .localCheckpoint(eager=True)
     )
-    # PIN the edges frame: the bucket-count/offset branch and the
-    # local-rank branch would otherwise evaluate the GK aggregate
-    # independently (column pruning makes the parent exchanges
-    # non-identical, so exchange reuse is not guaranteed), and two
-    # merge-order-dependent GK runs can return different edge vectors —
-    # offsets inconsistent with bucket assignments = wrong ranks.  The
-    # calibration twin pins its edges for the same reason.
-    edges = rev.agg(
+    # edges collected ONCE to the driver (31 floats, bounded by the
+    # config grid — the classifier_calibration_approx precedent), then
+    # folded into 31 literal comparisons: the prior broadcast-array +
+    # size(filter(ax, e -> r > e)) form was a higher-order function,
+    # which is CodegenFallback — the optimizer pushed its isnotnull
+    # into the broadcast-join condition and the whole entity-frame
+    # stage feeding the rank-window exchange ran interpreted (the r15
+    # bloom class).  sum((r > edge_i)::int) ≡ count of edges < r, and
+    # a single driver evaluation pins determinism harder than the
+    # checkpoint did (GK merge order can no longer matter).
+    edge_vals = rev.agg(
         F.expr(
             "approx_percentile(r, array("
             + ", ".join(f"{i / 32.0}D" for i in range(1, 32))
             + "), 10000)"
         ).alias("ax")
-    ).localCheckpoint(eager=True)
-    binned = rev.crossJoin(F.broadcast(edges)).select(
-        "r",
-        "o_custkey",
-        F.expr("size(filter(ax, e -> r > e))").alias("__bkt"),
+    ).first()["ax"]
+    # ONE F.expr string, not 31 Column ops: per-operation py4j round
+    # trips cost ~0.5 s of driver time per build (the F.lit(list)
+    # lesson, scaled down); cast('…' as double) round-trips repr()
+    # exactly, so the embedded edges equal the collected doubles
+    bkt = F.expr(
+        " + ".join(
+            f"cast(r > cast('{float(e)!r}' as double) as int)"
+            for e in edge_vals
+        )
     )
+    binned = rev.select("r", "o_custkey", bkt.alias("__bkt"))
     counts = binned.groupBy("__bkt").agg(
         F.count(F.lit(1)).alias("c"), F.sum("r").alias("s")
     )

@@ -94,6 +94,20 @@ SINGLE_PARTITION_WINDOW_OK: dict[str, str] = {
 }
 
 
+#: Queries ALLOWED to keep a higher-order function in a Filter/Join
+#: condition on a stage that feeds a shuffle Exchange (detected as
+#: ``lambdafunction`` in the condition text — every HOF prints one and
+#: every HOF is CodegenFallback, which excludes its WHOLE stage from
+#: WholeStageCodegen).  The r15 bloom regression (F.forall in the probe
+#: predicate: 39 s vs 3.3 s at sf1, green through every gate for five
+#: rounds) generalized: a new interpreted corpus-shuffle predicate
+#: fails generation AND the pytest net unless its frame is argued
+#: bounded here.  Currently EMPTY — all four prior sites were
+#: rewritten codegen-clean in r16 (stopword array_remove fold,
+#: retrieval array_except containment, gini literal-edge fold).
+HOF_HOT_CONDITION_OK: dict[str, str] = {}
+
+
 def exclusion_reason(name: str) -> str | None:
     for sub, reason in EXCLUSION_RULES:
         if sub in name:
@@ -102,6 +116,91 @@ def exclusion_reason(name: str) -> str | None:
 
 
 _WINDOW_NODE = re.compile(r"\b(Window|WindowGroupLimit|RunningWindowFunction)\b")
+
+#: Physical nodes whose condition/key expressions are expected to stay
+#: inside WholeStageCodegen.  A higher-order function anywhere in a
+#: stage is CodegenFallback and CollapseCodegenStages refuses to wrap
+#: the stage, so the WHOLE scan+filter+exchange pipeline runs
+#: interpreted — the r15 bloom lesson (F.forall in the probe predicate:
+#: 39 s vs 3.3 s at sf1) generalized into a mechanical net.
+_HOT_CONDITION_NODES = (
+    "Filter",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+_TREE_NODE = re.compile(
+    r"^(?P<prefix>[\s:+\-]*)(?:\*\s)?(?P<name>[A-Za-z][\w .=]*?)\s*\((?P<id>\d+)\)\s*$"
+)
+
+
+def hof_hot_conditions(plan_formatted: str) -> int:
+    """Count Filter/Join nodes sitting BELOW a shuffle Exchange whose
+    condition (or join keys) contains a lambda — i.e. an interpreted
+    predicate on a stage that feeds a shuffle.
+
+    Detection is textual but unambiguous: EVERY higher-order function
+    (forall/exists/aggregate/transform/filter/zip_with/...) prints its
+    lambda argument as ``lambdafunction(...)`` in the formatted plan,
+    and all of them are ``CodegenFallback`` — so ``lambdafunction``
+    inside a Condition/keys line is exactly the expression class that
+    excludes the stage from WholeStageCodegen.  Scope matches the rule
+    written in operators/similarity.py's module note: a BOUNDED frame
+    may keep the interpreted tax (those nodes sit above the exchanges
+    or in excluded eager queries); a corpus-shuffle predicate may not.
+    Main plan only — the Subqueries section (if any) is not walked."""
+    lines = plan_formatted.splitlines()
+    # ---- tree section: name/id/depth per node, in print order --------
+    try:
+        start = next(i for i, l in enumerate(lines) if "== Physical Plan ==" in l)
+    except StopIteration:
+        return 0
+    nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+    for line in lines[start + 1 :]:
+        if not line.strip():
+            break
+        m = _TREE_NODE.match(line)
+        if not m:
+            continue
+        nodes.append((len(m.group("prefix")), m.group("name").strip(), m.group("id")))
+    # ---- which node ids have a shuffle Exchange ANCESTOR -------------
+    # children print below parents at greater depth; a node feeds a
+    # shuffle iff an "Exchange" (not BroadcastExchange) sits above it.
+    below_exchange: set[str] = set()
+    stack: list[tuple[int, str]] = []  # (depth, name)
+    for depth, name, nid in nodes:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if any(n == "Exchange" for _, n in stack) and any(
+            name.startswith(h) for h in _HOT_CONDITION_NODES
+        ):
+            below_exchange.add(nid)
+        stack.append((depth, name))
+    if not below_exchange:
+        return 0
+    # ---- detail sections: scan flagged nodes' condition/key lines ----
+    cnt = 0
+    cur_id: str | None = None
+    hit_ids: set[str] = set()
+    detail_hdr = re.compile(r"^\((\d+)\) ")
+    for line in lines:
+        m = detail_hdr.match(line)
+        if m:
+            cur_id = m.group(1)
+            continue
+        if cur_id not in below_exchange or cur_id in hit_ids:
+            continue
+        stripped = line.strip()
+        if (
+            stripped.startswith(("Condition", "Join condition", "Left keys", "Right keys"))
+            and "lambdafunction" in stripped
+        ):
+            hit_ids.add(cur_id)
+            cnt += 1
+    return cnt
 
 
 def single_partition_windows(df) -> int:
@@ -149,6 +248,7 @@ def plan_counts(df) -> dict[str, int]:
         "cartesian": n("CartesianProduct"),
         "python_eval": sum(1 for l in lines if "BatchEvalPython" in l),
         "single_partition_windows": single_partition_windows(df),
+        "hof_hot_conditions": hof_hot_conditions(plan),
     }
 
 
@@ -176,6 +276,18 @@ def main() -> None:
             "queries plan a no-partition window without a bounded-frame "
             f"annotation in SINGLE_PARTITION_WINDOW_OK: {sorted(unannotated)}"
         )
+    hof_unannotated = sorted(
+        n
+        for n, b in budget.items()
+        if b["hof_hot_conditions"] > 0 and n not in HOF_HOT_CONDITION_OK
+    )
+    if hof_unannotated:
+        raise SystemExit(
+            "queries plan a higher-order function in a Filter/Join "
+            "condition feeding a shuffle (interpreted hot stage — the "
+            "r15 bloom class) without a bounded-frame annotation in "
+            f"HOF_HOT_CONDITION_OK: {hof_unannotated}"
+        )
     stale = sorted(
         n
         for n in SINGLE_PARTITION_WINDOW_OK
@@ -188,12 +300,18 @@ def main() -> None:
         for n, r in SINGLE_PARTITION_WINDOW_OK.items()
         if n in budget and budget[n]["single_partition_windows"] > 0
     }
+    hof_ok = {
+        n: r
+        for n, r in HOF_HOT_CONDITION_OK.items()
+        if n in budget and budget[n]["hof_hot_conditions"] > 0
+    }
     with open("/root/repo/tests/plan_budget.json", "w") as fh:
         json.dump(
             {
                 "budgets": budget,
                 "exclusions": exclusions,
                 "single_partition_window_ok": window_ok,
+                "hof_hot_condition_ok": hof_ok,
             },
             fh,
             indent=1,
