@@ -317,8 +317,12 @@ def main() -> None:
     n_errors = sum(1 for v in medians.values() if v < 0)
 
     def compact(threshold: float | None) -> str:
+        # errored queries (median < 0) stay named at EVERY threshold,
+        # including the final no-threshold fallback — they are few by
+        # construction and "which query failed" must survive the
+        # stdout cap (n_errors alone doesn't say)
         if threshold is None:
-            slow: dict[str, float] = {}
+            slow = {k: v for k, v in sorted(medians.items()) if v < 0}
         else:
             slow = {
                 k: v

@@ -132,6 +132,17 @@ def _word_and_mask(key: Column, m_bits: int, k: int) -> tuple[Column, Column]:
     ``shiftright`` sign extension).  Two independent xxhash64 draws,
     the Kirsch-Mitzenmacher discipline applied block-wise.  All
     arithmetic is int/long-range safe under ANSI mode."""
+    if k > 10:
+        # slices i ≥ 10 read past h2's bit 63 into sign-extension bits
+        # (constant 0 or 63), silently biasing the mask: FPP quality
+        # collapses while correctness holds (probe stays symmetric).
+        # bloom_params clamps to 6; a caller passing an old k=7..12
+        # default must hear about it, not degrade unnoticed.
+        raise ValueError(
+            f"blocked bloom supports at most 10 in-word bit slices, got k={k}; "
+            "use bloom_params() (clamps to 6 — beyond that intra-word "
+            "collisions eat the gain anyway)"
+        )
     nwords = m_bits >> 6
     word = F.pmod(F.xxhash64(key), F.lit(nwords)).cast("int")
     h2 = F.xxhash64(key, F.lit(_SALT))
@@ -240,7 +251,22 @@ def _fold_words_literal(words: list[int]) -> Column:
         jarr = gw.new_array(gw.jvm.long, len(words))
         buf.get(jarr)
         return Column(gw.jvm.org.apache.spark.sql.functions.lit(jarr))
-    except Exception:  # noqa: BLE001 — gateway-less sessions (Connect)
+    except Exception as exc:  # noqa: BLE001 — see warning below
+        # gateway-less sessions (Spark Connect) land here by design,
+        # but their exact error class is environment-dependent
+        # (sparkContext/_gateway access), so the except stays broad —
+        # and therefore LOUD: a typo'd JVM path or py4j API change
+        # reintroduces the ~30 s per-element F.lit(list) construction
+        # cliff this function exists to avoid, and the warning is the
+        # signal that used to be missing
+        import warnings
+
+        warnings.warn(
+            f"bloom bitmap literal fold fell back to per-element F.lit "
+            f"({len(words)} words — ~30 s at 64 Ki): {exc!r}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return F.lit(words).cast("array<bigint>")
 
 

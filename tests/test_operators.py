@@ -857,6 +857,48 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     )
 
 
+def test_bloom_rejects_overwide_k(spark):
+    """Blocked-layout contract: 6-bit slices of h2 run out of honest
+    bits at i=10 (sign-extension constants beyond bit 63 would bias the
+    mask — FPP collapses while correctness silently holds), so
+    _word_and_mask refuses k > 10 instead of degrading.  Callers
+    reusing the pre-blocked k=7..12 defaults must hear about it."""
+    import pytest
+
+    from elastic_asset_etl_poc_spark.operators.bloom import _word_and_mask
+
+    with pytest.raises(ValueError, match="at most 10"):
+        _word_and_mask(F.col("k"), 1 << 16, 11)
+    # k=10 is the last honest slice — allowed (bloom_params clamps to 6)
+    word, mask = _word_and_mask(F.col("k"), 1 << 16, 10)
+    assert word is not None and mask is not None
+
+
+def test_bloom_literal_fold_fallback_warns(spark, monkeypatch):
+    """The broad except in _fold_words_literal is the exact ~30 s
+    per-element F.lit(list) cliff the fold exists to avoid — a broken
+    JVM path must WARN, never silently degrade (r15 ADVICE)."""
+    import warnings
+
+    import elastic_asset_etl_poc_spark.operators.bloom as bloom_mod
+
+    # simulate a gateway-less / broken-JVM-path session
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        col = bloom_mod._fold_words_literal([1, 2, 3])
+    assert col is not None
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "fell back to per-element" in str(w.message)
+        for w in caught
+    ), "fallback path must emit a RuntimeWarning"
+
+
 def test_bloom_empty_build_side(spark):
     """Empty build side → empty bitmap → every probe row fails the
     membership test and the semi-join returns zero rows (not a crash on

@@ -533,6 +533,18 @@ def main() -> None:
         "removes mega-process heap/GC asymmetry from the slope",
     )
     ap.add_argument(
+        "--arms",
+        type=int,
+        default=1,
+        help="fresh-JVM mode: launch each (query, sf) cell this many "
+        "times (each its own child JVM, each best-of---runs) and take "
+        "the MEDIAN across children.  Single fresh-JVM arms spread "
+        "±2× run-to-run (SCALE_r14 disclosure; kmv_candidates' family "
+        "verdict swung 1.1×↔3.7× between r15 sweeps on one-arm "
+        "cells), so gate-adjacent certifications should use --arms 3; "
+        "per-cell [min, median, max] lands in the JSON line",
+    )
+    ap.add_argument(
         "--sf3",
         action="store_true",
         help="add a SECOND-decade arm: build the 30× fixture and time "
@@ -584,7 +596,17 @@ def main() -> None:
         row: dict = {"class": klass}
         for label, sf_dir in arms:
             if args.fresh_jvm:
-                row[label] = round(_fresh_best(name, sf_dir, args.runs), 2)
+                vals = sorted(
+                    _fresh_best(name, sf_dir, args.runs)
+                    for _ in range(max(1, args.arms))
+                )
+                import statistics
+
+                row[label] = round(statistics.median(vals), 2)
+                if len(vals) > 1:
+                    row.setdefault("cells", {})[label] = [
+                        round(v, 2) for v in vals
+                    ]
                 continue
             best = None
             for _ in range(args.runs):
@@ -664,6 +686,18 @@ def main() -> None:
                 "queries.",
             ]
             if args.fresh_jvm
+            else []
+        ),
+        *(
+            [
+                "",
+                f"MEDIAN-OF-{args.arms} ARMS: every (query, sf) cell is "
+                f"the median of {args.arms} independent child-JVM "
+                "timings (single fresh-JVM arms spread ±2× run-to-run — "
+                "the r15 kmv_candidates 1.1×↔3.7× swing); per-cell "
+                "[min..max] spreads are in the JSON line.",
+            ]
+            if args.fresh_jvm and args.arms > 1
             else []
         ),
         *(
