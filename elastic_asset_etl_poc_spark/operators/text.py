@@ -914,3 +914,105 @@ def pmi_cooccur(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its hashed-bigram bag under
+    a TARGET distribution (rows where ``target`` is true — e.g. a
+    curated high-quality subset) versus the SOURCE distribution (the
+    whole corpus), both add-1-smoothed over ``n_buckets`` hash
+    buckets::
+
+        log w(d) = Σ_{bigrams g ∈ d}  ln p̂_tgt[h(g)] − ln p̂_src[h(g)]
+
+    The generative counterpart of ``train_linear_classifier``'s
+    discriminative quality gate, and the feature-level counterpart of
+    ``mixture_resample``'s domain-level reweighting: no gradient steps,
+    one closed-form pass.  Bucket hash is the portable md5 prefix
+    (identical in DuckDB), so the oracle replays it exactly.
+
+    Scale shape — the paper's train-then-apply split, in-engine: the
+    per-bucket (source, target) counts are ONE explode + one
+    ``n_buckets``-bounded agg, COLLECTED once (1024 rows — the bounded-
+    collect precedent of bloom geometry / calibration edges) and
+    re-uploaded as a tiny broadcast log-ratio table with the logs
+    computed JVM-side; scoring is then ONE corpus explode → map-side
+    broadcast join → one doc-keyed agg.  A fully-lazy formulation
+    evaluates the explode three times (the dbc / buckets / totals
+    branches defeat exchange reuse via column pruning — measured on
+    the first cut of this operator).  No window, no Python in the hot
+    path.  Docs with < 2 tokens carry no bigrams: log w = 0, never
+    selected (map-side filter branch, unioned — no corpus join).
+
+    Returns (doc_id, n_bigrams, dsir_logw, selected) with the weight
+    at 4 dp and ``selected`` = (rounded) log w > 0 — more target-like
+    than source-average.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col("doc_id"), target.alias("__tgt"), tokens(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).alias("b")
+    bg = base.select("doc_id", "__tgt", F.explode(grams).alias("g")).select(
+        "doc_id", "__tgt", bucket
+    )
+    # ---- "train": per-bucket counts, collected once (≤ n_buckets rows)
+    counts = (
+        bg.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cs"),
+            F.sum(F.col("__tgt").cast("long")).alias("ct"),
+        )
+        .collect()
+    )
+    ns = sum(r["cs"] for r in counts)
+    nt = sum(r["ct"] for r in counts)
+    lr = F.broadcast(
+        spark.createDataFrame(
+            [(r["b"], r["cs"], r["ct"]) for r in counts],
+            "b long, cs long, ct long",
+        ).select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / F.lit(float(nt + n_buckets)))
+                - F.log((F.col("cs") + 1) / F.lit(float(ns + n_buckets)))
+            ).alias("lr"),
+        )
+    )
+    # ---- "apply": one corpus explode, map-side join, one doc agg
+    scored = (
+        bg.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+        )
+        .withColumn("selected", F.col("dsir_logw") > 0)
+    )
+    empties = base.filter(F.size(t) < 2).select(
+        "doc_id",
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(0.0).alias("dsir_logw"),
+        F.lit(False).alias("selected"),
+    )
+    return scored.unionByName(empties)

@@ -15000,6 +15000,62 @@ def woe_iv_events(spark, sf_dir):
     )
 
 
+@q(
+    "dsir_weights_docs",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         (len(string_split(text, ' ')) BETWEEN 10 AND 1000)
+           AND len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) > 0
+           AS tgt
+  FROM documents),
+g AS (
+  SELECT doc_id, tgt,
+         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 1024 AS b
+  FROM (SELECT doc_id, tgt,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        FROM d WHERE len(tk) >= 2)),
+bk AS (SELECT b, count(*) AS cs,
+              sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+       FROM g GROUP BY b),
+tot AS (SELECT sum(cs) AS ns, sum(ct) AS nt FROM bk),
+lr AS (SELECT b, ln((ct + 1) * 1.0 / (nt + 1024))
+              - ln((cs + 1) * 1.0 / (ns + 1024)) AS lr
+       FROM bk CROSS JOIN tot),
+s AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(lr.lr), 4) AS dsir_logw
+      FROM g JOIN lr USING (b) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.dsir_logw, 0.0) AS dsir_logw,
+       coalesce(s.dsir_logw, 0.0) > 0 AS selected
+FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+""",
+)
+def dsir_weights_docs(spark, sf_dir):
+    """DATA SELECTION via importance resampling (DSIR, Xie et al.
+    NeurIPS 2023): per-document log-likelihood ratio of the hashed-
+    bigram bag under the quality_keep target subset vs the whole
+    corpus (operators/text.py dsir_importance) — the closed-form
+    generative counterpart of train_classifier_docs' gradient-trained
+    gate and the feature-level counterpart of mixture_resample_docs'
+    domain weights.  Both n-gram distributions are add-1-smoothed over
+    1024 portable md5 buckets, so the oracle replays the hash exactly.
+    Scale shape: one explode, one bucket-bounded agg broadcast back,
+    two doc-keyed shuffles, no window, no Python."""
+    from .operators.text import dsir_importance, stopword_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    keep = (
+        (n_tok >= F.lit(10))
+        & (n_tok <= F.lit(1000))
+        & (stopword_count(F.col("text")) > F.lit(0))
+    )
+    return dsir_importance(docs, target=keep)
+
+
 # ---------------------------------------------------------------------------
 # Literal fixture oracles.  The synthetic-media queries are deterministic
 # pure functions of seed-fixed fixtures (no sf_dir dependence), so their

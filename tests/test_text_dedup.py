@@ -917,3 +917,48 @@ def test_containment_catches_doc_inside_doc(spark):
     assert j < 0.2  # and the symmetric score would never flag it
     # sanity: the jaccard operator at 0.8 indeed returns nothing here
     assert jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_dsir_importance_hand_computed(spark):
+    """DSIR log-ratio on a 3-doc corpus small enough to verify by hand:
+    one target doc, one source-only doc sharing no bigrams with it, one
+    1-token doc (no bigrams).  With every bigram hashing to distinct
+    buckets (checked, not assumed), each bigram occurs once in source
+    (cs=1) and target-doc bigrams once in target (ct=1), so add-1
+    smoothing gives ln(2/(nt+B)) - ln(2/(ns+B)) per target bigram and
+    ln(1/(nt+B)) - ln(2/(ns+B)) per source-only bigram — target docs
+    land positive/selected, source-only docs negative/unselected."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elastic_asset_etl_poc_spark.operators.text import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "delta epsilon zeta", False), (3, "solo", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_importance(docs, F.col("tgt"), n_buckets=1024).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # bucket collisions would change the hand numbers — verify disjoint
+    grams = ["alpha beta", "beta gamma", "delta epsilon", "epsilon zeta"]
+    bks = {
+        r["b"]
+        for r in spark.createDataFrame([(g,) for g in grams], "g string")
+        .select((F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % 1024).alias("b"))
+        .collect()
+    }
+    assert len(bks) == 4
+    ns, nt, B = 4, 2, 1024
+    per_tgt = math.log(2 / (nt + B)) - math.log(2 / (ns + B))
+    per_src = math.log(1 / (nt + B)) - math.log(2 / (ns + B))
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["dsir_logw"] == round(2 * per_tgt, 4)
+    assert out[1]["selected"] is True
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["dsir_logw"] == round(2 * per_src, 4)
+    assert out[2]["selected"] is False
+    assert out[3] == {"doc_id": 3, "n_bigrams": 0, "dsir_logw": 0.0, "selected": False}
