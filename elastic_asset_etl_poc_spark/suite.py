@@ -10625,7 +10625,15 @@ def partitioned_scan_events(spark, sf_dir):
         ev = load_table(spark, sf_dir, "events").withColumn(
             "event_date", F.col("ts").cast("date")
         )
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        # cluster by the partition key before the partitioned write: an
+        # unclustered write fans out |tasks| x |dates| small files (at
+        # sf0.1 the scan is one task so it hides; at 100 TB it's
+        # thousands of files per date), the clustered layout writes one
+        # file per date — also measurably faster and steadier here
+        # (r15 watch item: this query's wall time is FS-bound)
+        ev.repartition("event_date").write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(path)
         full = spark.read.parquet(path)
         back = full.filter(
             F.col("event_date") >= F.lit("2024-01-24").cast("date")
