@@ -275,8 +275,19 @@ def fs_linkage_weights(
     per-row expression.  Candidates are assumed pre-blocked
     (blocked_fuzzy_join or any candidate generator) — this operator adds
     no join, no shuffle beyond the one-row agg.
+
+    The candidate frame feeds BOTH the stats agg and the scoring probe;
+    without materialization Catalyst duplicates the subtree and the
+    generator (typically a blocked fuzzy join running a bounded
+    edit-distance kernel per pair) executes TWICE per action — measured
+    on linkage_weights_parts at sf0.1: 6.8 → 3.3 s exec once the frame
+    is lazily checkpointed here.  One candidate-frame materialization is
+    also the right trade at 100 TB: candidates are blocked (bounded,
+    a small multiple of the dirty side), while the duplicated subtree
+    costs a full second pass of the similarity kernel.
     """
     lo, hi = clamp
+    cands = cands.localCheckpoint(eager=False)
     t = F.coalesce(F.col(truth_col), F.lit(False))
     stats = cands.agg(
         *[
