@@ -131,10 +131,15 @@ def apply_cdc(
         # whole change row, not partition arrival order
         F.xxhash64(*[F.col(c).cast("string") for c in changes.columns]).desc(),
     )
+    # latest feeds TWO consumers (the touched-key anti-join and the
+    # upsert union); it is change-batch-sized by contract, so one lazy
+    # materialization beats re-running the change derivation + window
+    # per consumer
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .localCheckpoint(eager=False)
     )
     value_cols = [c for c in base.columns]
     touched = latest.select(*keys)

@@ -217,6 +217,12 @@ def hits(
         "node", F.lit(1.0).alias("h")
     )
     auth = None
+    # NOTE (r16): the LPA lazy-chain fusion was tried here and measured
+    # SLOWER (solo 3.74 → 4.58 s): unlike LPA's shuffle-join rounds,
+    # each HITS half-round broadcasts its score frame, and a fully lazy
+    # loop nests every BroadcastExchange build inside the next — the
+    # per-2-round eager checkpoint keeps the broadcast children small
+    # and is kept deliberately.
     for it in range(iters):
         auth = (
             e.join(bc(hubs), e["src"] == hubs["node"])

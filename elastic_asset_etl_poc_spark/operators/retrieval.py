@@ -67,7 +67,12 @@ def bm25_topk(
             F.filter(F.col("__t"), lambda t: F.array_contains(term_arr, t))
         ).alias("term"),
     )
-    tf = exploded.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency agg and the scoring probe —
+    # materialize it once (it is query-term-bounded: |docs hit| × |terms|)
+    # or the tokenize+filter+explode subtree above runs once per consumer
+    tf = exploded.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
 
     qdf = F.broadcast(

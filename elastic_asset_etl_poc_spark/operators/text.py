@@ -510,8 +510,6 @@ def kl_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     base = df.select(F.col("doc_id"), tokens(text_col).alias("__toks"))
     exploded = base.select("doc_id", F.explode("__toks").alias("tok"))
-    freqs = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    total = exploded.agg(F.count(F.lit(1)).alias("__total"))
     from pyspark.sql.window import Window
 
     dt = exploded.groupBy("doc_id", "tok").agg(
@@ -522,7 +520,13 @@ def kl_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
     # Catalyst reuses one exchange instead of a join round-trip
     dt = dt.withColumn(
         "__dl", F.sum("__dc").over(Window.partitionBy("doc_id"))
-    )
+    ).localCheckpoint(eager=False)
+    # corpus frequencies and the token total both DERIVE from the
+    # materialized (doc, tok) counts — Σ_doc __dc per token and Σ __cnt —
+    # so the corpus tokenize+explode runs ONCE per action, not three
+    # times (it fed freqs, total, and dt as duplicated subtrees before)
+    freqs = dt.groupBy("tok").agg(F.sum("__dc").alias("__cnt"))
+    total = freqs.agg(F.sum("__cnt").alias("__total"))
     scored = dt.join(F.broadcast(freqs), "tok").crossJoin(
         F.broadcast(total)
     )

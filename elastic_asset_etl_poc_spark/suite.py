@@ -6767,10 +6767,13 @@ def apply_cdc_orders(spark, sf_dir):
             F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.11
         ).otherwise(F.col("o_totalprice")),
     )
+    # d feeds both the I/U and the D legs; without materialization the
+    # snapshot full-outer compare re-ran per leg (13 orders scans in one
+    # plan pre-r16)
     d = snapshot_diff(
         old, new, keys=["o_orderkey"],
         compare_cols=["o_orderstatus", "o_totalprice"],
-    )
+    ).localCheckpoint(eager=False)
     iu = (
         d.filter(F.col("change") != "removed")
         .join(new, "o_orderkey")
@@ -10752,7 +10755,8 @@ def conformal_threshold_docs(spark, sf_dir):
         "score",
         u.alias("u"),
         F.abs(F.col("__lbl") - F.col("score")).alias("nonconf"),
-    )
+    ).localCheckpoint(eager=False)  # calib AND test consume this; without
+    # materialization the tokenize+score subtree runs once per arm
     calib = lab.filter(F.col("u") < 0.5)
     test = lab.filter(F.col("u") >= 0.5)
     cs = calib.agg(
