@@ -555,16 +555,10 @@ def label_propagation(
 
     Scale shape: per round, ONE partitioned hash join (labels onto
     edge destinations), one (node, label) count agg, and one
-    node-PARTITIONED rank window — never a global window.  Each
-    round's labels feed exactly ONE consumer (the next round's join),
-    so lineage is a CHAIN, not a tree — unlike bfs/star-CC there is
-    no subtree duplication to truncate, and the r16 measurement
-    showed the per-round eager localCheckpoint was pure job-barrier
-    overhead (label_prop_custsupp build 6.3 s → the rounds fused into
-    one lazy multi-stage plan).  A periodic checkpoint (every 4th
-    round) stays as the plan-DEPTH guard for long refinements; short
-    runs (the suite's rounds=3) execute as a single job.  State = one
-    label row per node.
+    node-PARTITIONED rank window — never a global window; lineage is
+    truncated per round with localCheckpoint, the iterative-operator
+    discipline pagerank/bfs/k-core established.  State = one label
+    row per node.
 
     ``audit_churn=True`` adds a ``changed`` boolean — did this node's
     label change in the FINAL round — so a fixed ``rounds`` is
@@ -590,17 +584,9 @@ def label_propagation(
     ).unionByName(
         nodes.select("node", F.col("node").alias("nbr"))  # self-vote
     ).localCheckpoint(eager=True)
-    # initial labels derive from the CHECKPOINTED vote frame (node==nbr
-    # covers every node via the self-vote rows; distinct() guards input
-    # self-loops, which land here too), not from a second pass over the
-    # raw edge union — and they feed round 1 exactly once, so they stay
-    # lazy
-    labels = (
-        e.filter(F.col("node") == F.col("nbr"))
-        .select("node")
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("node").orderBy(
@@ -635,12 +621,5 @@ def label_propagation(
             return ranked.select(
                 "node", "label", (F.col("__self") == 0).alias("changed")
             )
-        labels = ranked.select("node", "label")
-        # plan-depth guard only: labels are a lineage CHAIN (one
-        # consumer per round), so nothing recomputes without this —
-        # checkpoint every 4th round to bound Catalyst depth on long
-        # refinements, never on the final round (the caller's action
-        # executes the fused tail in one job)
-        if not final and rnd % 4 == 3:
-            labels = labels.localCheckpoint(eager=True)
+        labels = ranked.select("node", "label").localCheckpoint(eager=True)
     return labels

@@ -48,6 +48,12 @@ def _ns_epoch(dt: datetime) -> int:
 #: resolved path's (mtime_ns, size) so a rewritten fixture invalidates,
 #: and on id(session) so a new session (fresh JVM, different confs)
 #: never sees another session's plans.
+#:
+#: Caveat (same as spark.table()): two load_table calls for the SAME
+#: table now return the SAME DataFrame object — a self-join must use
+#: column-NAME join keys or explicit aliases, not bracket columns from
+#: the two handles (which would compare a column with itself).  Audited:
+#: no suite query bracket-joins two loads of one table.
 _RAW_FRAMES: dict = {}
 
 
