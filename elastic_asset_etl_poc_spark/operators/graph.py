@@ -278,12 +278,23 @@ def connected_components_star(
     localCheckpointed so plans don't snowball.  Convergence is checked
     EXACTLY (count equality + one-sided exceptAll emptiness ⇒ multiset
     equality of the canonical edge sets), not by signature.
+
+    Fixpoint counts ride the checkpoint job as an ``observe`` metric
+    (CollectMetricsExec accumulator) instead of a separate ``count()``
+    action — one job per contraction round, not two; the count the
+    convergence test reads is of exactly the rows the checkpoint
+    materialized.  (r17; the exceptAll emptiness probe still runs as
+    its own job, but only on the one round where counts match.)
     """
+    from pyspark.sql import Observation
+
     a_col, b_col = pairs.columns[0], pairs.columns[1]
+    obs0 = Observation()
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
 
@@ -312,10 +323,15 @@ def connected_components_star(
         centers = m.select(F.col("u"), F.col("m").alias("v"))
         return nbrs.union(centers).distinct()
 
-    prev_n = edges.count()
+    prev_n = obs0.get["n"]
     for _ in range(max_iter):
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        n = new_edges.count()
+        obs = Observation()
+        new_edges = (
+            small_star(large_star(edges))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = obs.get["n"]
         if n == prev_n and new_edges.exceptAll(edges).limit(1).count() == 0:
             edges = new_edges
             break
@@ -359,6 +375,8 @@ def bfs_khop(
     per round BEFORE the next expansion (a node reached twice expands
     once), and at 1000 executors each round is an ordinary partitioned
     hash join on node id."""
+    from pyspark.sql import Observation
+
     visited = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
@@ -370,16 +388,19 @@ def bfs_khop(
         # nxt is the one genuinely multi-consumer frame per round (the
         # visited union, the next expansion, and every later round's
         # anti-join read it) — checkpoint it eagerly; the emptiness
-        # probe then runs on the materialized partitions
+        # probe rides the checkpoint job as an observe metric instead
+        # of a separate isEmpty() job on the materialized partitions
+        obs = Observation()
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(d))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         # visited is a UNION of already-checkpointed rounds — re-reading
         # it is a cheap scan of materialized partitions, so its own
@@ -409,8 +430,12 @@ def kcore_membership(
     Each peel round is one map-side-combinable degree agg + a
     broadcast-sized semi-join on the survivor set, localCheckpointed
     (the per-round lineage guard shared with star-CC/BFS/MMR).  The
-    loop EXITS on a certified fixpoint (node count stable) and RAISES
-    if ``max_rounds`` passes without convergence — the same
+    loop EXITS on a certified fixpoint — zero nodes below degree k,
+    observed as a metric ON the degree checkpoint job itself (no
+    separate count action, and one round earlier than the old
+    node-count-stable test: when nothing is below k the peel keeps
+    everything, so the degree frame already IS the answer) — and
+    RAISES if ``max_rounds`` passes without convergence — the same
     self-auditing contract as the DPP query: a run that returns has
     PROVEN its round bound, so an unrolled fixed-round oracle is exact
     whenever the query succeeds.
@@ -440,28 +465,41 @@ def kcore_membership(
     property-tested equal to the doubled path.  Same fixpoint, same
     core degrees.
     """
+    from pyspark.sql import Observation
+
     if canonical:
         return _kcore_canonical(edges, k, max_rounds, max_broadcast_nodes)
     cur = edges.localCheckpoint()
-    prev_nodes = -1
     for _ in range(max_rounds):
-        # ONE degree aggregation per round serves both the fixpoint
-        # check (its row count IS the node count) and the survivor
-        # filter — checkpointed so neither consumer recomputes the agg
+        # ONE degree aggregation per round serves the fixpoint check,
+        # the broadcast size gate AND the survivor filter: the node
+        # count and the below-k count ride the checkpoint job as
+        # observe metrics (no separate count() action), and the
+        # below-k count detects the fixpoint ONE ROUND EARLIER than
+        # the old node-count-stable test — zero nodes below k means
+        # the peel would keep everything, so deg is already the
+        # answer (identical rows; the old form re-derived the same
+        # frame once more just to see the count hadn't moved)
+        obs = Observation()
         deg = (
             cur.groupBy("src")
             .agg(F.count(F.lit(1)).alias("__d"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("__d") < k).cast("long")).alias("n_below"),
+            )
             .localCheckpoint()
         )
-        n_nodes = deg.count()
-        if n_nodes == prev_nodes:
+        m = obs.get
+        n_nodes = m["n"]
+        if not m["n_below"]:  # None (empty frame) or 0: stable
             return deg.select(
                 F.col("src").alias("node"),
                 F.col("__d").alias("core_degree"),
             )
-        prev_nodes = n_nodes
         keep = deg.filter(F.col("__d") >= k).select("src")
-        # size gate: survivors ≤ n_nodes, already counted above
+        # size gate: survivors ≤ n_nodes, observed above
         bc = F.broadcast if n_nodes <= max_broadcast_nodes else (lambda d: d)
         cur = (
             cur.join(bc(keep), "src", "left_semi")
@@ -488,23 +526,33 @@ def _kcore_canonical(
     Degree = explode both endpoints map-side into one agg (partial
     combine ships counts, not rows); survivors filter both columns
     (broadcast vs shuffled semi-join size-gated like the main path)."""
+    from pyspark.sql import Observation
+
     cur = edges.select("src", "dst").localCheckpoint()
-    prev_nodes = -1
     for _ in range(max_rounds):
+        # fixpoint + size-gate counts ride the checkpoint job as
+        # observe metrics; zero below-k nodes exits one round earlier
+        # with the identical frame (see the main path's comment)
+        obs = Observation()
         deg = (
             cur.select(
                 F.explode(F.array("src", "dst")).alias("node")
             )
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("__d"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("__d") < k).cast("long")).alias("n_below"),
+            )
             .localCheckpoint()
         )
-        n_nodes = deg.count()
-        if n_nodes == prev_nodes:
+        m = obs.get
+        n_nodes = m["n"]
+        if not m["n_below"]:  # None (empty frame) or 0: stable
             return deg.select(
                 "node", F.col("__d").alias("core_degree")
             )
-        prev_nodes = n_nodes
         keep = deg.filter(F.col("__d") >= k).select("node")
         bc = F.broadcast if n_nodes <= max_broadcast_nodes else (lambda d: d)
         cur = (

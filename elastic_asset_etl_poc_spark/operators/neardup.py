@@ -725,7 +725,8 @@ def dedup_survivors(
 
     Connected components by iterative min-label propagation: each round,
     every node takes the min of its own label and its neighbors' labels;
-    converged when no label changes (checked with a cheap count per round,
+    converged when no label changes (the changed-count rides the
+    per-round checkpoint job as an ``observe`` metric — no extra action,
     lineage cut with localCheckpoint so plans don't snowball).  Dup groups
     in practice are tiny (pairs/triples), so this converges in 2-3 rounds;
     ``max_iter`` bounds adversarial chains.  The cluster representative
@@ -796,6 +797,8 @@ def dedup_survivors(
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     edges = edges.cache()
 
+    from pyspark.sql import Observation
+
     labels = df.select(F.col(id_col).alias("node")).withColumn(
         "label", F.col("node")
     ).localCheckpoint()
@@ -805,24 +808,24 @@ def dedup_survivors(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the new label derives from the old label IN THE SAME ROW, so
+        # the convergence test is an in-frame comparison riding the
+        # checkpoint job as an observe metric — the old form re-joined
+        # new labels back onto old labels (a full extra join + agg job
+        # per round) to compute the same count (r17)
+        nlab = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
+        obs = Observation()
         new_labels = (
             labels.join(neigh, labels["node"] == neigh["src"], "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            .select(F.col("node"), nlab.alias("label"),
+                    (nlab != F.col("label")).cast("long").alias("__chg"))
+            .observe(obs, F.sum("__chg").alias("changed"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        if not obs.get["changed"]:  # None (empty) or 0
             break
     return labels.select(
         F.col("node").alias(id_col),

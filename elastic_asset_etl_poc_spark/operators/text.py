@@ -518,6 +518,14 @@ def kl_novelty(df: DataFrame, text_col: str = "text") -> DataFrame:
     # doc length via a frame-less window sum: the doc_id exchange it
     # introduces is the SAME partitioning the final groupBy needs, so
     # Catalyst reuses one exchange instead of a join round-trip
+    # CARDINALITY HONESTY (r17): dt is every distinct (doc, token)
+    # pair — CORPUS-scale (proportional to total token volume, not
+    # vocab-bounded).  This localCheckpoint trades one corpus-sized
+    # executor-local, non-replicated materialization for two whole
+    # corpus re-tokenizations; at cluster scale with executor churn
+    # the production form is persist(MEMORY_AND_DISK) (recomputable
+    # lineage, same storage bound) — see DESIGN.md "localCheckpoint
+    # vs persist policy".
     dt = dt.withColumn(
         "__dl", F.sum("__dc").over(Window.partitionBy("doc_id"))
     ).localCheckpoint(eager=False)
@@ -695,6 +703,14 @@ def bigram_logprob(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    # CARDINALITY HONESTY (r17): bg is the full exploded bigram stream
+    # (one row per in-doc token position) — CORPUS-PAYLOAD-scale, the
+    # largest frame this operator touches.  The localCheckpoint trades
+    # that one executor-local, non-replicated store for ~5 corpus
+    # re-tokenizations (measured 3.5→1.3 s exec at sf0.1); at cluster
+    # scale the production form is persist(MEMORY_AND_DISK), which
+    # keeps the lineage recomputable under executor loss at the same
+    # storage bound — see DESIGN.md "localCheckpoint vs persist".
     bg = base.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur")
     ).localCheckpoint(eager=False)

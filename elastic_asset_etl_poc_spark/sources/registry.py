@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,25 +47,35 @@ def _ns_epoch(dt: datetime) -> int:
 #: table in a catalog once per session does in production: NO rows are
 #: cached, every action still scans the parquet input.  Keyed on the
 #: resolved path's (mtime_ns, size) so a rewritten fixture invalidates,
-#: and on id(session) so a new session (fresh JVM, different confs)
-#: never sees another session's plans.
+#: and scoped per live SparkSession via a WeakKeyDictionary so a new
+#: session (fresh JVM, different confs) never sees another session's
+#: plans — the weak key (not id(session)) means a stopped session's
+#: handles are garbage-collected with it and a recycled CPython object
+#: id can never resurrect plans bound to a dead JVM session (r17,
+#: advisor item).  CSV note: inferSchema'd handles freeze the inferred
+#: schema for the session — same as a catalog registration would.
 #:
 #: Caveat (same as spark.table()): two load_table calls for the SAME
 #: table now return the SAME DataFrame object — a self-join must use
 #: column-NAME join keys or explicit aliases, not bracket columns from
-#: the two handles (which would compare a column with itself).  Audited:
-#: no suite query bracket-joins two loads of one table.
-_RAW_FRAMES: dict = {}
+#: the two handles (which would compare a column with itself; Spark
+#: raises AMBIGUOUS_SELF_JOIN for the plain form, so the failure is
+#: loud, not silent).  Audited: no suite query bracket-joins two loads
+#: of one table.
+_RAW_FRAMES: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _read_raw(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     try:
         st = os.stat(path)
-        key = (id(spark), path, fmt, st.st_mtime_ns, st.st_size)
+        key = (path, fmt, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
-    if key is not None and key in _RAW_FRAMES:
-        return _RAW_FRAMES[key]
+    per_session = _RAW_FRAMES.setdefault(spark, {})
+    if key is not None and key in per_session:
+        return per_session[key]
     if fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt == "orc":  # columnar like parquet: pushdown + pruning intact
@@ -78,7 +89,7 @@ def _read_raw(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     else:
         df = spark.read.json(path)
     if key is not None:
-        _RAW_FRAMES[key] = df
+        per_session[key] = df
     return df
 
 

@@ -10756,7 +10756,12 @@ def conformal_threshold_docs(spark, sf_dir):
         u.alias("u"),
         F.abs(F.col("__lbl") - F.col("score")).alias("nonconf"),
     ).localCheckpoint(eager=False)  # calib AND test consume this; without
-    # materialization the tokenize+score subtree runs once per arm
+    # materialization the tokenize+score subtree runs once per arm.
+    # CARDINALITY HONESTY (r17): lab is one NARROW row (id + 4 doubles)
+    # per scored document — corpus-ROW-cardinality, though a small
+    # fraction of the corpus payload.  Executor-local and
+    # non-replicated; the cluster-scale form is
+    # persist(MEMORY_AND_DISK) — DESIGN.md "localCheckpoint vs persist"
     calib = lab.filter(F.col("u") < 0.5)
     test = lab.filter(F.col("u") >= 0.5)
     cs = calib.agg(

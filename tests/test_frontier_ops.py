@@ -376,3 +376,37 @@ def test_containment_prefix_equals_exact_join_under_tripped_cap(spark):
         ).collect()
     }
     assert uncapped != exact
+
+
+def test_kcore_stable_graph_converges_in_one_observed_round(spark):
+    """r17 fixpoint fold: the node/below-k counts ride the degree
+    checkpoint job as observe metrics, and zero-below-k exits WITHOUT
+    the old extra confirmation round.  On an already-stable graph (a
+    triangle at k=2) that is exactly TWO jobs — the edge checkpoint and
+    the single degree checkpoint — where the old shape needed a count
+    action per round plus one whole extra peel+recount round.  Pinned
+    via the job-group job count (deterministic for a fixed code path),
+    both layouts."""
+    from elastic_asset_etl_poc_spark.operators.graph import kcore_membership
+
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], ["src", "dst"]
+    )
+    canon = spark.createDataFrame(und, ["src", "dst"])
+    sc = spark.sparkContext
+    for layout, frame in (("doubled", edges), ("canonical", canon)):
+        grp = f"kcore_stable_{layout}"
+        sc.setJobGroup(grp, grp)
+        got = {
+            r[0]: r[1]
+            for r in kcore_membership(
+                frame, k=2, canonical=(layout == "canonical")
+            ).collect()
+        }
+        sc.setJobGroup(None, None)
+        assert got == {"a": 2, "b": 2, "c": 2}, layout
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(grp))
+        # 2 checkpoint jobs + the result collect = 3; the pre-r17 shape
+        # was >= 7 (per-round count actions + the confirmation round)
+        assert n_jobs <= 4, (layout, n_jobs)
