@@ -801,6 +801,13 @@ def train_linear_classifier(
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
         % n_buckets
     )
+    # NOTE (r17, measured): pre-partitioning feat by __id before the
+    # checkpoint does NOT remove the per-step window exchange — under
+    # AQE the checkpointed LogicalRDD reports no usable output
+    # partitioning (verified in the plan: Exchange hashpartitioning
+    # remains above Scan ExistingRDD), so the extra repartition is pure
+    # cost and the per-step exchange of this bounded (docs×buckets)
+    # frame stays.
     feat = (
         base.withColumn("__b", bucket)
         .groupBy("__id", "__y", "__n", "__b")

@@ -160,35 +160,57 @@ def _asof_group(
         # starting the loop from empty keeps lefts BEFORE the carried ts
         # un-enriched (batch semantics) instead of matched to the future
         last_rts_us, last_value = None, None
-    out: list = []
+    out_df = None
     if chunks:
-        work = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts_us", "is_left", "carried"],
-            kind="stable",  # right (0) first on ties; carried first of rights
-        )
-        for r in work.itertuples(index=False):
-            if r.is_left == 0:  # right side: advance the carried state
-                last_rts_us = int(r.ts_us)
-                last_value = None if pd.isna(r.value) else float(r.value)
-            else:  # left side: emit enriched with latest at-or-before state
-                out.append(
-                    (int(r.event_id), user_id, int(r.ts_us), last_rts_us, last_value)
-                )
+        # Vectorized (r17, guide §4.2): the old itertuples loop is a
+        # carry-forward of the latest right row, i.e. a running maximum
+        # of right positions over the time-sorted merge — one
+        # np.maximum.accumulate replaces the per-row Python loop with
+        # identical semantics (rights sort BEFORE lefts on ts ties and
+        # the carried virtual right before in-batch rights, exactly the
+        # loop's processing order; values are carried untouched, so
+        # there is no arithmetic to re-order).
+        import numpy as np
+
+        work = pd.concat(chunks, ignore_index=True)
+        ts_us = work["ts_us"].to_numpy()
+        is_left = work["is_left"].to_numpy()
+        order = np.lexsort((work["carried"].to_numpy(), is_left, ts_us))
+        ts_us, is_left = ts_us[order], is_left[order]
+        eid = work["event_id"].to_numpy()[order]
+        val = work["value"].to_numpy(dtype="float64")[order]
+        idx = np.arange(len(ts_us))
+        # position of the latest right row at-or-before each row
+        last_right = np.maximum.accumulate(np.where(is_left == 0, idx, -1))
+        rights = np.flatnonzero(is_left == 0)
+        if len(rights):
+            p = rights[-1]
+            last_rts_us = int(ts_us[p])
+            last_value = None if np.isnan(val[p]) else float(val[p])
+        lefts = np.flatnonzero(is_left == 1)
+        if len(lefts):
+            lr = last_right[lefts]
+            has = lr >= 0
+            rts = np.where(has, ts_us[np.maximum(lr, 0)], 0).astype("float64")
+            rts[~has] = np.nan  # → NaT → NULL
+            rval = np.where(has, val[np.maximum(lr, 0)], np.nan)
+            out_df = pd.DataFrame(
+                {
+                    "event_id": eid[lefts].astype("int64"),
+                    "user_id": np.full(len(lefts), user_id, dtype="int64"),
+                    "ts": pd.to_datetime(
+                        pd.Series(ts_us[lefts]), unit="us"
+                    ),
+                    "right_ts_asof": pd.to_datetime(
+                        pd.Series(rts), unit="us"
+                    ),
+                    "right_value_asof": rval,
+                }
+            )
 
     state.update((last_rts_us, last_value))
-    if out:
-        odf = pd.DataFrame(
-            out, columns=["event_id", "user_id", "ts_us", "rts_us", "right_value_asof"]
-        )
-        yield pd.DataFrame(
-            {
-                "event_id": odf["event_id"],
-                "user_id": odf["user_id"],
-                "ts": pd.to_datetime(odf["ts_us"], unit="us"),
-                "right_ts_asof": pd.to_datetime(odf["rts_us"], unit="us"),
-                "right_value_asof": odf["right_value_asof"],
-            }
-        )
+    if out_df is not None:
+        yield out_df
 
 
 def stream_asof_enrich(
@@ -390,53 +412,65 @@ def _ewma_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    import math
+    """Vectorized (r17, guide §4.2): the old per-row itertuples loop is
+    a lag-window weighted sum, so the whole group computes as K−1
+    shifted-slice accumulations over one padded value array.  FP parity
+    with the loop is exact: per element the accumulation order is the
+    SAME (α·v, then +w₁·l₁, +w₂·l₂, +w₃·l₃, then the one divide), the
+    weights are the same Python-float expressions, and a NULL value
+    yields NaN in the float64 output column exactly where the loop
+    emitted None (pandas coerced that None to NaN in the same float64
+    column before serialization, so the emitted bytes are identical)."""
+    import numpy as np
 
     (user_id,) = key
     tail: list = list(state.get[0]) if state.exists else []
     tail = [float("nan") if v is None else float(v) for v in tail]
 
-    chunks = [
-        pd.DataFrame(
+    chunks = list(pdfs)
+    out_df = None
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ts_us = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        # chunk boundaries are arbitrary: one STABLE sort by
+        # (ts, event_id) — the same total order the batch operator uses
+        order = np.lexsort((eid, ts_us))
+        eid = eid[order]
+        v = pdf["value"].to_numpy(dtype="float64")[order]
+        n = len(v)
+        pad = EWMA_K - 1
+        vals = np.empty(pad + n, dtype="float64")
+        vals[:pad] = np.nan
+        if tail:  # tail[-1] is the most recent prior value
+            vals[pad - len(tail) : pad] = tail
+        vals[pad:] = v
+        num = EWMA_ALPHA * v
+        den = np.full(n, EWMA_ALPHA)
+        for j in range(1, EWMA_K):
+            w = EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j
+            lj = vals[pad - j : pad - j + n]
+            m = ~np.isnan(lj)
+            num[m] += w * lj[m]
+            den[m] += w
+        ewma = num / den  # NaN current value propagates to NaN (= NULL)
+        out_df = pd.DataFrame(
             {
-                "ts_us": pdf["ts"].astype("datetime64[ns]").astype("int64")
-                // 1000,
-                "event_id": pdf["event_id"],
-                "value": pdf["value"],
+                "event_id": eid.astype("int64"),
+                "user_id": np.full(n, user_id, dtype="int64"),
+                "ewma": ewma,
             }
         )
-        for pdf in pdfs
-    ]
-    out = []
-    if chunks:
-        # chunk boundaries are arbitrary: concatenate then sort ONCE by
-        # (ts, event_id) — the same total order the batch operator uses
-        work = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts_us", "event_id"], kind="stable"
-        )
-        for r in work.itertuples(index=False):
-            null_v = pd.isna(r.value)
-            if null_v:
-                ewma = None
-            else:
-                num = EWMA_ALPHA * float(r.value)
-                den = EWMA_ALPHA
-                for j in range(1, EWMA_K):
-                    if j <= len(tail):
-                        lj = tail[-j]
-                        if not math.isnan(lj):
-                            w = EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j
-                            num += w * lj
-                            den += w
-                ewma = num / den
-            out.append((int(r.event_id), user_id, ewma))
-            tail.append(float("nan") if null_v else float(r.value))
-            if len(tail) > EWMA_K - 1:
-                tail.pop(0)
+        keep = min(pad, len(tail) + n)
+        tail = [float(x) for x in vals[pad + n - keep : pad + n]]
 
     state.update((tail,))
-    if out:
-        yield pd.DataFrame(out, columns=["event_id", "user_id", "ewma"])
+    if out_df is not None:
+        yield out_df
 
 
 def stream_ewma_enrich(events: DataFrame) -> DataFrame:
